@@ -1,38 +1,563 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers every implemented operator from SURVEY.md §2 (plus
+the §2.9 extension operators); ``oracle_sql()`` carries the matching ANSI
+SQL for DuckDB. The graph queries run over the property-graph mapping of
+FIXTURES.md §5 (customer ⇒ Person nodes, nation ⇒ House nodes, rule-derived
+edges mirroring reference get_insert.py:113-163); the SQL oracles rebuild
+the identical graph in CTEs.
+
+Float determinism: every floating-point aggregate goes through DECIMAL
+casts in BOTH engines (see neo4j_database_spark/queries/relational.py
+docstring), so value hashes compare exactly.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from itertools import product
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from neo4j_database_spark.graph import build_graph
+from neo4j_database_spark.graph import queries as gq
+from neo4j_database_spark.graph.features import (
+    FEATURE_HOUSES,
+    FEATURE_TYPES,
+    feature_cell_name,
+    feature_matrix,
+)
+from neo4j_database_spark.pipeline import dedup, similarity, text
+from neo4j_database_spark.queries import relational as rel
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# ---- fixed query parameters (shared by Spark plans and SQL oracles) ----
+WINDER_SEEDS = [f"Customer#{i:09d}" for i in range(3)]
+EGO_NAME = "Customer#000000042"
+SEARCH_Q = "0000004"
+SUBGRAPH_HOUSES = ["NATION_3", "NATION_7"]
+HISTOGRAM_NAMES = [f"Customer#{i:09d}" for i in range(50)]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (common-neighbors link prediction) on sf0.001."""
+    g = build_graph(spark, "/root/testdata/sf0.001")
+    return gq.winder(g, WINDER_SEEDS, k=3)
+
+
+# --------------------------------------------------------------------------
+# Spark-side query registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def on_graph(fn):
+        return lambda spark, sf_dir: fn(build_graph(spark, sf_dir))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- graph serving queries (reference app.py endpoints) --
+        "g_directory": on_graph(gq.directory),
+        "g_search": on_graph(lambda g: gq.search(g, SEARCH_Q)),
+        "g_ego_network": on_graph(lambda g: gq.ego_network(g, EGO_NAME)),
+        "g_housemates": on_graph(lambda g: gq.housemates(g, EGO_NAME)),
+        "g_house_subgraph": on_graph(
+            lambda g: gq.house_subgraph(g, SUBGRAPH_HOUSES)
+        ),
+        "g_winder": on_graph(lambda g: gq.winder(g, WINDER_SEEDS)),
+        "g_house_histogram": on_graph(
+            lambda g: gq.house_histogram(g, HISTOGRAM_NAMES)
+        ),
+        # -- graph ETL audits (reference get_insert.py rule joins) --
+        "g_rule_edge_counts": on_graph(gq.rule_edge_counts),
+        "g_friend_counts_by_house": on_graph(gq.friend_counts_by_house),
+        # -- ML feature extraction (reference train_fix.py) --
+        "g_feature_matrix": on_graph(lambda g: feature_matrix(g)),
+        # -- relational OLAP --
+        "pricing_summary": rel.pricing_summary,
+        "top_unshipped_orders": rel.top_unshipped_orders,
+        "top_customers_by_spend": rel.top_customers_by_spend,
+        "nation_revenue": rel.nation_revenue,
+        "order_priority_counts": rel.order_priority_counts,
+        "events_hourly": rel.events_hourly,
+        "events_sessionized": rel.events_sessionized,
+        "events_json_extract": rel.events_json_extract,
+        # -- training-data pipeline extensions (SURVEY.md §2.9) --
+        "doc_token_stats": text.token_stats,
+        "doc_quality_score": text.quality_score,
+        "doc_lang_id": text.lang_id,
+        "doc_fingerprints": text.fingerprints,
+        "doc_exact_dedup": dedup.exact_dedup,
+        "doc_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "doc_minhash_lsh": dedup.minhash_lsh_pairs,
+        "emb_knn_bruteforce": similarity.knn_bruteforce,
+        "emb_knn_lsh": similarity.knn_lsh,
+        "emb_centroids": similarity.centroids_by_label,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# The property graph rebuilt as SQL CTEs — mirrors
+# neo4j_database_spark/graph/model.py exactly.
+GRAPH_CTES = """
+WITH persons AS (
+  SELECT c_custkey AS id, c_name AS name, n_name AS house,
+         c_mktsegment AS segment, c_acctbal AS acctbal
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+),
+friend_e AS (
+  SELECT a.id AS src, b.id AS dst, 'FRIEND_OF' AS type
+  FROM persons a JOIN persons b ON a.house = b.house AND a.name < b.name
+  WHERE a.house IS NOT NULL
+),
+family_e AS (
+  SELECT a.id AS src, b.id AS dst, 'SAME_FAMILY' AS type
+  FROM persons a JOIN persons b
+    ON substr(a.name, length(a.name) - 1, 2) = substr(b.name, length(b.name) - 1, 2)
+   AND a.name < b.name
+),
+enemy_half AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM persons a, persons b
+  WHERE a.house = 'NATION_0' AND b.house = 'NATION_1'
+),
+enemy_e AS (
+  SELECT src, dst, 'ENEMY_OF' AS type FROM enemy_half
+  UNION ALL
+  SELECT dst AS src, src AS dst, 'ENEMY_OF' AS type FROM enemy_half
+),
+romance_half AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM persons a JOIN persons b ON b.id = a.id + 1
+  WHERE a.id % 101 = 0
+),
+romance_e AS (
+  SELECT src, dst, 'ROMANTIC_WITH' AS type FROM romance_half
+  UNION ALL
+  SELECT dst AS src, src AS dst, 'ROMANTIC_WITH' AS type FROM romance_half
+),
+edges AS (
+  SELECT DISTINCT src, dst, type FROM (
+    SELECT * FROM friend_e
+    UNION ALL SELECT * FROM family_e
+    UNION ALL SELECT * FROM enemy_e
+    UNION ALL SELECT * FROM romance_e
+  )
+),
+sym_edges AS (
+  SELECT src, dst, type FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, type FROM edges
+  WHERE type IN ('FRIEND_OF', 'SAME_FAMILY')
+)
+"""
+
+
+def _sql_list(values: list[str]) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
+def _feature_matrix_sql() -> str:
+    cells = ",\n  ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN e.type = '{t}' AND n.house = '{h}' "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS {feature_cell_name(t, h)}"
+        for t, h in product(FEATURE_TYPES, FEATURE_HOUSES)
+    )
+    types_list = _sql_list(list(FEATURE_TYPES))
+    houses_list = _sql_list(list(FEATURE_HOUSES))
+    return f"""{GRAPH_CTES}
+SELECT p.name, p.house,
+  {cells},
+  CAST(COALESCE(SUM(CASE WHEN e.type IN ({types_list}) AND n.house IN ({houses_list})
+       THEN 1 ELSE 0 END), 0) AS BIGINT) AS total
+FROM persons p
+LEFT JOIN sym_edges e ON e.src = p.id
+LEFT JOIN persons n ON e.dst = n.id
+GROUP BY p.name, p.house
+ORDER BY p.name
+"""
+
+
+# 64-dim embedding components with 0-based index j; doubles are exact
+# widenings of the stored floats, identical in Spark and DuckDB.
+_EMB_COMPONENTS = """
+comp AS (
+  SELECT e.vec_id, e.label, t.j,
+         CAST(e.embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e
+  CROSS JOIN UNNEST(generate_series(0, len(e.embedding) - 1)) AS t(j)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    seeds = _sql_list(WINDER_SEEDS)
+    hist = _sql_list(HISTOGRAM_NAMES)
+    sub_houses = _sql_list(SUBGRAPH_HOUSES)
+    stop = _sql_list(list(text.STOPWORDS))
+
+    return {
+        "g_directory": f"""{GRAPH_CTES}
+SELECT name, house, segment, acctbal FROM persons ORDER BY name
+""",
+        "g_search": f"""{GRAPH_CTES}
+SELECT name, house FROM persons
+WHERE contains(lower(name), lower('{SEARCH_Q}'))
+ORDER BY name LIMIT 10
+""",
+        "g_ego_network": f"""{GRAPH_CTES}
+SELECT s.name AS person, d.name AS neighbor, e.type AS rel_type
+FROM sym_edges e
+JOIN persons s ON e.src = s.id
+JOIN persons d ON e.dst = d.id
+WHERE s.name = '{EGO_NAME}'
+ORDER BY neighbor, rel_type LIMIT 500
+""",
+        "g_housemates": f"""{GRAPH_CTES}
+SELECT b.name AS mate, b.house AS house
+FROM persons a JOIN persons b ON a.house = b.house
+WHERE a.name = '{EGO_NAME}' AND b.name <> a.name
+ORDER BY mate LIMIT 100
+""",
+        "g_house_subgraph": f"""{GRAPH_CTES}
+SELECT s.name AS src_name, d.name AS dst_name, e.type AS rel_type
+FROM edges e
+JOIN persons s ON e.src = s.id
+JOIN persons d ON e.dst = d.id
+WHERE s.house IN ({sub_houses}) AND d.house IN ({sub_houses})
+ORDER BY rel_type, src_name, dst_name LIMIT 5000
+""",
+        "g_winder": f"""{GRAPH_CTES}
+SELECT p.name AS name,
+       COUNT(DISTINCT s.name) AS common_friends,
+       string_agg(DISTINCT s.name, ',' ORDER BY s.name) AS shared_with
+FROM sym_edges e
+JOIN persons s ON e.src = s.id
+JOIN persons p ON e.dst = p.id
+WHERE s.name IN ({seeds})
+  AND p.name NOT IN ({seeds})
+  AND e.type IN ('FRIEND_OF', 'SAME_FAMILY', 'ROMANTIC_WITH')
+GROUP BY p.name
+ORDER BY common_friends DESC, name ASC
+LIMIT 3
+""",
+        "g_house_histogram": f"""{GRAPH_CTES}
+SELECT house, COUNT(*) AS n FROM persons
+WHERE name IN ({hist})
+GROUP BY house ORDER BY house
+""",
+        "g_rule_edge_counts": f"""{GRAPH_CTES}
+SELECT type, COUNT(*) AS n FROM edges GROUP BY type ORDER BY type
+""",
+        "g_friend_counts_by_house": f"""{GRAPH_CTES}
+SELECT p.house AS house, COUNT(*) AS n
+FROM edges e JOIN persons p ON e.src = p.id
+WHERE e.type = 'FRIEND_OF'
+GROUP BY p.house ORDER BY house
+""",
+        "g_feature_matrix": _feature_matrix_sql(),
+        # -- relational --
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_unshipped_orders": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "top_customers_by_spend": """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_spend,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_name AS name, n_name AS nation, total_spend, n_orders
+FROM spend
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY total_spend DESC, name ASC
+LIMIT 10
+""",
+        "nation_revenue": """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation
+""",
+        "order_priority_counts": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        "events_sessionized": """
+WITH secs AS (
+  -- integer floor seconds, matching Spark's CAST(ts AS BIGINT)
+  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+    CASE WHEN sec - lag(sec) OVER w IS NULL
+           OR sec - lag(sec) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session,
+    event_id, ts
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, sec,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+    MAX(sec) - MIN(sec) AS duration_sec
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  MAX(n_events) AS max_session_events,
+  MAX(duration_sec) AS max_session_sec
+FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+        "events_json_extract": """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+  MIN(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS min_k,
+  MAX(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        # -- documents --
+        "doc_token_stats": f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+         length(text) AS len_text
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+  CAST(len(list_filter(t, x -> lower(x) IN ({stop}))) AS INT) AS n_stopwords,
+  CAST(length(array_to_string(t, '')) AS INT) AS n_token_chars,
+  CAST(len_text AS INT) AS n_chars_actual
+FROM toks ORDER BY doc_id
+""",
+        "doc_quality_score": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(
+    (CASE WHEN len(t) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+  + (CASE WHEN len(list_distinct(t)) * 4 >= len(t) THEN 1 ELSE 0 END)
+  + (CASE WHEN len(list_filter(t, x -> lower(x) IN ({stop}))) * 25 >= len(t)
+     THEN 1 ELSE 0 END) AS INT) AS quality_score
+FROM toks ORDER BY doc_id
+""",
+        "doc_lang_id": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN len(list_filter(t, x -> lower(x) IN ({stop}))) * 20 >= len(t)
+       THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM toks ORDER BY doc_id
+""",
+        "doc_fingerprints": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(t, ' ')) AS fp_normalized
+FROM toks ORDER BY doc_id
+""",
+        "doc_exact_dedup": """
+SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY md5(text)
+ORDER BY survivor_id
+""",
+        "doc_ngram_jaccard": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 2 >= (sa.n + sb.n - n_common) * 1
+ORDER BY id_a, id_b
+""",
+        "doc_minhash_lsh": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+mh AS (
+  SELECT doc_id, CAST(hi AS INT) AS hi,
+         MIN(md5(CAST(hi AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN UNNEST(generate_series(0, 7)) AS h(hi)
+  GROUP BY doc_id, hi
+),
+bands AS (
+  SELECT doc_id, hi // 2 AS band_idx,
+         string_agg(mh, '|' ORDER BY hi) AS band_key
+  FROM mh GROUP BY doc_id, hi // 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_hit
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+""",
+        # -- embeddings --
+        "emb_knn_bruteforce": f"""
+WITH {_EMB_COMPONENTS.strip()},
+q AS (SELECT j, x AS qx FROM comp WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id,
+    SUM(CAST(c.x * q.qx AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(c.x * c.x AS DECIMAL(20,9))) AS norm2_v,
+    SUM(CAST(q.qx * q.qx AS DECIMAL(20,9))) AS norm2_q
+  FROM comp c JOIN q ON c.j = q.j
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+)
+SELECT vec_id,
+  CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+    / (CAST(norm2_v AS DOUBLE) * CAST(norm2_q AS DOUBLE)) AS rank_score,
+  CAST(dot AS DOUBLE)
+    / sqrt(CAST(norm2_v AS DOUBLE) * CAST(norm2_q AS DOUBLE)) AS cosine
+FROM pairs
+ORDER BY rank_score DESC, vec_id ASC
+LIMIT 10
+""",
+        "emb_knn_lsh": f"""
+WITH {_EMB_COMPONENTS.strip()},
+proj AS (
+  SELECT vec_id, CAST(p AS INT) AS p,
+    SUM(CAST(x * CAST((CAST(p AS INT) * 31 + CAST(j AS INT) * 17) % 13 - 6 AS DOUBLE)
+        AS DECIMAL(20,9))) AS s
+  FROM comp CROSS JOIN UNNEST(generate_series(0, 3)) AS pl(p)
+  GROUP BY vec_id, p
+),
+bucket AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT j, x AS qx FROM comp WHERE vec_id = 0),
+qb AS (SELECT bucket AS q_bucket FROM bucket WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id,
+    SUM(CAST(c.x * q.qx AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(c.x * c.x AS DECIMAL(20,9))) AS norm2_v,
+    SUM(CAST(q.qx * q.qx AS DECIMAL(20,9))) AS norm2_q
+  FROM comp c
+  JOIN q ON c.j = q.j
+  JOIN bucket bk ON bk.vec_id = c.vec_id
+  CROSS JOIN qb
+  WHERE c.vec_id <> 0 AND bk.bucket = qb.q_bucket
+  GROUP BY c.vec_id
+)
+SELECT vec_id,
+  CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+    / (CAST(norm2_v AS DOUBLE) * CAST(norm2_q AS DOUBLE)) AS rank_score
+FROM pairs
+ORDER BY rank_score DESC, vec_id ASC
+LIMIT 10
+""",
+        "emb_centroids": f"""
+WITH {_EMB_COMPONENTS.strip()}
+SELECT label, CAST(j AS INT) AS dim,
+  CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS sum_x,
+  COUNT(*) AS n
+FROM comp
+GROUP BY label, j
+ORDER BY label, dim
+""",
+    }

@@ -1,0 +1,157 @@
+"""Pattern-match serving queries: Cypher-equivalent Catalyst plans.
+
+Each function re-expresses one of the reference's HTTP-endpoint Cypher
+statements (reference: app.py:37-449) as a declarative DataFrame plan.
+All results carry deterministic ORDER BY + tie-breaks (name-based total
+order replaces Neo4j's internal ``id()`` — SURVEY.md §2 F4) so every
+query is DuckDB-oracle-checkable.
+
+Physical notes: point lookups (``name = $x``) become one-row broadcast
+sides; top-k becomes ``TakeOrderedAndProject`` (no global sort); the
+house dim is always broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.graph.model import GraphModel
+
+# Edge types that carry "social" signal for link prediction (the reference's
+# winder expands FRIEND_OF; our graph adds family/romance so common-neighbor
+# scores vary — ENEMY_OF is deliberately excluded from recommendations).
+WINDER_TYPES = ("FRIEND_OF", "SAME_FAMILY", "ROMANTIC_WITH")
+
+
+def directory(g: GraphModel) -> DataFrame:
+    """Full person directory, sorted. Reference: app.py:188-204 (P1/T2)."""
+    return g.persons.select("name", "house", "segment", "acctbal").orderBy("name")
+
+
+def search(g: GraphModel, q: str, limit: int = 10) -> DataFrame:
+    """Case-insensitive substring autocomplete. Reference: app.py:441-444
+    (P4/T3, ``toLower(p.name) CONTAINS toLower($q) ... LIMIT 10``)."""
+    return (
+        g.persons.filter(F.lower(F.col("name")).contains(q.lower()))
+        .select("name", "house")
+        .orderBy("name")
+        .limit(limit)
+    )
+
+
+def ego_network(g: GraphModel, name: str, limit: int = 500) -> DataFrame:
+    """1-hop undirected any-type expansion. Reference: app.py:257-261 (J1).
+
+    The seed filter produces one row → Catalyst broadcasts it, so the edge
+    scan is a broadcast-hash join followed by a second join to enrich the
+    neighbor — no shuffle of the edge table at any scale.
+    """
+    seed = g.persons.filter(F.col("name") == name).select(
+        F.col("id").alias("src"), F.col("name").alias("person")
+    )
+    nbr = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("neighbor"))
+    return (
+        g.sym_edges()
+        .join(F.broadcast(seed), "src")
+        .join(nbr, "dst")
+        .select("person", "neighbor", F.col("type").alias("rel_type"))
+        .orderBy("neighbor", "rel_type")
+        .limit(limit)
+    )
+
+
+def housemates(g: GraphModel, name: str, limit: int = 100) -> DataFrame:
+    """2-hop path (p)-[:BELONGS_TO]->(h)<-[:BELONGS_TO]-(mate).
+    Reference: app.py:288-292 (J2). BELONGS_TO is normalized as the
+    ``house`` FK, so the 2-hop is a self-join on house."""
+    me = g.persons.filter(F.col("name") == name).select(
+        F.col("house").alias("house"), F.col("name").alias("person")
+    )
+    return (
+        g.persons.join(F.broadcast(me), "house")
+        .filter(F.col("name") != F.col("person"))
+        .select(F.col("name").alias("mate"), "house")
+        .orderBy("mate")
+        .limit(limit)
+    )
+
+
+def house_subgraph(
+    g: GraphModel, houses: Sequence[str], limit: int = 5000
+) -> DataFrame:
+    """Edges whose BOTH endpoints live in the requested houses.
+    Reference: app.py:376-416 (P5/J4/J9, ``LIMIT 5000``)."""
+    members = g.persons.filter(F.col("house").isin(list(houses)))
+    src_m = members.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
+    dst_m = members.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
+    return (
+        g.edges.join(src_m, "src")
+        .join(dst_m, "dst")
+        .select("src_name", "dst_name", F.col("type").alias("rel_type"))
+        .orderBy("rel_type", "src_name", "dst_name")
+        .limit(limit)
+    )
+
+
+def winder(g: GraphModel, seed_names: Sequence[str], k: int = 3) -> DataFrame:
+    """Common-neighbors link prediction — the flagship query.
+    Reference: app.py:217-231 ("Winder").
+
+    seed IN-filter (P2) → undirected expansion (J3) → anti-filter of the
+    seed set (J3b) → group-count + collect of shared seeds (A2) → top-k
+    (T1). The seed side is a handful of rows → broadcast; the aggregation
+    is partial+final hash agg; the top-k is TakeOrderedAndProject.
+    """
+    seeds = g.persons.filter(F.col("name").isin(list(seed_names))).select(
+        F.col("id").alias("src"), F.col("name").alias("seed_name")
+    )
+    cand = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("name"))
+    return (
+        g.sym_edges(WINDER_TYPES)
+        .join(F.broadcast(seeds), "src")
+        .join(cand, "dst")
+        .filter(~F.col("name").isin(list(seed_names)))
+        .groupBy("name")
+        .agg(
+            F.countDistinct("seed_name").alias("common_friends"),
+            F.array_join(F.sort_array(F.collect_set("seed_name")), ",").alias(
+                "shared_with"
+            ),
+        )
+        .orderBy(F.desc("common_friends"), F.asc("name"))
+        .limit(k)
+    )
+
+
+def house_histogram(g: GraphModel, names: Sequence[str]) -> DataFrame:
+    """House distribution of a name list. Reference: app.py:62-66 (A1/P2)."""
+    return (
+        g.persons.filter(F.col("name").isin(list(names)))
+        .groupBy("house")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("house")
+    )
+
+
+def rule_edge_counts(g: GraphModel) -> DataFrame:
+    """Audit aggregate over the rule-derived edge table: count per type.
+
+    Checks the ETL joins J5-J8 (get_insert.py:113-163) end-to-end without
+    materializing millions of edge rows into the comparison."""
+    return g.edges.groupBy("type").agg(F.count(F.lit(1)).alias("n")).orderBy("type")
+
+
+def friend_counts_by_house(g: GraphModel) -> DataFrame:
+    """Per-house FRIEND_OF edge count — C(n_house, 2) per house; the skew
+    profile of the quadratic self-join J6 (get_insert.py:132-138)."""
+    src_house = g.persons.select(F.col("id").alias("src"), "house")
+    return (
+        g.edges.filter(F.col("type") == "FRIEND_OF")
+        .join(src_house, "src")
+        .groupBy("house")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("house")
+    )

@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH.
+
+Scale design:
+- Exact dedup is a hash-groupBy on a digest — one shuffle of (digest,
+  doc_id), never of the document text.
+- Near-dup avoids the O(n²) pairwise comparison: candidate pairs come
+  from an equi-join on shared shingles (n-gram Jaccard) or shared LSH
+  band buckets (MinHash), so the join key is always hashable and the
+  blow-up is bounded by bucket sizes, not corpus size.
+- Hashing uses md5 (JVM built-in, available identically in the DuckDB
+  oracle). A production 100 TB run swaps md5 → xxhash64 (same plan,
+  ~5× cheaper digest) — see ``minhash_signatures(hash_fn=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+
+SHINGLE_WIDTH = 3  # word 3-grams
+NUM_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band → 4 bands
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest; survivor = min doc_id.
+
+    Classic first pass of any dedup pipeline: groupBy(md5(text)). Only
+    the 32-byte digest shuffles.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .orderBy("survivor_id")
+    )
+
+
+def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """Distinct word-``width``-gram shingles per document.
+
+    Built entirely from higher-order array functions (transform over a
+    sequence of start offsets + slice), so shingling runs inside codegen.
+    Output: (doc_id, shingle) — exploded, one row per distinct shingle.
+    """
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # documents shorter than `width` tokens must short-circuit explicitly.
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold_num: int = 1, threshold_den: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs with exact n-gram Jaccard ≥ num/den.
+
+    Inverted-index join: explode shingles → self-equi-join on shingle
+    (doc_a < doc_b) → count common → Jaccard from per-doc shingle counts.
+    The threshold test is integer cross-multiplication
+    (``den*common ≥ num*(na+nb-common)``) so the oracle comparison never
+    touches floats.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_common") * threshold_den
+            >= (F.col("na") + F.col("nb") - F.col("n_common")) * threshold_num
+        )
+        .select("id_a", "id_b", "n_common", "na", "nb")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, hash_fn: str = "md5"
+) -> DataFrame:
+    """Per-document MinHash signature: for seed i, min over shingles of
+    hash(i || shingle).
+
+    One aggregation produces all ``num_hashes`` mins (no per-seed pass).
+    ``hash_fn='md5'`` gives oracle-comparable hex-string mins;
+    ``hash_fn='xxhash64'`` is the production path (64-bit int mins, ~5×
+    faster, same plan shape).
+    """
+    if hash_fn == "md5":
+        hashed = lambda i, s: F.md5(F.concat(F.lit(str(i) + "|"), s))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hashed = lambda i, s: F.xxhash64(F.lit(i), s)  # noqa: E731
+    else:
+        raise ValueError(hash_fn)
+    sh = shingles(docs)
+    aggs = [
+        F.min(hashed(i, F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding.
+
+    signature → band keys (concat of band_size mins) → unpivot to
+    (doc_id, band_idx, band_key) → self-join on (band_idx, band_key).
+    Collision in ≥1 band ⇒ candidate pair (emitted once, with the number
+    of colliding bands as a crude score). At 100 TB the band join is the
+    only shuffle and its key space is wide (hash concat), so bucket skew
+    only appears for true near-dup clusters — which is the output, not a
+    pathology.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, num_hashes, hash_fn)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * band_size + r}").cast("string")
+                      for r in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_key"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+(sign-random-projection) is the 100 TB scale path — both are pure
+DataFrame plans with higher-order array functions (zip_with + aggregate),
+no Python in the loop.
+
+Determinism contract: dot products and norms accumulate through
+DECIMAL(38,9) casts of the per-component double products. Double
+accumulation order differs between engines; decimal accumulation of
+identical doubles is exact and engine-independent, so similarity scores
+(and therefore top-k rank boundaries) compare bit-for-bit against the
+SQL oracle. Scale 9 (not higher): engines convert double→decimal with
+different internal precision, and they provably agree only while the
+target scale keeps the scaled value's representation error far below
+half an ulp of the last kept digit (|x|·10^s·2⁻⁵² ≪ 0.5). The ~1e-9
+quantization is identical on both sides and irrelevant to ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+
+# 11 integer digits of headroom + 9 frac digits. Kept well under
+# precision 38 so Spark's decimal-addition widening rule
+# (p = max(p1-s1, p2-s2) + s + 1) never hits the 38 cap — at the cap
+# Spark silently drops a fraction digit (38,9)+(38,9) → (38,8).
+ACC = "decimal(20,9)"
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal sum of pairwise double products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast(ACC)),
+        F.lit(0).cast(ACC),
+        lambda acc, v: (acc + v).cast(ACC),
+    )
+
+
+def _as_double_arr(col: Column | str) -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    return col.cast("array<double>")
+
+
+def knn_bruteforce(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector.
+
+    The 1-row query side broadcasts; every partition scores its vectors
+    independently; top-k is TakeOrderedAndProject. cos² is compared via
+    exact decimal arithmetic (cross-multiplied, no sqrt) and the emitted
+    score is derived from the same exact quantities, so ordering and
+    values are oracle-identical.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"), _as_double_arr("embedding").alias("q_vec")
+    )
+    cand = emb.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", _as_double_arr("embedding").alias("vec")
+    )
+    dot = _dot_dec(F.col("vec"), F.col("q_vec"))
+    nv = _dot_dec(F.col("vec"), F.col("vec"))
+    nq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        dot.alias("dot"),
+        nv.alias("norm2_v"),
+        nq.alias("norm2_q"),
+    )
+    # Accumulation is exact decimal; the final combination happens in
+    # doubles derived from those decimals (never decimal×decimal, whose
+    # precision-loss rules are engine-specific). Identical double inputs +
+    # identical IEEE ops ⇒ identical scores in Spark and the oracle.
+    dot_d = F.col("dot").cast("double")
+    nv_d = F.col("norm2_v").cast("double")
+    nq_d = F.col("norm2_q").cast("double")
+    rank = dot_d * F.abs(dot_d) / (nv_d * nq_d)
+    cosine = dot_d / F.sqrt(nv_d * nq_d)
+    return (
+        scored.select(
+            "vec_id", rank.alias("rank_score"), cosine.alias("cosine")
+        )
+        .orderBy(F.desc("rank_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _srp_bucket(vec: Column, n_planes: int) -> Column:
+    """Sign-random-projection bucket id.
+
+    Deterministic pseudo-random hyperplanes: plane p has component
+    j = ((p*31 + j*17) % 13) - 6 (an integer lattice direction — fixed,
+    seedable, and reproducible in ANSI SQL). Bucket bit p = sign of
+    ⟨vec, plane_p⟩, accumulated exactly in decimal.
+    """
+    def plane_term(p: int):
+        # closure factory: PySpark introspects lambda arity, so the plane
+        # index can't ride along as a defaulted third parameter
+        return lambda x, j: (
+            x * ((F.lit(p) * 31 + j * 17) % 13 - 6).cast("double")
+        ).cast(ACC)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(vec, plane_term(p)),
+            F.lit(0).cast(ACC),
+            lambda acc, v: (acc + v).cast(ACC),
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates in the query's
+    sign-random-projection bucket.
+
+    At 100 TB: bucket the corpus once (16-256 buckets per table write,
+    persisted as a partition column), so each query scores ~n/2^planes
+    vectors — the standard IVF/LSH trade. Recall < 1 by design; the
+    oracle replays the identical bucketing, so the check is exact.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    bucketed = emb.select(
+        "vec_id",
+        _as_double_arr("embedding").alias("vec"),
+        _srp_bucket(_as_double_arr("embedding"), n_planes).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("q_vec"), F.col("bucket").alias("q_bucket")
+    )
+    cand = bucketed.filter(F.col("vec_id") != query_vec_id)
+    dot = _dot_dec(F.col("vec"), F.col("q_vec"))
+    nv = _dot_dec(F.col("vec"), F.col("vec"))
+    nq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id", dot.alias("dot"), nv.alias("norm2_v"), nq.alias("norm2_q"))
+    )
+    dot_d = F.col("dot").cast("double")
+    rank = dot_d * F.abs(dot_d) / (
+        F.col("norm2_v").cast("double") * F.col("norm2_q").cast("double")
+    )
+    return (
+        scored.select("vec_id", rank.alias("rank_score"))
+        .orderBy(F.desc("rank_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid numerators: exact decimal component
+    sums + counts (divide at read time — keeping the stored aggregate
+    exact makes it re-mergeable, the map-side-combine property).
+
+    Plan: posexplode → (label, dim) hash aggregate. One shuffle of
+    (label × 64 dims) partials.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(
+            "label", F.posexplode(_as_double_arr("embedding")).alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("x").cast(ACC)).cast("decimal(38,9)").alias("sum_x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )

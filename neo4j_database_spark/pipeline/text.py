@@ -1,0 +1,100 @@
+"""Text analysis operators over the documents table.
+
+Language-ID, quality scoring, token counting, and fingerprinting — all as
+built-in column expressions (split / higher-order functions / hash), zero
+Python UDFs, so the hot path stays inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+
+# Tiny English function-word list for the stopword-ratio heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col: F.Column) -> F.Column:
+    """Whitespace tokenization, empty tokens dropped (split on 1+ spaces)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + quality signals.
+
+    quality features: token count, distinct-token ratio (repetitiveness),
+    stopword ratio, mean token length — the standard cheap pre-filters of
+    a training-data pipeline.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    total_chars = F.length(F.concat_ws("", toks))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stopwords"),
+        total_chars.alias("n_token_chars"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality bucket per document.
+
+    Deterministic integer scoring (no float thresholds → oracle-exact):
+    +1 if 50 ≤ n_tokens ≤ 10000, +1 if distinct ratio ≥ 1/4 (4*distinct ≥
+    tokens), +1 if at least one stopword per 25 tokens.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    score = (
+        F.when((n_tokens >= 50) & (n_tokens <= 10000), 1).otherwise(0)
+        + F.when(n_distinct * 4 >= n_tokens, 1).otherwise(0)
+        + F.when(n_stop * 25 >= n_tokens, 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id", score.alias("quality_score")
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English function-word hit rate.
+
+    (A real pipeline swaps in a fastText-style model via mapInPandas; the
+    Spark-side shape — per-doc score → argmax label — is identical.)
+    Integer-ratio decision rule keeps it oracle-exact: predict 'en' iff
+    stopword_hits * 20 >= n_tokens.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    pred = F.when(n_stop * 20 >= n_tokens, F.lit("en")).otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: full-text md5 + a normalized
+    "shape" fingerprint (lowercased, whitespace-collapsed) that catches
+    trivial reformat near-dups."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.concat_ws(" ", _tokens(F.lower(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_exact"),
+        F.md5(norm).alias("fp_normalized"),
+    ).orderBy("doc_id")

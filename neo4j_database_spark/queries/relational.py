@@ -1,0 +1,215 @@
+"""OLAP queries over the TPC-H-ish star schema + the events table.
+
+Determinism contract for oracle comparison: every floating-point measure
+is aggregated through a DECIMAL cast. Double sums are order-dependent
+(Spark's partial aggregation and DuckDB's scan order sum in different
+orders → low-order-bit drift); casting each addend to DECIMAL first makes
+the aggregate exact and bit-identical in both engines. The cast itself is
+deterministic (nearest decimal to the same IEEE double on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+
+# Money values here carry at most 6 exact decimal digits (2-decimal prices
+# × 2-decimal rates × 2-decimal rates). Scale 6 ≥ that, so the double →
+# decimal cast rounds to a grid point the true value sits (within 1e-10)
+# on — unambiguous under every engine's rounding mode. A smaller scale
+# (e.g. 4) would cut through dense digits and Spark (exact BigDecimal
+# HALF_UP) vs DuckDB (scaled-double rounding) disagree on boundary cases.
+MONEY = "decimal(18,6)"
+MONEY_SUM = "decimal(28,6)"
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast(MONEY)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan partial+final hash aggregate on lineitem.
+
+    The filter and the 6-column projection push down to the parquet scan;
+    everything else is one shuffle of (2-key × 8 measures) partials.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast(MONEY_SUM).alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast(MONEY_SUM).alias("sum_base_price"),
+            F.sum(disc_price).cast(MONEY_SUM).alias("sum_disc_price"),
+            F.sum(charge).cast(MONEY_SUM).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast dim filter → fact) + top-k."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("broadcast"), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast(MONEY_SUM).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def top_customers_by_spend(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Orders rollup → broadcast-enrich with customer + nation → top-k."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "total_spend",
+            "n_orders",
+        )
+        .orderBy(F.desc("total_spend"), F.asc("name"))
+        .limit(k)
+    )
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → supplier → nation rollup (shuffle join + broadcast dim)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast(MONEY_SUM).alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join orders→lineitem, count by priority."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    discounted_li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    # Semi join: Catalyst plans LeftSemi — no duplication from multi-line orders.
+    return (
+        orders.join(
+            discounted_li, orders.o_orderkey == discounted_li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the events stream table (batch view).
+
+    The same plan runs under Structured Streaming with a watermark — see
+    neo4j_database_spark/streaming/events.py.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_sessionized(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization via window functions (lag → cumulative sum).
+
+    Not in the reference (SURVEY.md §2.8: no window functions) — extension
+    operator. Per-user windows shuffle once on user_id; both window
+    functions reuse the same sort.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    # event_id tie-break + explicit ROWS frame: Spark's default window frame
+    # is RANGE (peers collapse on duplicate timestamps), which would drift
+    # from the oracle.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_session = with_flag.withColumn("session_seq", F.sum("new_session").over(wsum))
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("duration_sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("duration_sec").alias("max_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

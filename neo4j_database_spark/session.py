@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-conscious defaults.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the same config
+block is what we would ship to a 1000-executor cluster (AQE, skew-join
+handling, Arrow, UTC timestamps for oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "neo4j_database_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Settings rationale:
+    - ``spark.sql.shuffle.partitions``: sized to cores in local mode; on a
+      real cluster AQE coalesces post-shuffle partitions anyway.
+    - AQE + skewJoin: the same-house friendship rule (SURVEY.md §2 J6) is a
+      quadratic self-join with house-key skew; AQE splits skewed partitions
+      at runtime.
+    - Arrow: all pandas interchange (and any Pandas UDF) batches via Arrow.
+    - UTC session timezone: parquet timestamps must hash identically to the
+      DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in the catalog (catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
