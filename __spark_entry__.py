@@ -23,8 +23,8 @@ if "/root/repo" not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neo4j_database_spark.graph import build_graph
 from neo4j_database_spark.graph import queries as gq
+from neo4j_database_spark.graph.store import load_graph
 from neo4j_database_spark.graph.features import (
     FEATURE_HOUSES,
     FEATURE_TYPES,
@@ -57,7 +57,7 @@ HISTOGRAM_NAMES = [f"Customer#{i:09d}" for i in range(50)]
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (common-neighbors link prediction) on sf0.001."""
-    g = build_graph(spark, "/root/testdata/sf0.001")
+    g = load_graph(spark, "/root/testdata/sf0.001")
     return gq.winder(g, WINDER_SEEDS, k=3)
 
 
@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def on_graph(fn):
-        return lambda spark, sf_dir: fn(build_graph(spark, sf_dir))
+        return lambda spark, sf_dir: fn(load_graph(spark, sf_dir))
 
     return {
         # -- graph serving queries (reference app.py endpoints) --

@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes through the `noop` sink so the full plan runs
+(scan → shuffle → agg) without driver-side collect overhead distorting
+the measurement; top-k/limit queries collect (that IS their terminal
+shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from neo4j_database_spark.session import get_spark
+
+# Headline set: the flagship graph query, the heaviest ETL/feature plans,
+# classic OLAP aggregation/join shapes, windowed analytics, and the
+# scale-critical pipeline ops.
+HEADLINE = (
+    "g_winder",
+    "g_feature_matrix",
+    "g_rule_edge_counts",
+    "pricing_summary",
+    "top_unshipped_orders",
+    "nation_revenue",
+    "events_sessionized",
+    "doc_minhash_lsh",
+    "emb_knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # ETL phase: always rebuild the graph store so the build cost (the
+    # reference's get_insert.py job) is measured honestly every run.
+    from neo4j_database_spark.graph import store
+
+    t0 = time.perf_counter()
+    out_dir = store._store_dir(sf_dir)
+    store.build_store(spark, sf_dir, out_dir)
+    with open(os.path.join(out_dir, "_BUILT"), "w") as f:
+        f.write(sf_dir)
+    timings["graph_etl_build"] = round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
