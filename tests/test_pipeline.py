@@ -1,0 +1,91 @@
+"""Pipeline-operator unit tests on hand-built documents/vectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.pipeline import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+            (4, "completely different text with no overlap here at all"),
+            (5, "xy"),  # shorter than one shingle
+            (6, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_shingles_short_docs_empty(docs):
+    sh = dedup.shingles(docs)
+    ids = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert 5 not in ids and 6 not in ids
+    n1 = sh.filter(F.col("doc_id") == 1).count()
+    assert n1 == 7  # 9 tokens → 7 distinct trigrams
+
+
+def test_exact_dup_groups(spark, docs, tmp_path):
+    # exact_dedup reads from a directory; exercise the digest logic inline
+    grouped = (
+        docs.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("survivor"), F.count("*").alias("n"))
+    )
+    rows = {r["survivor"]: r["n"] for r in grouped.collect()}
+    assert rows[1] == 2  # docs 1,2 collapse
+    assert rows[3] == 1
+
+
+def test_minhash_near_dup_pair(spark, docs):
+    sig = dedup.minhash_signatures(docs.filter(F.col("doc_id").isin(1, 2, 3, 4)))
+    rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)] for r in sig.collect()}
+    # exact dup → identical signature; near dup → mostly matching
+    assert rows[1] == rows[2]
+    overlap_near = sum(a == b for a, b in zip(rows[1], rows[3]))
+    overlap_far = sum(a == b for a, b in zip(rows[1], rows[4]))
+    assert overlap_near > overlap_far
+    assert overlap_far == 0
+
+
+def test_knn_identical_vector_ranks_first(spark, monkeypatch, tmp_path):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0], 0),   # identical → cos 1
+            (2, [0.9, 0.1, 0.0], 0),   # close
+            (3, [-1.0, 0.0, 0.0], 0),  # opposite → cos -1
+            (4, [0.0, 1.0, 0.0], 0),   # orthogonal → cos 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.write.parquet(path)
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.similarity.load_table",
+        lambda spark, name, sf_dir: spark.read.parquet(path),
+    )
+    rows = similarity.knn_bruteforce(spark, "ignored", query_vec_id=0, k=4).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 4, 3]
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[-1]["cosine"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_srp_same_vector_same_bucket(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.125]), (1, [0.5, -0.25, 0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    out = emb.select(
+        "vec_id",
+        similarity._srp_bucket(
+            F.col("embedding").cast("array<double>"), 4
+        ).alias("b"),
+    ).collect()
+    assert out[0]["b"] == out[1]["b"]

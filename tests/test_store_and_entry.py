@@ -1,0 +1,39 @@
+"""Store round-trip and driver-contract smoke tests."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from neo4j_database_spark.graph import build_graph, store
+
+
+def test_store_roundtrip_equals_derivation(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setattr(store, "CACHE_ROOT", str(tmp_path))
+    derived = build_graph(spark, sf_dir)
+    loaded = store.load_graph(spark, sf_dir)
+    assert loaded.persons.count() == derived.persons.count()
+    d = derived.edges.select("src", "dst", "type")
+    l = loaded.edges.select("src", "dst", "type")
+    assert d.exceptAll(l).count() == 0
+    assert l.exceptAll(d).count() == 0
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["name", "common_friends", "shared_with"]
+
+
+def test_queries_and_oracles_aligned():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    missing_oracle = set(qs) - set(oracles)
+    # every query currently ships with an oracle
+    assert not missing_oracle
+
+
+def test_all_queries_run_small(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
