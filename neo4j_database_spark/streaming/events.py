@@ -1,0 +1,104 @@
+"""Streaming pipelines over the events table.
+
+The batch queries in queries/relational.py (hourly windows,
+sessionization) re-expressed as Structured Streaming plans: file source
+→ watermark → windowed/stateful aggregation → sink. Tests drive them
+with ``trigger(availableNow=True)`` against the static events parquet —
+the exact pattern for replay/backfill on a production stream.
+
+Scale notes:
+- Watermark bounds state: late events beyond WATERMARK are dropped, so
+  the window-state store stays O(active windows), not O(history).
+- The windowed aggregate is a streaming partial+final hash aggregate;
+  output mode "append" emits each window once, on watermark passing —
+  the right mode for downstream parquet sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WATERMARK = "2 hours"
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-nanos (parquet NANOS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over event parquet drops (one file = one
+    micro-batch unit). ts arrives as epoch-nanos (see catalog.py) and is
+    converted to a proper event-time column."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    )
+    if events_dir.endswith(".parquet"):
+        # single-file input: the file source requires a directory, so
+        # stream the parent with a glob pinned to that file
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type with a late-data watermark —
+    the streaming twin of relational.events_hourly."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_activity_stream(events: DataFrame) -> DataFrame:
+    """30-min windows sliding every 10 min, per-user activity counts —
+    exercises overlapping-window state."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, timeout_sec: int = 300
+) -> None:
+    """Drive a streaming plan to completion over all available input
+    (availableNow trigger) into an in-memory table for inspection."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

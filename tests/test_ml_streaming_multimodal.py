@@ -1,0 +1,107 @@
+"""ML pipeline, streaming, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.graph.store import load_graph
+from neo4j_database_spark.ml import house_classifier as hc
+from neo4j_database_spark.pipeline import multimodal as mm
+from neo4j_database_spark.streaming import events as sev
+
+
+def test_house_classifier_end_to_end(spark, sf_dir, tmp_path):
+    g = load_graph(spark, sf_dir)
+    result = hc.train(g)
+    assert result.n_train > 0
+    assert 0.0 <= result.accuracy <= 1.0
+    assert len(result.feature_importances) == 16
+    # persistence round trip (S7)
+    path = str(tmp_path / "model")
+    hc.save(result.model, path)
+    loaded = hc.load(spark, path)
+    pred = hc.predict_one(loaded, g, "Customer#000000042")
+    assert pred.startswith("NATION_") or pred == "Unknown"
+    # friend-heavy features should dominate (friendship == same house)
+    top = max(result.feature_importances, key=result.feature_importances.get)
+    assert top.startswith(("friend_of", "enemy_of"))
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    assert stream.isStreaming
+    rollup = sev.hourly_rollup_stream(stream)
+    sev.run_to_memory_sink(rollup, "hourly_test")
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    from neo4j_database_spark.queries.relational import events_hourly
+
+    batch = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    # Append mode only emits windows the watermark has closed: the last
+    # (watermark + window) stretch of event time legitimately stays open.
+    import datetime
+
+    max_ts = max(h for h, _ in batch)
+    horizon = max_ts - datetime.timedelta(hours=3)
+    missing = set(batch) - set(got)
+    assert all(h > horizon for h, _ in missing), missing
+    for key, val in got.items():
+        assert batch[key] == val
+    closed = {k: v for k, v in batch.items() if k[0] <= horizon}
+    assert set(closed) <= set(got)
+
+
+def test_streaming_sliding_windows(spark, sf_dir):
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sev.run_to_memory_sink(sev.sliding_activity_stream(stream), "sliding_test")
+    rows = spark.sql("SELECT * FROM sliding_test").collect()
+    assert len(rows) > 0
+    # each event lands in exactly 3 overlapping 30min/10min windows, but
+    # append mode withholds windows the watermark hasn't closed — bound
+    # the loss by the events inside the final watermark+window stretch
+    total = sum(r["n_events"] for r in rows)
+    from neo4j_database_spark.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    n_events = ev.count()
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    tail_start = max_ts - datetime.timedelta(hours=2, minutes=30)
+    n_tail = ev.filter(F.col("ts") >= tail_start).count()
+    assert 3 * (n_events - n_tail) <= total <= 3 * n_events
+
+
+def test_multimodal_feature_extraction(spark):
+    media = mm.synthetic_media(spark, n=30)
+    feats = mm.extract_image_features(media).collect()
+    assert len(feats) == 10  # a third of rows are images
+    for r in feats:
+        assert r["decoded"] is True
+        assert r["n_bytes"] > 0 and len(r["checksum"]) == 32
+    stats = mm.attach_payload_stats(media)
+    assert stats.filter(F.col("n_bytes") <= 0).count() == 0
+
+
+def test_multimodal_frame_sampling(spark):
+    media = mm.synthetic_media(spark, n=30)
+    frames = mm.frame_sample_plan(media, every_ms=1000)
+    per_video = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    metas = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("modality") == "video")
+        .select("media_id", F.col("meta.duration_ms").alias("duration_ms"))
+        .collect()
+    }
+    assert set(per_video) == set(metas)
+    for mid, n in per_video.items():
+        assert n == (metas[mid] - 1) // 1000 + 1
