@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionized": rel.events_sessionized,
         "events_json_extract": rel.events_json_extract,
+        "sales_rollup": rel.sales_rollup,
+        "sales_cube": rel.sales_cube,
+        "customers_without_orders": rel.customers_without_orders,
+        "asof_order_events": rel.asof_order_events,
+        "part_type_stats": rel.part_type_stats,
+        "region_customer_counts": rel.region_customer_counts,
         # -- training-data pipeline extensions (SURVEY.md §2.9) --
         "doc_token_stats": text.token_stats,
         "doc_quality_score": text.quality_score,
@@ -105,8 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": dedup.exact_dedup,
         "doc_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "doc_minhash_lsh": dedup.minhash_lsh_pairs,
+        "doc_simhash": dedup.simhash_fingerprints,
+        "doc_regex_token_stats": text.regex_token_stats,
+        "doc_winnow_fingerprints": text.winnow_fingerprints,
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_knn_lsh": similarity.knn_lsh,
+        "emb_ivf_knn": similarity.ivf_knn,
+        "emb_cosine_dup_pairs": similarity.cosine_dup_pairs,
         "emb_centroids": similarity.centroids_by_label,
     }
 
@@ -206,6 +217,71 @@ comp AS (
   CROSS JOIN UNNEST(generate_series(0, len(e.embedding) - 1)) AS t(j)
 )
 """
+
+# Sign-random-projection bucket per vector (mirrors similarity._srp_bucket).
+_SRP_BUCKET_CTES = """
+proj AS (
+  SELECT vec_id, CAST(p AS INT) AS p,
+    SUM(CAST(x * CAST((CAST(p AS INT) * 31 + CAST(j AS INT) * 17) % 13 - 6 AS DOUBLE)
+        AS DECIMAL(20,9))) AS s
+  FROM comp CROSS JOIN UNNEST(generate_series(0, 3)) AS pl(p)
+  GROUP BY vec_id, p
+),
+bucket AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+# Distinct word-trigram shingles per document (mirrors dedup.shingles).
+_SHINGLE_CTES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+)
+"""
+
+
+def _simhash_sql(n_bits: int = 16) -> str:
+    """SimHash oracle: hex-digit bit extraction + ±1 sums, matching
+    dedup.simhash_fingerprints bit for bit."""
+    sums = ",\n    ".join(
+        "SUM(CASE WHEN ((CAST(strpos('0123456789abcdef', "
+        f"substr(h, {b // 4 + 1}, 1)) AS INT) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{b} >= 0 THEN {2 ** b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, md5(t) AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+# mirrors similarity.cosine_dup_pairs threshold (squared in the same
+# Python float arithmetic the Spark plan uses)
+_COS_THRESHOLD_SQ = repr(0.4 * 0.4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -559,5 +635,172 @@ SELECT label, CAST(j AS INT) AS dim,
 FROM comp
 GROUP BY label, j
 ORDER BY label, dim
+""",
+        # -- relational extensions --
+        "sales_rollup": """
+SELECT n_name AS nation, c_mktsegment AS segment,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY nation, segment
+""",
+        "sales_cube": """
+SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY segment, priority
+""",
+        "customers_without_orders": """
+SELECT n_name AS nation, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+)
+GROUP BY n_name
+ORDER BY nation
+""",
+        "asof_order_events": """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_custkey % 50 AS user_id
+  FROM orders
+),
+j AS (
+  SELECT e.event_id, e.event_type, o.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN o ON o.user_id = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_attributed
+FROM j WHERE rn = 1
+GROUP BY event_type ORDER BY event_type
+""",
+        "part_type_stats": """
+SELECT p_type AS part_type, COUNT(*) AS n_parts,
+  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_price
+FROM part GROUP BY p_type ORDER BY part_type
+""",
+        "region_customer_counts": """
+SELECT r_name AS region,
+  COUNT(DISTINCT n_nationkey) AS n_nations,
+  COUNT(c_custkey) AS n_customers
+FROM region
+LEFT JOIN nation ON r_regionkey = n_regionkey
+LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY r_name ORDER BY region
+""",
+        # -- documents: extended fingerprints --
+        "doc_simhash": _simhash_sql(),
+        "doc_regex_token_stats": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+  CAST(length(array_to_string(t, '')) AS INT) AS n_alnum_chars
+FROM toks ORDER BY doc_id
+""",
+        "doc_winnow_fingerprints": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+psh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]) AS h
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM psh
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM sel GROUP BY doc_id ORDER BY doc_id
+""",
+        # -- embeddings: extended similarity --
+        "emb_cosine_dup_pairs": f"""
+WITH {_EMB_COMPONENTS.strip()},
+{_SRP_BUCKET_CTES.strip()},
+pairs AS (
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+    SUM(CAST(ca.x * cb.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(ca.x * ca.x AS DECIMAL(20,9))) AS n2a,
+    SUM(CAST(cb.x * cb.x AS DECIMAL(20,9))) AS n2b
+  FROM comp ca
+  JOIN comp cb ON ca.j = cb.j
+  JOIN bucket ba ON ba.vec_id = ca.vec_id
+  JOIN bucket bb ON bb.vec_id = cb.vec_id
+  WHERE ca.vec_id < cb.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT id_a, id_b,
+    CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+      / (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS rank_score
+  FROM pairs
+)
+SELECT id_a, id_b, rank_score FROM ranked
+WHERE rank_score >= {_COS_THRESHOLD_SQ}
+ORDER BY id_a, id_b
+""",
+        "emb_ivf_knn": f"""
+WITH {_EMB_COMPONENTS.strip()},
+cass AS (
+  SELECT v.vec_id, c.vec_id AS cent_id,
+    SUM(CAST(v.x * c.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(v.x * v.x AS DECIMAL(20,9))) AS n2v,
+    SUM(CAST(c.x * c.x AS DECIMAL(20,9))) AS n2c
+  FROM comp v
+  JOIN comp c ON v.j = c.j
+  WHERE c.vec_id < 8
+  GROUP BY 1, 2
+),
+ranked_c AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+               / (CAST(n2v AS DOUBLE) * CAST(n2c AS DOUBLE)) DESC,
+               cent_id ASC) AS rn
+  FROM cass
+),
+assigned AS (SELECT vec_id, cent_id FROM ranked_c WHERE rn = 1),
+qc AS (SELECT cent_id AS q_cent FROM assigned WHERE vec_id = 0),
+hits AS (
+  SELECT cv.vec_id,
+    SUM(CAST(cv.x * cq.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(cv.x * cv.x AS DECIMAL(20,9))) AS n2v,
+    SUM(CAST(cq.x * cq.x AS DECIMAL(20,9))) AS n2q
+  FROM comp cv
+  JOIN comp cq ON cv.j = cq.j AND cq.vec_id = 0
+  JOIN assigned av ON av.vec_id = cv.vec_id
+  CROSS JOIN qc
+  WHERE cv.vec_id <> 0 AND av.cent_id = qc.q_cent
+  GROUP BY cv.vec_id
+)
+SELECT vec_id,
+  CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+    / (CAST(n2v AS DOUBLE) * CAST(n2q AS DOUBLE)) AS rank_score
+FROM hits
+ORDER BY rank_score DESC, vec_id ASC
+LIMIT 10
 """,
     }

@@ -64,6 +64,58 @@ def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     )
 
 
+def positional_shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """Shingles with their 1-based start position (for winnowing-style
+    windowed selection). Not deduplicated — position matters."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, width)).alias("s")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,s:string>>"))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    return ex.select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("shingle"))
+
+
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, n_bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace tokens.
+
+    Each token contributes ±1 to every bit position according to its
+    hash; the fingerprint sign-quantizes the sums. Token bits derive
+    from md5 hex digits (bit b = bit (b%4) of hex digit (b//4)) so the
+    oracle reproduces them with pure string/arithmetic SQL. One explode +
+    one aggregation with ``n_bits`` conditional sums — the same plan
+    shape as the feature matrix, fully codegen'd.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    def bit(b: int):
+        digit = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+
+    sums = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s_{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(
+        "doc_id", fp.cast("long").alias("simhash")
+    ).orderBy("doc_id")
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold_num: int = 1, threshold_den: int = 2
 ) -> DataFrame:

@@ -163,6 +163,117 @@ def knn_lsh(
     )
 
 
+def cosine_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, candidates
+    restricted to SRP-bucket collisions.
+
+    The all-pairs comparison never materializes: vectors only meet inside
+    a bucket (expected n/2^planes each), which is the LSH dedup recipe at
+    100 TB — bucket id becomes a partition key and each partition runs an
+    independent quadratic in its (small) bucket. Recall trades off with
+    n_planes exactly like minhash banding.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    bucketed = emb.select(
+        "vec_id",
+        _as_double_arr("embedding").alias("vec"),
+        _srp_bucket(_as_double_arr("embedding"), n_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = _dot_dec(F.col("va"), F.col("vb"))
+    na = _dot_dec(F.col("va"), F.col("va"))
+    nb = _dot_dec(F.col("vb"), F.col("vb"))
+    scored = pairs.select(
+        "id_a", "id_b", dot.alias("dot"), na.alias("n2a"), nb.alias("n2b")
+    )
+    dot_d = F.col("dot").cast("double")
+    rank = dot_d * F.abs(dot_d) / (
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
+    return (
+        scored.select("id_a", "id_b", rank.alias("rank_score"))
+        .filter(F.col("rank_score") >= threshold * threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest of ``n_lists`` fixed centroids, then score only the query's
+    list.
+
+    Deterministic coarse quantizer: the centroids are the first
+    ``n_lists`` stored vectors (vec_id 0..n_lists-1) — a seedable,
+    oracle-reproducible stand-in for a trained k-means codebook; swap in
+    trained centroids at deployment without touching the plan. Assignment
+    maximizes the exact-decimal cosine rank (ties → lowest centroid id).
+    At 100 TB the assignment is write-time (a partition column) and a
+    query touches 1/n_lists of the corpus.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cent_id"), _as_double_arr("embedding").alias("cvec")
+    )
+    vecs = emb.select("vec_id", _as_double_arr("embedding").alias("vec"))
+    dot = _dot_dec(F.col("vec"), F.col("cvec"))
+    nv = _dot_dec(F.col("vec"), F.col("vec"))
+    nc = _dot_dec(F.col("cvec"), F.col("cvec"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "cent_id",
+        (
+            dot.cast("double")
+            * F.abs(dot.cast("double"))
+            / (nv.cast("double") * nc.cast("double"))
+        ).alias("crank"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("crank"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cent_id")
+    )
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("q_vec"), F.col("cent_id").alias("q_cent")
+    )
+    cand = assigned.filter(F.col("vec_id") != query_vec_id)
+    qdot = _dot_dec(F.col("vec"), F.col("q_vec"))
+    qnv = _dot_dec(F.col("vec"), F.col("vec"))
+    qnq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
+    hits = cand.join(F.broadcast(q), F.col("cent_id") == F.col("q_cent")).select(
+        "vec_id", qdot.alias("dot"), qnv.alias("n2v"), qnq.alias("n2q")
+    )
+    dot_d = F.col("dot").cast("double")
+    rank = dot_d * F.abs(dot_d) / (
+        F.col("n2v").cast("double") * F.col("n2q").cast("double")
+    )
+    return (
+        hits.select("vec_id", rank.alias("rank_score"))
+        .orderBy(F.desc("rank_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid numerators: exact decimal component
     sums + counts (divide at read time — keeping the stored aggregate

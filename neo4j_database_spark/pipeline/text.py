@@ -87,6 +87,62 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: split on non-alphanumeric runs.
+
+    The classic pre-tokenizer shape (lowercase → alnum runs); counts are
+    comparable with the whitespace tokenizer in token_stats to flag
+    punctuation-heavy documents.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.concat_ws("", toks)).alias("n_alnum_chars"),
+    ).orderBy("doc_id")
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (local-minimum hash selection).
+
+    Standard winnowing: hash every k-gram shingle, slide a ``window`` over
+    consecutive shingle hashes, keep each window's minimum — the selected
+    set is position-robust (the rolling-hash fingerprint family). Output
+    is the per-document fingerprint profile (count + extremes), compact
+    enough to compare corpora-scale.
+
+    One shuffle (doc_id window sort) + one aggregation; the shingle hash
+    is md5 (oracle-comparable; production swaps xxhash64).
+    """
+    from pyspark.sql.window import Window as W
+
+    from neo4j_database_spark.pipeline.dedup import positional_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = positional_shingles(docs).withColumn("h", F.md5(F.col("shingle")))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    selected = (
+        sh.withColumn("win_min", F.min("h").over(w))
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return (
+        selected.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: full-text md5 + a normalized
     "shape" fingerprint (lowercased, whitespace-collapsed) that catches

@@ -139,6 +139,140 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, segment): hierarchical subtotals + grand
+    total in one aggregation pass (grouping-set expansion happens inside
+    the hash aggregate — no extra scans)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, order priority): all 4 grouping combinations."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        joined.cube(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (P3/J3b as a standalone operator): customers with no
+    recent orders, counted per nation. LeftAnti never materializes the
+    match; the date filter pushes down to the orders scan."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01"))
+        .select("o_custkey")
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("nation")
+    )
+
+
+def asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension operator — no single Spark primitive):
+    attribute every event to the issuing user's most recent order at or
+    before the event time (user = custkey mod 50).
+
+    Implemented as inequality join → per-event row_number(o_orderdate
+    DESC, o_orderkey DESC) = 1; deterministic tie-break on orderkey. At
+    100 TB: range-bucket both sides on (user, time) so the inequality
+    degenerates to a per-bucket backward sorted merge (the ASOF-join
+    physical plan). Output aggregated per event_type for compactness.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("o_custkey") % 50).alias("user_id"),
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    joined = ev.join(orders, ["user_id"]).filter(
+        F.col("o_orderdate") <= F.col("ts")
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias(
+                "sum_attributed"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max/sum-decimal stats per part type (covers the part dim)."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).alias("sum_price"),
+        )
+        .orderBy("part_type")
+    )
+
+
+def region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → customer chain (covers the region dim; left
+    join keeps empty nations: SURVEY.md §2 J4)."""
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey, "left")
+        .join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+        .orderBy("region")
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate over the events stream table (batch view).
 
