@@ -23,6 +23,7 @@ if "/root/repo" not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
+from neo4j_database_spark.graph import algorithms as galg
 from neo4j_database_spark.graph import queries as gq
 from neo4j_database_spark.graph.store import load_graph
 from neo4j_database_spark.graph.features import (
@@ -88,6 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_friend_counts_by_house": on_graph(gq.friend_counts_by_house),
         # -- ML feature extraction (reference train_fix.py) --
         "g_feature_matrix": on_graph(lambda g: feature_matrix(g)),
+        # -- graph analytics (north-star: GraphX-style, as DataFrame loops) --
+        "g_degree_centrality": on_graph(galg.degree_centrality),
+        "g_connected_components": on_graph(
+            lambda g: galg.connected_components(g)
+        ),
+        "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),
+        "g_pagerank": on_graph(lambda g: galg.pagerank(g)),  # rows-only check
         # -- relational OLAP --
         "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
@@ -350,6 +358,27 @@ WHERE e.type = 'FRIEND_OF'
 GROUP BY p.house ORDER BY house
 """,
         "g_feature_matrix": _feature_matrix_sql(),
+        "g_degree_centrality": f"""{GRAPH_CTES}
+SELECT p.name, CAST(COALESCE(d.n, 0) AS BIGINT) AS degree
+FROM persons p
+LEFT JOIN (SELECT src, COUNT(*) AS n FROM sym_edges GROUP BY src) d
+  ON d.src = p.id
+ORDER BY p.name
+""",
+        # FRIEND_OF components are exactly the per-house cliques, so the
+        # oracle derives components without iteration: min id per house.
+        "g_connected_components": f"""{GRAPH_CTES}
+SELECT MIN(id) AS component, COUNT(*) AS size
+FROM persons GROUP BY house ORDER BY component
+""",
+        # SAME_FAMILY is a clique per surname key: triangles = Σ C(n,3).
+        "g_triangle_count": f"""{GRAPH_CTES}
+SELECT CAST(COALESCE(SUM((n * (n - 1) * (n - 2)) // 6), 0) AS BIGINT) AS n_triangles
+FROM (
+  SELECT COUNT(*) AS n FROM persons
+  GROUP BY substr(name, length(name) - 1, 2)
+)
+""",
         # -- relational --
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,158 @@
+"""Graph analytics over the node/edge DataFrames.
+
+BASELINE.json's north star is "GraphX for analytics, not OLTP
+traversal"; GraphX has no Python API, so the idiomatic PySpark
+realization is iterative DataFrame programs — aggregateMessages
+expressed as join + groupBy per superstep, with ``localCheckpoint()``
+truncating the lineage each iteration (without it the plan tree grows
+linearly in iterations and Catalyst analysis time explodes).
+
+Scale notes:
+- Each superstep is one shuffle (edges ⋈ labels on src, aggregate on
+  dst). Pre-partitioning edges and labels on the join key makes
+  successive supersteps reuse the partitioning (exchange reuse).
+- Convergence checks are cheap aggregates (count of changed labels),
+  evaluated once per superstep — not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.graph.model import GraphModel
+
+
+def degree_centrality(g: GraphModel, types: tuple[str, ...] | None = None) -> DataFrame:
+    """Undirected degree per person (+ isolated persons with 0)."""
+    deg = (
+        g.sym_edges(types)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        g.persons.select("id", "name")
+        .join(deg, "id", "left")
+        .fillna(0, subset=["degree"])
+        .select("name", F.col("degree").cast("long").alias("degree"))
+        .orderBy("name")
+    )
+
+
+def connected_components(
+    g: GraphModel,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    Each superstep pulls the minimum component id over neighbors and
+    keeps the smaller of (own, neighbor-min); terminates when no label
+    changes. On clique-shaped graphs (the friendship rule) this
+    converges in 2 supersteps; the max_iter bound is the safety rail for
+    path-shaped graphs (diameter supersteps needed).
+
+    Returns (component, size) — component = min person id in the
+    component, the conventional canonical label.
+    """
+    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    labels = g.persons.select("id", F.col("id").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
+                    "changed"
+                ),
+            )
+        ).localCheckpoint()  # truncate lineage every superstep
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("comp").alias("component"), "size")
+        .orderBy("component")
+    )
+
+
+def pagerank(
+    g: GraphModel,
+    types: tuple[str, ...] | None = None,
+    max_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected view (each stored edge contributes
+    both directions), uniform teleport, dangling mass redistributed
+    uniformly. Iterative join-aggregate supersteps with checkpointing.
+    """
+    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    nodes = g.persons.select("id").localCheckpoint()
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(max_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (degree 0) leak their mass; redistribute it
+        dangling = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        g.persons.select("id", "name")
+        .join(ranks, "id")
+        .select("name", "rank")
+        .orderBy(F.desc("rank"), F.asc("name"))
+    )
+
+
+def triangle_count(g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)) -> DataFrame:
+    """Total triangle count via the canonical-order three-way edge join.
+
+    Canonical storage (src < dst by construction for symmetric types)
+    gives each triangle exactly one (a<b<c) representation: count rows of
+    edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c). Two shuffles; the candidate
+    path explosion is bounded by per-key degree — on near-clique inputs
+    restrict to sparser edge types (default SAME_FAMILY) or sample.
+    """
+    e = g.edges.filter(F.col("type").isin(list(types))).select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -1,0 +1,65 @@
+"""Graph-analytics tests on the hand-built tiny fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.graph import algorithms as alg
+from neo4j_database_spark.graph.model import GraphModel
+
+
+@pytest.fixture(scope="module")
+def tiny(spark) -> GraphModel:
+    persons = spark.createDataFrame(
+        [
+            (1, "Alice A", "NATION_0", "SEG", 1.0),
+            (2, "Bob B", "NATION_0", "SEG", 2.0),
+            (3, "Cara C", "NATION_1", "SEG", 3.0),
+            (4, "Dan D", "NATION_1", "SEG", 4.0),
+            (5, "Eve E", "NATION_2", "SEG", 5.0),
+            (6, "Fay F", "NATION_2", "SEG", 6.0),
+            (7, "Gus G", "NATION_3", "SEG", 7.0),  # isolated
+        ],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "FRIEND_OF"),
+            (1, 3, "FRIEND_OF"),
+            (2, 3, "FRIEND_OF"),
+            (1, 4, "FRIEND_OF"),
+            (5, 6, "FRIEND_OF"),
+        ],
+        "src long, dst long, type string",
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    return GraphModel(persons=persons, houses=houses, edges=edges)
+
+
+def test_degree_centrality(tiny):
+    deg = {r["name"]: r["degree"] for r in alg.degree_centrality(tiny).collect()}
+    assert deg == {
+        "Alice A": 3, "Bob B": 2, "Cara C": 2, "Dan D": 1,
+        "Eve E": 1, "Fay F": 1, "Gus G": 0,
+    }
+
+
+def test_connected_components(tiny):
+    comps = {r["component"]: r["size"]
+             for r in alg.connected_components(tiny).collect()}
+    assert comps == {1: 4, 5: 2, 7: 1}
+
+
+def test_triangle_count(tiny):
+    n = alg.triangle_count(tiny, types=("FRIEND_OF",)).first()["n_triangles"]
+    assert n == 1  # (Alice, Bob, Cara)
+
+
+def test_pagerank_mass_conserved(tiny):
+    rows = alg.pagerank(tiny, max_iter=5).collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    ranks = {r["name"]: r["rank"] for r in rows}
+    # the hub has the highest rank
+    assert max(ranks, key=ranks.get) == "Alice A"
