@@ -569,27 +569,24 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common * 2 >= (sa.n + sb.n - n_common) * 1
 ORDER BY id_a, id_b
 """,
-        "doc_minhash_lsh": """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
+        "doc_minhash_lsh": f"""
+WITH {_SHINGLE_CTES.strip()},
+dg AS (
+  SELECT doc_id, md5(shingle) AS d0, md5('x1|' || shingle) AS d1 FROM sh
 ),
-sh AS (
-  SELECT DISTINCT doc_id,
-         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
-  FROM toks
-  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
-),
-mh AS (
-  SELECT doc_id, CAST(hi AS INT) AS hi,
-         MIN(md5(CAST(hi AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN UNNEST(generate_series(0, 7)) AS h(hi)
-  GROUP BY doc_id, hi
+sig AS (
+  SELECT doc_id,
+    MIN(substr(d0, 1, 8)) AS mh_0, MIN(substr(d0, 9, 8)) AS mh_1,
+    MIN(substr(d0, 17, 8)) AS mh_2, MIN(substr(d0, 25, 8)) AS mh_3,
+    MIN(substr(d1, 1, 8)) AS mh_4, MIN(substr(d1, 9, 8)) AS mh_5,
+    MIN(substr(d1, 17, 8)) AS mh_6, MIN(substr(d1, 25, 8)) AS mh_7
+  FROM dg GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, hi // 2 AS band_idx,
-         string_agg(mh, '|' ORDER BY hi) AS band_key
-  FROM mh GROUP BY doc_id, hi // 2
+  SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_hit
 FROM bands a

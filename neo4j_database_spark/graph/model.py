@@ -185,19 +185,23 @@ def romance_edges(persons: DataFrame) -> DataFrame:
 
 
 def build_edges(persons: DataFrame) -> DataFrame:
-    """All person↔person edges, deduplicated on (src, dst, type).
+    """All person↔person edges; unique on (src, dst, type) by construction.
 
-    The dropDuplicates realizes Cypher MERGE's create-iff-absent semantics
-    in batch (SURVEY.md §2 S5) — here each rule already emits unique pairs,
-    so this is a cheap safety net, not a correctness crutch.
+    Cypher MERGE's create-iff-absent semantics (SURVEY.md §2 S5) hold
+    structurally: each rule emits distinct pairs (tie-break filters /
+    distinct cross products) and rules are disjoint by type, so no dedup
+    shuffle is spent here. The invariant is enforced by test
+    (tests/test_graph_model.py::test_edges_unique) instead of a 6M-row
+    dropDuplicates in the build hot path; ingest-facing merges
+    (etl.derive_rule_edges, etl.upsert_user_node) keep their explicit
+    dropDuplicates because their inputs are not structurally unique.
     """
-    all_edges = (
+    return (
         friend_edges(persons)
         .unionByName(family_edges(persons))
         .unionByName(enemy_edges(persons))
         .unionByName(romance_edges(persons))
     )
-    return all_edges.dropDuplicates(["src", "dst", "type"])
 
 
 @dataclass(frozen=True)

@@ -24,13 +24,16 @@ def test_entry_contract(spark):
     assert df.columns == ["name", "common_friends", "shared_with"]
 
 
+# iterative / floating-point algorithms with no closed-form SQL twin —
+# the driver records a weaker rows-only check for these by design
+ROWS_ONLY = {"g_pagerank"}
+
+
 def test_queries_and_oracles_aligned():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    missing_oracle = set(qs) - set(oracles)
-    # every query currently ships with an oracle
-    assert not missing_oracle
+    assert set(qs) - set(oracles) == ROWS_ONLY
 
 
 def test_all_queries_run_small(spark, sf_dir):
