@@ -49,7 +49,9 @@ def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     (get_insert.py:76-111) — one batch job, set-based rule joins, no
     round trips.
     """
-    persons = persons_df(spark, sf_dir)
+    # The persons dim feeds both sides of all four rule joins (8 scans);
+    # cache it once for the build and release after.
+    persons = persons_df(spark, sf_dir).cache()
     persons.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "persons")
     )
@@ -72,6 +74,7 @@ def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("type")
         .parquet(os.path.join(out_dir, "edges"))
     )
+    persons.unpersist()
 
 
 def load_graph(spark: SparkSession, sf_dir: str) -> GraphModel:

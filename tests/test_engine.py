@@ -1,0 +1,62 @@
+"""Serving-facade tests: endpoint parity shapes (SURVEY.md §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_database_spark.engine import WinderEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir) -> WinderEngine:
+    return WinderEngine(spark, sf_dir)
+
+
+def test_characters_sorted(engine):
+    chars = engine.characters()
+    names = [c["name"] for c in chars]
+    assert names == sorted(names) and len(names) > 0
+    assert set(chars[0]) == {"name", "house", "segment", "acctbal"}
+
+
+def test_search(engine):
+    hits = engine.search("000000004")
+    assert 0 < len(hits) <= 10
+    assert all("000000004" in h["name"] for h in hits)
+
+
+def test_winder_response_shape(engine):
+    out = engine.winder(["Customer#000000000", "Customer#000000001"])
+    assert 0 < len(out) <= 3
+    assert all(
+        set(r) == {"name", "common_friends", "shared_with"}
+        and isinstance(r["shared_with"], list)
+        for r in out
+    )
+    with pytest.raises(ValueError):
+        engine.winder([])
+
+
+def test_ego_graph_cytoscape_shape(engine):
+    g = engine.ego_graph("Customer#000000042")
+    nodes = g["elements"]["nodes"]
+    edges = g["elements"]["edges"]
+    assert len(nodes) > 1 and len(edges) >= len(nodes) - 1
+    ids = {n["data"]["id"] for n in nodes}
+    assert len(ids) == len(nodes)  # deduped
+    for e in edges:
+        assert e["data"]["source"] in ids and e["data"]["target"] in ids
+
+
+def test_house_graph(engine):
+    g = engine.house_graph(["NATION_3", "NATION_7"])
+    houses = {n["data"]["house"] for n in g["elements"]["nodes"]}
+    assert houses <= {"NATION_3", "NATION_7"}
+    assert len(g["elements"]["edges"]) > 0
+
+
+def test_housemates_and_histogram(engine):
+    mates = engine.housemates("Customer#000000042")
+    assert 0 < len(mates) <= 100
+    hist = engine.house_histogram([f"Customer#{i:09d}" for i in range(20)])
+    assert sum(hist.values()) == 20
