@@ -52,6 +52,7 @@ ALL_TABLES = (
 WINDER_SEEDS = [f"Customer#{i:09d}" for i in range(3)]
 EGO_NAME = "Customer#000000042"
 SEARCH_Q = "0000004"
+FUZZY_Q = "00000013"  # matches custkeys 13 and 130..139
 SUBGRAPH_HOUSES = ["NATION_3", "NATION_7"]
 HISTOGRAM_NAMES = [f"Customer#{i:09d}" for i in range(50)]
 
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_directory": on_graph(gq.directory),
         "g_search": on_graph(lambda g: gq.search(g, SEARCH_Q)),
         "g_ego_network": on_graph(lambda g: gq.ego_network(g, EGO_NAME)),
+        "g_ego_fuzzy": on_graph(lambda g: gq.ego_network_fuzzy(g, FUZZY_Q)),
+        "g_survival_features": on_graph(gq.survival_features),
         "g_housemates": on_graph(lambda g: gq.housemates(g, EGO_NAME)),
         "g_house_subgraph": on_graph(
             lambda g: gq.house_subgraph(g, SUBGRAPH_HOUSES)
@@ -314,6 +317,24 @@ JOIN persons s ON e.src = s.id
 JOIN persons d ON e.dst = d.id
 WHERE s.name = '{EGO_NAME}'
 ORDER BY neighbor, rel_type LIMIT 500
+""",
+        "g_ego_fuzzy": f"""{GRAPH_CTES}
+SELECT s.name AS person, d.name AS neighbor, e.type AS rel_type
+FROM sym_edges e
+JOIN persons s ON e.src = s.id
+JOIN persons d ON e.dst = d.id
+WHERE contains(lower(s.name), lower('{FUZZY_Q}'))
+ORDER BY person, neighbor, rel_type LIMIT 50
+""",
+        "g_survival_features": f"""{GRAPH_CTES}
+SELECT p.name,
+  CAST(COALESCE(SUM(CASE WHEN e.type = 'FRIEND_OF' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_friends,
+  CAST(COALESCE(SUM(CASE WHEN e.type = 'ENEMY_OF' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_enemies,
+  CAST(COALESCE(SUM(CASE WHEN e.type = 'SAME_FAMILY' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_family
+FROM persons p
+LEFT JOIN sym_edges e ON e.src = p.id
+GROUP BY p.name
+ORDER BY p.name
 """,
         "g_housemates": f"""{GRAPH_CTES}
 SELECT b.name AS mate, b.house AS house

@@ -63,6 +63,54 @@ def ego_network(g: GraphModel, name: str, limit: int = 500) -> DataFrame:
     )
 
 
+def ego_network_fuzzy(g: GraphModel, q: str, limit: int = 50) -> DataFrame:
+    """Fuzzy-fallback ego: expand every person whose name contains the
+    query (case-insensitive). Reference: app.py:272-277 — the fallback
+    path when the exact-name ego match is empty (``toLower(p.name)
+    CONTAINS toLower($q) ... LIMIT 50``)."""
+    seeds = g.persons.filter(F.lower(F.col("name")).contains(q.lower())).select(
+        F.col("id").alias("src"), F.col("name").alias("person")
+    )
+    nbr = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("neighbor"))
+    return (
+        g.sym_edges()
+        .join(F.broadcast(seeds), "src")
+        .join(nbr, "dst")
+        .select("person", "neighbor", F.col("type").alias("rel_type"))
+        .orderBy("person", "neighbor", "rel_type")
+        .limit(limit)
+    )
+
+
+def survival_features(g: GraphModel) -> DataFrame:
+    """Per-person degree counts by relationship family — the survival
+    model's feature vector (len(friends), len(enemies), len(family);
+    reference app.py:163-165 / A7). The undirected degree per type in
+    one conditional aggregation over the symmetrized edges."""
+    deg = (
+        g.sym_edges()
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(F.when(F.col("type") == "FRIEND_OF", 1).otherwise(0))
+            .cast("long")
+            .alias("n_friends"),
+            F.sum(F.when(F.col("type") == "ENEMY_OF", 1).otherwise(0))
+            .cast("long")
+            .alias("n_enemies"),
+            F.sum(F.when(F.col("type") == "SAME_FAMILY", 1).otherwise(0))
+            .cast("long")
+            .alias("n_family"),
+        )
+    )
+    return (
+        g.persons.select("id", "name")
+        .join(deg, "id", "left")
+        .fillna(0, subset=["n_friends", "n_enemies", "n_family"])
+        .select("name", "n_friends", "n_enemies", "n_family")
+        .orderBy("name")
+    )
+
+
 def housemates(g: GraphModel, name: str, limit: int = 100) -> DataFrame:
     """2-hop path (p)-[:BELONGS_TO]->(h)<-[:BELONGS_TO]-(mate).
     Reference: app.py:288-292 (J2). BELONGS_TO is normalized as the

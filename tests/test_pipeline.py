@@ -54,6 +54,18 @@ def test_minhash_near_dup_pair(spark, docs):
     assert overlap_far == 0
 
 
+def test_minhash_xxhash64_production_path(spark, docs):
+    """The xxhash64 variant (prod path) has the same signature algebra:
+    identical docs → identical signatures."""
+    sig = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id").isin(1, 2, 4)), hash_fn="xxhash64"
+    )
+    rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+    assert all(isinstance(v, int) for v in rows[1])
+
+
 def test_knn_identical_vector_ranks_first(spark, monkeypatch, tmp_path):
     emb = spark.createDataFrame(
         [
