@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": rel.sales_cube,
         "customers_without_orders": rel.customers_without_orders,
         "asof_order_events": rel.asof_order_events,
+        "daily_orders_vs_events": rel.daily_orders_vs_events,
         "part_type_stats": rel.part_type_stats,
         "region_customer_counts": rel.region_customer_counts,
         # -- training-data pipeline extensions (SURVEY.md §2.9) --
@@ -731,6 +732,21 @@ SELECT event_type, COUNT(*) AS n_events,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_attributed
 FROM j WHERE rn = 1
 GROUP BY event_type ORDER BY event_type
+""",
+        "daily_orders_vs_events": """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.day, e.day) AS day,
+  COALESCE(n_orders, 0) AS n_orders,
+  COALESCE(n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.day = e.day
+ORDER BY day
 """,
         "part_type_stats": """
 SELECT p_type AS part_type, COUNT(*) AS n_parts,

@@ -30,10 +30,13 @@ HEADLINE = (
     "g_winder",
     "g_feature_matrix",
     "g_rule_edge_counts",
+    "g_connected_components",
+    "g_pagerank",
     "pricing_summary",
     "top_unshipped_orders",
     "nation_revenue",
     "events_sessionized",
+    "asof_order_events",
     "doc_minhash_lsh",
     "emb_knn_bruteforce",
 )
@@ -60,12 +63,14 @@ def main() -> None:
     timings["graph_etl_build"] = round(time.perf_counter() - t0, 3)
 
     # best-of-2: the box shares resources, so single-shot timings carry
-    # multi-second co-tenant noise; the min reflects the steady-state plan
+    # multi-second co-tenant noise; the min reflects the steady-state
+    # plan. Timing brackets plan construction too — iterative algorithms
+    # (CC/PageRank) execute supersteps eagerly at construction.
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

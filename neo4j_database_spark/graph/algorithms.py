@@ -59,8 +59,12 @@ def connected_components(
     labels = g.persons.select("id", F.col("id").alias("comp")).localCheckpoint()
 
     for _ in range(max_iter):
+        # Broadcast the node-label side: the edge table never shuffles
+        # across supersteps and the aggregate combines map-side. (At
+        # billion-node scale flip to co-partitioned edges+labels with
+        # partitioning reuse instead of broadcast.)
         nbr_min = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(F.broadcast(labels), edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -99,23 +103,33 @@ def pagerank(
     both directions), uniform teleport, dangling mass redistributed
     uniformly. Iterative join-aggregate supersteps with checkpointing.
     """
+    # Static structures materialize once: edges pre-joined with out-degree
+    # (so the per-iteration join touches one table), dangling ids fixed.
     edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+    dangling_ids = nodes.join(
+        out_deg, nodes.id == out_deg.src, "left_anti"
+    ).localCheckpoint()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for _ in range(max_iter):
+        # Broadcast ranks (one row per node, small): the 2-orders-larger
+        # edge table stays in place, contributions partial-aggregate
+        # map-side, and the only shuffle carries per-node partials. At
+        # billion-node scale: co-partition edges_deg and ranks on the
+        # join key once and reuse the partitioning instead.
         contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_deg, "src")
+            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (degree 0) leak their mass; redistribute it
+        # dangling (degree-0) nodes leak their mass; redistribute it
         dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            ranks.join(F.broadcast(dangling_ids), "id")
             .agg(F.sum("rank"))
             .first()[0]
             or 0.0

@@ -202,41 +202,81 @@ def asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute every event to the issuing user's most recent order at or
     before the event time (user = custkey mod 50).
 
-    Implemented as inequality join → per-event row_number(o_orderdate
-    DESC, o_orderkey DESC) = 1; deterministic tie-break on orderkey. At
-    100 TB: range-bucket both sides on (user, time) so the inequality
-    degenerates to a per-bucket backward sorted merge (the ASOF-join
-    physical plan). Output aggregated per event_type for compactness.
+    Implemented with the union-sort carry-forward pattern: tag both
+    sides, sort each user's merged timeline once, and carry the latest
+    order forward with last(ignorenulls) — ONE shuffle of n+m rows,
+    versus the naive inequality join's |events|×|orders-per-user|
+    blow-up (13s → sub-second at sf0.1). Deterministic: at equal
+    timestamps orders sort before events (inclusive as-of) and higher
+    orderkey sorts last (the carried value), matching the oracle's
+    row_number(o_orderdate DESC, o_orderkey DESC) exactly. At 100 TB
+    this is the standard distributed ASOF plan — range-bucket on
+    (user, time) and the sort becomes per-bucket merge.
     """
     from pyspark.sql.window import Window as W
 
     orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        "o_orderdate",
-        "o_totalprice",
         (F.col("o_custkey") % 50).alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("sortkey"),
+        "o_totalprice",
+        F.lit(None).cast("string").alias("event_type"),
     )
     ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "ts", "event_id", "event_type"
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id").alias("sortkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_type",
     )
-    joined = ev.join(orders, ["user_id"]).filter(
-        F.col("o_orderdate") <= F.col("ts")
+    timeline = orders.unionByName(ev)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_event", "sortkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    carried = timeline.withColumn(
+        "attributed", F.last("o_totalprice", ignorenulls=True).over(w)
     )
-    latest = joined.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    matched = carried.filter(
+        (F.col("is_event") == 1) & F.col("attributed").isNotNull()
     )
     return (
-        latest.groupBy("event_type")
+        matched.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias(
+            F.sum(_dec(F.col("attributed"))).cast(MONEY_SUM).alias(
                 "sum_attributed"
             ),
         )
         .orderBy("event_type")
+    )
+
+
+def daily_orders_vs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (completes the join-type taxonomy — absent from
+    the reference, SURVEY.md §2.3): daily order counts vs daily event
+    counts, keeping days present on either side only."""
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        orders.join(events, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
     )
 
 
