@@ -1,0 +1,89 @@
+"""Schema-explicit readers and layout-aware writers.
+
+Rules enforced here (the difference between a dev script and a 100 TB
+job):
+- Readers REQUIRE a schema. Inference costs an extra pass over the
+  input and silently drifts types between runs; at scale both are
+  outages. (The reference infers its JSON shape per call —
+  get_insert.py:62; SURVEY.md §1.2.)
+- Writers take an explicit layout: partition columns for pruning,
+  a distribution column for file-level clustering, and a target file
+  count — the three knobs that decide whether downstream scans prune
+  or slurp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """One JSON object per line, explicit schema, corrupt rows isolated
+    into ``_corrupt_record`` instead of poisoning the load."""
+    full = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    distribute_by: str | None = None,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet writer with explicit layout.
+
+    ``partition_by`` → directory-level partition pruning;
+    ``distribute_by`` → rows clustered+sorted by this column within
+    files (row-group min/max pruning); ``num_files`` bounds small-file
+    explosion (the silent killer of 100 TB metadata planning).
+    """
+    out = df
+    if distribute_by is not None:
+        out = out.repartition(num_files, distribute_by).sortWithinPartitions(
+            distribute_by
+        )
+    else:
+        out = out.repartition(num_files)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def corrupt_rows(df: DataFrame) -> DataFrame:
+    """The quarantine view of a PERMISSIVE load.
+
+    Spark refuses a query that references only ``_corrupt_record``
+    (the raw line isn't retained after parsing); the documented
+    workaround is caching the parsed dataset first.
+    """
+    if "_corrupt_record" not in df.columns:
+        raise ValueError("DataFrame was not loaded with a corrupt-record column")
+    return df.cache().filter(F.col("_corrupt_record").isNotNull())

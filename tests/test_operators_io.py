@@ -1,0 +1,101 @@
+"""Skew utilities (equivalence vs unsalted twins) and IO helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neo4j_database_spark.operators import skew
+from neo4j_database_spark.sources import io
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key: 'hot' carries 90% of rows
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i % 20}", i) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "key string, v int")
+
+
+def test_salted_join_equivalent(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k3", "A"), ("k7", "B")], "key string, label string"
+    )
+    plain = skewed.join(dim, "key").select("key", "v", "label")
+    salted = skew.salted_join(skewed, dim, "key", num_salts=4).select(
+        "key", "v", "label"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    salted = skewed.withColumn(
+        skew.SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(4)).cast("int"),
+    )
+    per_salt = (
+        salted.filter(F.col("key") == "hot")
+        .groupBy(skew.SALT_COL)
+        .count()
+        .collect()
+    )
+    assert len(per_salt) == 4  # hot key really scatters across salts
+    assert max(r["count"] for r in per_salt) < 900
+
+
+def test_two_stage_count_equivalent(spark, skewed):
+    plain = {
+        r["key"]: r["n"]
+        for r in skewed.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    staged = {r["key"]: r["n"] for r in skew.two_stage_count(skewed, "key").collect()}
+    assert staged == plain
+
+
+def test_skew_profile(spark, skewed):
+    prof = skew.skewed_key_profile(skewed, "key", top=3).collect()
+    assert prof[0]["key"] == "hot"
+    assert prof[0]["share"] == pytest.approx(0.9)
+
+
+def test_jsonl_corrupt_quarantine(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nnot json at all\n')
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = io.read_jsonl(spark, str(p), schema)
+    assert df.filter(F.col("a").isNotNull()).count() == 2
+    assert io.corrupt_rows(df).count() == 1
+
+
+def test_write_partitioned_layout(spark, tmp_path, sf_dir):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", i * 1.0) for i in range(100)],
+        "id long, tag string, v double",
+    )
+    out = str(tmp_path / "out")
+    io.write_partitioned(
+        df, out, partition_by=["tag"], distribute_by="id", num_files=4
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {r["tag"] for r in back.select("tag").distinct().collect()} == {
+        "t0", "t1", "t2",
+    }
+    import glob
+
+    assert glob.glob(f"{out}/tag=t0/*.parquet")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    df = io.read_csv(spark, str(p), schema)
+    assert [(r["a"], r["b"]) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
