@@ -131,7 +131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_knn": similarity.ivf_knn,
         "emb_cosine_dup_pairs": similarity.cosine_dup_pairs,
         "emb_centroids": similarity.centroids_by_label,
+        # -- streaming (batch-replayed) + multimodal --
+        "stream_hourly_rollup": _stream_hourly,
+        "mm_image_features": _mm_features,  # rows-only (generated input)
     }
+
+
+def _stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.streaming.events import hourly_rollup_replay
+
+    return hourly_rollup_replay(spark, sf_dir)
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.pipeline.multimodal import image_features_query
+
+    return image_features_query(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -683,6 +698,19 @@ SELECT label, CAST(j AS INT) AS dim,
 FROM comp
 GROUP BY label, j
 ORDER BY label, dim
+""",
+        # streaming hourly rollup: append mode emits exactly the windows
+        # the final watermark (max ts - 2h) has closed — deterministic,
+        # hence SQL-expressible despite being a streaming pipeline.
+        "stream_hourly_rollup": """
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+FROM events, m
+GROUP BY 1, 2, mx
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+ORDER BY 1, 2
 """,
         # -- relational extensions --
         "sales_rollup": """

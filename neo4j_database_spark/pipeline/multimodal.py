@@ -132,6 +132,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def image_features_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing multimodal query: Arrow-batched feature extraction
+    over the deterministic synthetic media table (rows-only check — the
+    media table is generated, not stored, so there is no SQL twin)."""
+    return extract_image_features(synthetic_media(spark, n=96)).orderBy("media_id")
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture media table (payload = repeated id bytes)."""
     rows = []

@@ -89,6 +89,27 @@ def sliding_activity_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-facing replay of the streaming hourly rollup: run the
+    watermarked stream over all available input and return the emitted
+    (closed) windows as a DataFrame.
+
+    Append-mode emission is deterministic: after the availableNow replay
+    the watermark sits at max(event_time) - WATERMARK, and exactly the
+    windows with ``window_end <= watermark`` have been emitted — which
+    is why this streaming pipeline has an exact SQL oracle
+    (__spark_entry__.py: stream_hourly_rollup).
+    """
+    name = "stream_hourly_rollup_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory_sink(hourly_rollup_stream(stream), name)
+    return spark.table(name)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, timeout_sec: int = 300
 ) -> None:
