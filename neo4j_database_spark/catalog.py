@@ -30,9 +30,25 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs this engine's plans depend on, applied defensively.
+
+    The driver may hand us a SparkSession it built itself (entry(spark)
+    contract), so session.py's builder configs can't be assumed:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      reader otherwise rejects (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: timestamps must stringify/hash identically
+      to the (naive-UTC) DuckDB oracle.
+    Both are runtime-settable SQL confs; idempotent and cheap.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives

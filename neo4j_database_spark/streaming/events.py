@@ -38,6 +38,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over event parquet drops (one file = one
     micro-batch unit). ts arrives as epoch-nanos (see catalog.py) and is
     converted to a proper event-time column."""
+    from neo4j_database_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
         "maxFilesPerTrigger", 1
     )
