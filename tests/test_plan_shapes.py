@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the optimizations we rely on must
+stay visible in the executed plan (SURVEY.md §4.3). A correctness-green
+query whose plan regressed to full scans / shuffle joins is a perf bug
+these tests catch before the benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_database_spark.graph import queries as gq
+from neo4j_database_spark.graph.features import feature_matrix
+from neo4j_database_spark.graph.store import load_graph
+from neo4j_database_spark.queries import relational as rel
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def g(spark, sf_dir):
+    return load_graph(spark, sf_dir)
+
+
+def test_pricing_summary_scan_pruned(spark, sf_dir):
+    plan = plan_of(rel.pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: the scan must not read unused columns
+    scan = plan.split("FileScan parquet")[1].split("]")[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_winder_plan_broadcasts_and_topk(g):
+    plan = plan_of(gq.winder(g, ["Customer#000000000"], k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert "SortMergeJoin" not in plan  # nothing big shuffles for serving
+
+
+def test_feature_matrix_partition_pruning(g):
+    plan = plan_of(feature_matrix(g))
+    # store is partitioned by type: the scan must carry partition filters
+    assert "PartitionFilters" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ego_no_shuffle_join(g):
+    plan = plan_of(gq.ego_network(g, "Customer#000000042"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_customers_broadcast_dim(spark, sf_dir):
+    plan = plan_of(rel.top_customers_by_spend(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_priority_semi_join(spark, sf_dir):
+    plan = plan_of(rel.order_priority_counts(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_plan(spark, sf_dir):
+    plan = plan_of(rel.customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
