@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": dedup.minhash_lsh_pairs,
         "doc_simhash": dedup.simhash_fingerprints,
         "doc_regex_token_stats": text.regex_token_stats,
+        "doc_top_terms": text.top_distinctive_terms,
         "doc_winnow_fingerprints": text.winnow_fingerprints,
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_knn_lsh": similarity.knn_lsh,
@@ -804,6 +805,27 @@ SELECT doc_id,
   CAST(len(list_distinct(t)) AS INT) AS n_distinct,
   CAST(length(array_to_string(t, '')) AS INT) AS n_alnum_chars
 FROM toks ORDER BY doc_id
+""",
+        "doc_top_terms": """
+WITH tr AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tr GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    row_number() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term ASC
+    ) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM scored WHERE rank <= 3
+ORDER BY doc_id, rank
 """,
         "doc_winnow_fingerprints": """
 WITH toks AS (

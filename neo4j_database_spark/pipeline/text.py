@@ -143,6 +143,43 @@ def winnow_fingerprints(
     )
 
 
+def top_distinctive_terms(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k distinctive terms: TF-IDF-family scoring with
+    score = tf / df (term frequency over corpus document frequency).
+
+    The tf/df ratio ranks like tf·idf for a fixed corpus size but keeps
+    ordering integer-exact across engines (double division of identical
+    ints; ties broken by term) — a log-based idf would depend on libm
+    rounding. Plan: explode → per-(doc,term) counts → df join →
+    per-doc row_number top-k. Two shuffles, both keyed on term/doc.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    term_rows = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        term_rows.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", F.col("rn").alias("rank"), "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: full-text md5 + a normalized
     "shape" fingerprint (lowercased, whitespace-collapsed) that catches

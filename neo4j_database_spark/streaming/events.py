@@ -113,6 +113,53 @@ def hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def user_activity_state_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime counters (events seen, value sum, last event time) carried
+    across micro-batches in the state store.
+
+    The canonical template for operators Spark lacks natively (the
+    north-star "custom stateful operators" slot): state is an explicit
+    tuple schema, every micro-batch folds its group rows into it, and a
+    processing-time timeout would expire idle users (not set here so
+    replay output is deterministic).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "n_events long, sum_value double, last_ts_us long"
+    output_schema = (
+        "user_id long, n_events long, sum_value double, last_ts_us long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, total, last))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_ts_us": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, timeout_sec: int = 300
 ) -> None:

@@ -78,6 +78,38 @@ def test_streaming_sliding_windows(spark, sf_dir):
     assert 3 * (n_events - n_tail) <= total <= 3 * n_events
 
 
+def test_stateful_user_activity(spark, sf_dir):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregate (update mode → last emitted row per user is the total)."""
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = sev.user_activity_state_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    emitted = spark.sql("SELECT * FROM state_test").toPandas()
+    # update mode re-emits a user's row per micro-batch; with a single
+    # input file there is one batch → one row per user
+    final = emitted.groupby("user_id").last()
+    from neo4j_database_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert final["n_events"].to_dict() == batch["n_events"].to_dict()
+    assert (final["last_ts_us"] > 0).all()
+
+
 def test_multimodal_feature_extraction(spark):
     media = mm.synthetic_media(spark, n=30)
     feats = mm.extract_image_features(media).collect()
