@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: galg.connected_components(g)
         ),
         "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),
+        "g_bfs_distances": on_graph(
+            lambda g: galg.bfs_distances(g, EGO_NAME)
+        ),
         "g_pagerank": on_graph(lambda g: galg.pagerank(g)),  # rows-only check
         # -- relational OLAP --
         "pricing_summary": rel.pricing_summary,
@@ -408,6 +411,15 @@ ORDER BY p.name
         "g_connected_components": f"""{GRAPH_CTES}
 SELECT MIN(id) AS component, COUNT(*) AS size
 FROM persons GROUP BY house ORDER BY component
+""",
+        # FRIEND_OF is a clique per house: from any source, distance 0 =
+        # self, 1 = housemates, everyone else unreachable (absent).
+        "g_bfs_distances": f"""{GRAPH_CTES}
+SELECT p.name,
+       CAST(CASE WHEN p.name = '{EGO_NAME}' THEN 0 ELSE 1 END AS INT) AS dist
+FROM persons p
+WHERE p.house = (SELECT house FROM persons WHERE name = '{EGO_NAME}')
+ORDER BY p.name
 """,
         # SAME_FAMILY is a clique per surname key: triangles = Σ C(n,3).
         "g_triangle_count": f"""{GRAPH_CTES}

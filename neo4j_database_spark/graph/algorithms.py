@@ -155,6 +155,48 @@ def pagerank(
     )
 
 
+def bfs_distances(
+    g: GraphModel,
+    source_name: str,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    max_depth: int = 10,
+) -> DataFrame:
+    """Single-source shortest-path distances (unweighted BFS) over the
+    undirected view.
+
+    Frontier-expansion supersteps: join the frontier with edges,
+    anti-join already-visited nodes, checkpoint, repeat until the
+    frontier empties or max_depth. Only reached nodes are returned
+    (unreachable ≡ absent, mirroring Cypher's shortestPath null).
+    """
+    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    visited = (
+        g.persons.filter(F.col("name") == source_name)
+        .select("id", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = neighbors.join(
+            visited.select("id"), "id", "left_anti"
+        ).select("id", F.lit(depth).alias("dist")).localCheckpoint()
+        if new_frontier.count() == 0:
+            break
+        visited = visited.unionByName(new_frontier).localCheckpoint()
+        frontier = new_frontier
+    return (
+        g.persons.select("id", "name")
+        .join(visited, "id")
+        .select("name", F.col("dist").cast("int").alias("dist"))
+        .orderBy("name")
+    )
+
+
 def triangle_count(g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)) -> DataFrame:
     """Total triangle count via the canonical-order three-way edge join.
 

@@ -56,6 +56,28 @@ def test_triangle_count(tiny):
     assert n == 1  # (Alice, Bob, Cara)
 
 
+def test_bfs_distances_path_graph(spark):
+    """Path graph A—B—C—D plus isolated E: real multi-hop distances."""
+    from pyspark.sql import functions as F
+
+    persons = spark.createDataFrame(
+        [(i, n, "H", "S", 0.0) for i, n in
+         enumerate(["A", "B", "C", "D", "E"], start=1)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "FRIEND_OF"), (2, 3, "FRIEND_OF"), (3, 4, "FRIEND_OF")],
+        "src long, dst long, type string",
+    )
+    g = GraphModel(
+        persons=persons,
+        houses=persons.select(F.col("house").alias("name")).distinct(),
+        edges=edges,
+    )
+    dist = {r["name"]: r["dist"] for r in alg.bfs_distances(g, "A").collect()}
+    assert dist == {"A": 0, "B": 1, "C": 2, "D": 3}  # E unreachable → absent
+
+
 def test_pagerank_mass_conserved(tiny):
     rows = alg.pagerank(tiny, max_iter=5).collect()
     total = sum(r["rank"] for r in rows)
