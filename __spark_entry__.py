@@ -135,9 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_knn": similarity.ivf_knn,
         "emb_cosine_dup_pairs": similarity.cosine_dup_pairs,
         "emb_centroids": similarity.centroids_by_label,
-        # -- streaming (batch-replayed) + multimodal --
+        # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
         "mm_image_features": _mm_features,  # rows-only (generated input)
+        "emb_kmeans": _kmeans,  # rows-only (iterative float fitting)
     }
 
 
@@ -151,6 +152,12 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.pipeline.multimodal import image_features_query
 
     return image_features_query(spark, sf_dir)
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.ml.clustering import kmeans_clusters
+
+    return kmeans_clusters(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

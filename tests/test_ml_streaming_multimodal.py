@@ -28,6 +28,21 @@ def test_house_classifier_end_to_end(spark, sf_dir, tmp_path):
     assert top.startswith(("friend_of", "enemy_of"))
 
 
+def test_kmeans_clusters(spark, sf_dir):
+    from neo4j_database_spark.ml.clustering import kmeans_clusters
+
+    rows = kmeans_clusters(spark, sf_dir, k=4).collect()
+    assert len(rows) == 4
+    total = sum(r["n"] for r in rows)
+    from neo4j_database_spark.catalog import load_table
+
+    assert total == load_table(spark, "embeddings", sf_dir).count()
+    assert all(r["n_majority"] <= r["n"] for r in rows)
+    # seed-pinned: a second fit reproduces the same partition sizes
+    again = kmeans_clusters(spark, sf_dir, k=4).collect()
+    assert sorted(r["n"] for r in rows) == sorted(r["n"] for r in again)
+
+
 def test_streaming_hourly_matches_batch(spark, sf_dir):
     stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
     assert stream.isStreaming
