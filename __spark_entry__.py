@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionized": rel.events_sessionized,
         "events_json_extract": rel.events_json_extract,
+        "events_value_percentiles": rel.events_value_percentiles,
+        "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
         "customers_without_orders": rel.customers_without_orders,
@@ -732,6 +734,43 @@ GROUP BY 1, 2, mx
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY 1, 2
 """,
+        "events_value_percentiles": """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type,
+  MIN(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN value END) AS p50,
+  MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN value END) AS p90
+FROM ranked
+WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT) OR rn = CAST(ceil(cnt * 0.9) AS BIGINT)
+GROUP BY event_type
+ORDER BY event_type
+""",
+        "doc_clean_corpus": f"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS digest,
+    (CASE WHEN len(t) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+    + (CASE WHEN len(list_distinct(t)) * 4 >= len(t) THEN 1 ELSE 0 END)
+    + (CASE WHEN len(list_filter(t, x -> lower(x) IN ({{stop}}))) * 25 >= len(t)
+       THEN 1 ELSE 0 END) AS quality,
+    CASE WHEN len(list_filter(t, x -> lower(x) IN ({{stop}}))) * 20 >= len(t)
+         THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+  )
+),
+survivors AS (SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY digest)
+SELECT s.doc_id, CAST(s.quality AS INT) AS quality
+FROM scored s
+JOIN survivors v ON v.doc_id = s.doc_id
+WHERE s.quality >= 2 AND s.pred_lang = 'en'
+ORDER BY s.doc_id
+""".replace("{stop}", _sql_list(list(text.STOPWORDS))),
         # -- relational extensions --
         "sales_rollup": """
 SELECT n_name AS nation, c_mktsegment AS segment,

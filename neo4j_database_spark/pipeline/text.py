@@ -180,6 +180,38 @@ def top_distinctive_terms(
     )
 
 
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: exact-dedup survivors ∩ quality gate
+    ∩ language gate — the composed filter chain every training-data
+    pipeline runs first. One plan: digest-groupBy for survivorship,
+    token stats reused for both gates, semi-join composition.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        (
+            F.when((n_tokens >= 50) & (n_tokens <= 10000), 1).otherwise(0)
+            + F.when(n_distinct * 4 >= n_tokens, 1).otherwise(0)
+            + F.when(n_stop * 25 >= n_tokens, 1).otherwise(0)
+        ).alias("quality"),
+        F.when(n_stop * 20 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+    )
+    survivors = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .filter((F.col("quality") >= 2) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: full-text md5 + a normalized
     "shape" fingerprint (lowercased, whitespace-collapsed) that catches

@@ -373,6 +373,32 @@ def events_sessionized(
     )
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90) of value per event type via
+    row_number — Spark's percentile_approx is approximate and
+    engine-specific, so the exact rank-based formulation is what an
+    oracle-checkable engine ships. One shuffle (window sort reused by
+    the aggregate)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    p50 = F.ceil(F.col("cnt") * 0.5).cast("long")
+    p90 = F.ceil(F.col("cnt") * 0.9).cast("long")
+    return (
+        ranked.filter((F.col("rn") == p50) | (F.col("rn") == p90))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == p50, F.col("value"))).alias("p50"),
+            F.max(F.when(F.col("rn") == p90, F.col("value"))).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column + rollup."""
     ev = load_table(spark, "events", sf_dir)
