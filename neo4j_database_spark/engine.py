@@ -68,6 +68,8 @@ class WinderEngine:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.graph: GraphModel = load_graph(spark, sf_dir)
+        self._classifier = None
+        self._train_result = None
 
     # -- GET /characters (app.py:188-204) --
     def characters(self) -> list[dict[str, Any]]:
@@ -154,3 +156,87 @@ class WinderEngine:
             r["house"]: r["n"]
             for r in gq.house_histogram(self.graph, names).collect()
         }
+
+    # -- POST /predict: the full composite flow (app.py:41-132) --
+    def predict_house(
+        self,
+        name: str,
+        friends: Sequence[str] = (),
+        enemies: Sequence[str] = (),
+        family: Sequence[str] = (),
+        romance: Sequence[str] = (),
+        write_back: bool = False,
+    ) -> dict[str, Any]:
+        """Predict a new user's house from their chosen connections.
+
+        Reference semantics (app.py:62-97): each relationship list is
+        histogrammed by house into the 16-dim feature vector, the
+        RandomForest scores the single row, and (optionally) the user
+        node + chosen edges merge back into the graph (S6). The
+        reference's predict() forgot its return statement (SURVEY.md
+        §3.3 known bug) — here the response is, intentionally, returned.
+        """
+        from neo4j_database_spark.graph.features import (
+            FEATURE_HOUSES,
+            FEATURE_TYPES,
+            feature_cell_name,
+        )
+        from neo4j_database_spark.ml import house_classifier as hc
+
+        if self._classifier is None:
+            self._train_result = hc.train(self.graph)
+            self._classifier = self._train_result.model
+
+        lists = {
+            "FRIEND_OF": list(friends),
+            "ENEMY_OF": list(enemies),
+            "SAME_FAMILY": list(family),
+            "ROMANTIC_WITH": list(romance),
+        }
+        cells = {}
+        for etype in FEATURE_TYPES:
+            hist = self.house_histogram(lists[etype]) if lists[etype] else {}
+            for house in FEATURE_HOUSES:
+                cells[feature_cell_name(etype, house)] = int(hist.get(house, 0))
+        row = self.spark.createDataFrame(
+            [tuple(cells[c] for c in sorted(cells))],
+            ", ".join(f"{c} long" for c in sorted(cells)),
+        )
+        pred = self._classifier.transform(row).select("prediction").first()
+        labels = self._classifier.stages[1].labelsArray[0]
+        idx = int(pred["prediction"])
+        predicted = labels[idx] if idx < len(labels) else "Unknown"
+
+        if write_back:
+            # S6 writeback against this graph's schema: MERGE the user
+            # node (fresh id, last-writer-wins on name) + chosen edges
+            # (append + dedup). The reference marks isUser=true; this
+            # node table flags users by the USER segment instead.
+            p = self.graph.persons
+            new_id = p.agg(F.max("id")).first()[0] + 1
+            user_row = self.spark.createDataFrame(
+                [(new_id, name, predicted, "USER", 0.0)], p.schema
+            )
+            persons = p.filter(F.col("name") != name).unionByName(user_row)
+            targets = persons.select("id", "name")
+
+            def batch(names: Sequence[str], etype: str):
+                return (
+                    targets.filter(F.col("name").isin(list(names)))
+                    .select(
+                        F.lit(new_id).alias("src"),
+                        F.col("id").alias("dst"),
+                        F.lit(etype).alias("type"),
+                    )
+                )
+
+            new_edges = batch(friends, "FRIEND_OF").unionByName(
+                batch(enemies, "ENEMY_OF")
+            )
+            edges = self.graph.edges.unionByName(new_edges).dropDuplicates(
+                ["src", "dst", "type"]
+            )
+            self.graph = GraphModel(
+                persons=persons, houses=self.graph.houses, edges=edges
+            )
+        return {"name": name, "predicted_house": predicted, "features": cells}

@@ -113,6 +113,7 @@ def pagerank(
     dangling_ids = nodes.join(
         out_deg, nodes.id == out_deg.src, "left_anti"
     ).localCheckpoint()
+    has_dangling = dangling_ids.count() > 0
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for _ in range(max_iter):
@@ -127,13 +128,16 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling (degree-0) nodes leak their mass; redistribute it
-        dangling = (
-            ranks.join(F.broadcast(dangling_ids), "id")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
+        # dangling (degree-0) nodes leak their mass; redistribute it —
+        # the per-iteration aggregate only runs when dangling nodes exist
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(F.broadcast(dangling_ids), "id")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
         ranks = (
             nodes.join(contribs, "id", "left")
             .select(

@@ -55,6 +55,38 @@ def test_house_graph(engine):
     assert len(g["elements"]["edges"]) > 0
 
 
+def test_predict_house_composite_flow(engine):
+    """The /predict composite: histogram features -> RF -> writeback."""
+    nation_members = engine.housemates("Customer#000000000")[:3]
+    out = engine.predict_house(
+        "New Student",
+        friends=nation_members,
+        enemies=["Customer#000000001"],
+        write_back=True,
+    )
+    assert out["predicted_house"].startswith("NATION_")
+    # friends are co-nation members of a tracked house → counted; the
+    # enemy's house may fall outside the 4 canonical feature houses
+    # (reference semantics: only 4 houses are featurized)
+    friend_total = sum(
+        v for k, v in out["features"].items() if k.startswith("friend_of")
+    )
+    assert friend_total in (0, 3)
+    assert sum(out["features"].values()) >= friend_total
+    # user node written back with edges to the chosen names
+    assert engine.search("New Student")[0]["name"] == "New Student"
+    ego = engine.ego_graph("New Student")
+    labels = {e["data"]["label"] for e in ego["elements"]["edges"]}
+    assert labels == {"FRIEND_OF", "ENEMY_OF"}
+    # idempotent merge: predicting again adds no duplicate edges
+    n_edges = engine.graph.edges.count()
+    engine.predict_house(
+        "New Student", friends=nation_members,
+        enemies=["Customer#000000001"], write_back=True,
+    )
+    assert engine.graph.edges.count() == n_edges
+
+
 def test_housemates_and_histogram(engine):
     mates = engine.housemates("Customer#000000042")
     assert 0 < len(mates) <= 100
