@@ -213,7 +213,12 @@ class WinderEngine:
             # (append + dedup). The reference marks isUser=true; this
             # node table flags users by the USER segment instead.
             p = self.graph.persons
-            new_id = p.agg(F.max("id")).first()[0] + 1
+            # MERGE semantics: an existing node keeps its id (so its
+            # edges stay attached); only a truly new user mints one.
+            existing = p.filter(F.col("name") == name).select("id").first()
+            new_id = (
+                existing["id"] if existing else p.agg(F.max("id")).first()[0] + 1
+            )
             user_row = self.spark.createDataFrame(
                 [(new_id, name, predicted, "USER", 0.0)], p.schema
             )
