@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": rel.events_sessionized,
         "events_json_extract": rel.events_json_extract,
         "events_value_percentiles": rel.events_value_percentiles,
+        "customer_order_rank": rel.customer_order_rank,
+        "part_price_bands": rel.part_price_bands,  # oracle below
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -771,6 +773,39 @@ JOIN survivors v ON v.doc_id = s.doc_id
 WHERE s.quality >= 2 AND s.pred_lang = 'en'
 ORDER BY s.doc_id
 """.replace("{stop}", _sql_list(list(text.STOPWORDS))),
+        "customer_order_rank": """
+WITH counts AS (
+  SELECT c_name AS name, n_name AS nation, COUNT(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT name, nation, n_orders,
+    rank() OVER (PARTITION BY nation ORDER BY n_orders DESC) AS rnk,
+    dense_rank() OVER (PARTITION BY nation ORDER BY n_orders DESC) AS dense_rnk
+  FROM counts
+)
+SELECT name, nation, n_orders, CAST(rnk AS INT) AS rnk,
+       CAST(dense_rnk AS INT) AS dense_rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY nation, rnk, name
+""",
+        "part_price_bands": """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id,
+         CAST(250.0 * i AS DOUBLE) AS lo,
+         CAST(250.0 * (i + 1) AS DOUBLE) AS hi
+  FROM UNNEST(generate_series(0, 9)) AS t(i)
+)
+SELECT band_id, lo, hi, COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_price
+FROM part
+JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id, lo, hi
+ORDER BY band_id
+""",
         # -- relational extensions --
         "sales_rollup": """
 SELECT n_name AS nation, c_mktsegment AS segment,

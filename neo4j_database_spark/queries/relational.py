@@ -399,6 +399,60 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions with real ties: rank + dense_rank of
+    customers by order count within their nation. Ties (integer counts)
+    produce equal ranks deterministically; output rows stay unique via
+    the name column."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    counts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "n_orders",
+        )
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("n_orders"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("nation", "rnk", "name")
+    )
+
+
+def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: parts bucketed into fixed price bands via
+    a broadcast inequality join — the banded-join pattern (small band
+    table broadcast, predicate lo <= x < hi evaluated in the stream
+    side's partitions, no shuffle of the fact)."""
+    bands = spark.createDataFrame(
+        [(i, 250.0 * i, 250.0 * (i + 1)) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column + rollup."""
     ev = load_table(spark, "events", sf_dir)
