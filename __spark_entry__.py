@@ -795,8 +795,8 @@ ORDER BY nation, rnk, name
         "part_price_bands": """
 WITH bands AS (
   SELECT CAST(i AS INT) AS band_id,
-         CAST(250.0 * i AS DOUBLE) AS lo,
-         CAST(250.0 * (i + 1) AS DOUBLE) AS hi
+         CAST(900.0 + 10.0 * i AS DOUBLE) AS lo,
+         CAST(900.0 + 10.0 * (i + 1) AS DOUBLE) AS hi
   FROM UNNEST(generate_series(0, 9)) AS t(i)
 )
 SELECT band_id, lo, hi, COUNT(*) AS n_parts,

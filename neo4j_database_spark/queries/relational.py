@@ -434,8 +434,9 @@ def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast inequality join — the banded-join pattern (small band
     table broadcast, predicate lo <= x < hi evaluated in the stream
     side's partitions, no shuffle of the fact)."""
+    # retail prices span [900, 1000): 10 bands of width 10
     bands = spark.createDataFrame(
-        [(i, 250.0 * i, 250.0 * (i + 1)) for i in range(10)],
+        [(i, 900.0 + 10.0 * i, 900.0 + 10.0 * (i + 1)) for i in range(10)],
         "band_id int, lo double, hi double",
     )
     part = load_table(spark, "part", sf_dir)
