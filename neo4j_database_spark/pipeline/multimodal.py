@@ -111,6 +111,45 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("bytes_per_ms", T.DoubleType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio twin of the image path: Arrow-batched feature kernel over
+    audio rows (decode STUB — production drops in soundfile/ffmpeg;
+    the mapInPandas plumbing, schema, and modality pre-filter are the
+    stable surface)."""
+    import hashlib
+
+    audio = media.filter(F.col("modality") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur = pdf["meta"].map(lambda m: m["duration_ms"] if m else 0)
+            nbytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": nbytes,
+                    "duration_ms": dur,
+                    "bytes_per_ms": nbytes / dur.replace(0, 1),
+                    "checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp.
 

@@ -17,8 +17,9 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
 def _tokens(col: F.Column) -> F.Column:
-    """Whitespace tokenization, empty tokens dropped (split on 1+ spaces)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    """Whitespace tokenization, empty tokens dropped; null text behaves
+    as an empty document (coalesce, so counts are 0 not NULL)."""
+    return F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"), lambda t: t != "")
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,6 +136,29 @@ def test_multimodal_feature_extraction(spark):
     assert stats.filter(F.col("n_bytes") <= 0).count() == 0
 
 
+def test_multimodal_audio_features(spark):
+    media = mm.synthetic_media(spark, n=30)
+    feats = mm.extract_audio_features(media).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r["duration_ms"] > 0 and r["bytes_per_ms"] > 0
+        assert len(r["checksum"]) == 32
+
+
+def test_text_ops_null_and_unicode(spark):
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.pipeline.text import _tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "héllo wörld 你好 ok")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", F.size(_tokens(F.col("text"))).alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 4}
+
+
 def test_multimodal_frame_sampling(spark):
     media = mm.synthetic_media(spark, n=30)
     frames = mm.frame_sample_plan(media, every_ms=1000)
