@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: galg.bfs_distances(g, EGO_NAME)
         ),
         "g_pagerank": on_graph(lambda g: galg.pagerank(g)),  # rows-only check
+        "g_link_pred_scores": on_graph(
+            lambda g: gq.link_prediction_scores(g, EGO_NAME)
+        ),
         # -- relational OLAP --
         "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
@@ -114,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": rel.events_value_percentiles,
         "customer_order_rank": rel.customer_order_rank,
         "part_price_bands": rel.part_price_bands,  # oracle below
+        "orders_above_customer_avg": rel.orders_above_customer_avg,
+        "customer_year_sets": rel.customer_year_sets,
+        "events_session_windows": rel.events_session_windows,
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -439,6 +445,33 @@ FROM (
   SELECT COUNT(*) AS n FROM persons
   GROUP BY substr(name, length(name) - 1, 2)
 )
+""",
+        "g_link_pred_scores": f"""{GRAPH_CTES}
+, nbr AS (
+  SELECT DISTINCT src, dst FROM sym_edges
+  WHERE type IN ('FRIEND_OF', 'SAME_FAMILY', 'ROMANTIC_WITH')
+),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM nbr GROUP BY src),
+seed AS (SELECT id FROM persons WHERE name = '{EGO_NAME}'),
+sn AS (SELECT n.dst AS nid FROM nbr n JOIN seed s ON n.src = s.id),
+common AS (
+  SELECT n.dst AS cand, COUNT(*) AS common_neighbors
+  FROM nbr n JOIN sn ON n.src = sn.nid
+  WHERE n.dst NOT IN (SELECT id FROM seed)
+    AND n.dst NOT IN (SELECT nid FROM sn)
+  GROUP BY n.dst
+)
+SELECT p.name AS name,
+       c.common_neighbors,
+       c.common_neighbors AS jaccard_num,
+       sd.deg + dc.deg - c.common_neighbors AS jaccard_den,
+       sd.deg * dc.deg AS pref_attach
+FROM common c
+JOIN persons p ON p.id = c.cand
+JOIN deg dc ON dc.id = c.cand
+CROSS JOIN (SELECT d.deg FROM deg d JOIN seed s ON d.id = s.id) sd
+ORDER BY common_neighbors DESC, pref_attach DESC, name ASC
+LIMIT 20
 """,
         # -- relational --
         "pricing_summary": """
@@ -805,6 +838,76 @@ FROM part
 JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band_id, lo, hi
 ORDER BY band_id
+""",
+        # Written as a genuine correlated scalar subquery — DuckDB
+        # decorrelates it; our Spark plan decorrelates by construction
+        # (window over o_custkey). Exact-decimal cross-multiplication
+        # (price·n > sum) avoids division entirely.
+        "orders_above_customer_avg": """
+SELECT o.o_custkey AS custkey,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,6)) *
+      CAST((SELECT COUNT(*) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey) AS DECIMAL(9,0))
+      > (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(18,6)))
+                     AS DECIMAL(28,6))
+         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM orders o
+GROUP BY o.o_custkey
+ORDER BY custkey
+""",
+        "customer_year_sets": """
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+),
+y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+),
+tagged AS (
+  SELECT o_custkey, 'both_years' AS status
+  FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+  UNION ALL
+  SELECT o_custkey, 'lapsed_after_1995' AS status
+  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+)
+SELECT c_custkey AS custkey, c_name AS name, status
+FROM tagged JOIN customer ON c_custkey = o_custkey
+ORDER BY custkey
+""",
+        # session_window semantics (verified in
+        # tests/test_relational_ext.py): windows span [ts, ts+gap] and merge
+        # on boundary touch — a new session starts only when the gap is
+        # STRICTLY greater than 30min. Gap compared at microsecond
+        # precision; session_start is floor-seconds of the first event
+        # (Spark CAST(timestamp AS LONG)).
+        "events_session_windows": """
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+flagged AS (
+  SELECT user_id, us, event_id, value,
+    CASE WHEN us - lag(us) OVER w IS NULL
+           OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM us
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessions AS (
+  SELECT user_id, us, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+)
+SELECT user_id,
+  MIN(us) // 1000000 AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+FROM sessions
+GROUP BY user_id, seq
+ORDER BY user_id, session_start
 """,
         # -- relational extensions --
         "sales_rollup": """

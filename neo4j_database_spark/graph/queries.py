@@ -203,3 +203,66 @@ def friend_counts_by_house(g: GraphModel) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("house")
     )
+
+
+def link_prediction_scores(g: GraphModel, name: str, k: int = 20) -> DataFrame:
+    """Link-prediction score suite for one seed person: common neighbors,
+    Jaccard (as an exact integer numerator/denominator pair), and
+    preferential attachment.
+
+    Extends the reference's flagship common-neighbors ranking
+    (app.py:217-231) with the other classic neighborhood scores from the
+    link-prediction literature (Liben-Nowell & Kleinberg 2003), kept
+    integer-exact so the DuckDB oracle hashes identically — Jaccard is
+    reported as (num, den) instead of a float quotient.
+
+    Physical shape: the neighbor-pair view is deduped once; the seed's
+    neighborhood is one ego's adjacency (small by construction) →
+    broadcast; candidate degrees come from one hash aggregate over the
+    deduped pairs. The only full shuffle is the degree aggregate, which is
+    reused for both the candidate and seed sides.
+    """
+    nbr = g.sym_edges(WINDER_TYPES).select("src", "dst").distinct()
+    deg = nbr.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    seed = g.persons.filter(F.col("name") == name).select(F.col("id").alias("sid"))
+    seed_nbrs = (
+        nbr.join(F.broadcast(seed), nbr["src"] == F.col("sid"))
+        .select(F.col("dst").alias("nid"))
+    )
+    seed_deg = F.broadcast(
+        deg.join(F.broadcast(seed), deg["id"] == F.col("sid")).select(
+            F.col("deg").alias("seed_deg")
+        )
+    )
+    common = (
+        nbr.join(F.broadcast(seed_nbrs), nbr["src"] == F.col("nid"))
+        .join(F.broadcast(seed), nbr["dst"] == F.col("sid"), "left_anti")
+        .join(
+            F.broadcast(seed_nbrs.select(F.col("nid").alias("dst"))),
+            "dst",
+            "left_anti",
+        )
+        .groupBy(F.col("dst").alias("cand"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    cand_names = g.persons.select(
+        F.col("id").alias("cand"), F.col("name").alias("cand_name")
+    )
+    return (
+        common.join(deg.withColumnRenamed("id", "cand"), "cand")
+        .crossJoin(seed_deg)
+        .join(cand_names, "cand")
+        .select(
+            F.col("cand_name").alias("name"),
+            "common_neighbors",
+            F.col("common_neighbors").alias("jaccard_num"),
+            (F.col("seed_deg") + F.col("deg") - F.col("common_neighbors")).alias(
+                "jaccard_den"
+            ),
+            (F.col("seed_deg") * F.col("deg")).alias("pref_attach"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("pref_attach"), F.asc("name")
+        )
+        .limit(k)
+    )

@@ -468,3 +468,95 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics: per customer, how many of their
+    orders exceed their own average order value.
+
+    Extension operator (the reference has no correlated subqueries). The
+    Spark plan decorrelates by construction — one window over o_custkey
+    computes the per-customer sum/count, so the fact table is scanned once
+    and shuffled once (vs. the naive per-row re-aggregation a literal
+    correlated subquery implies). The comparison is done in exact decimal
+    cross-multiplied form (price·n > sum) so no division/rounding is
+    involved and the DuckDB oracle (written AS a correlated subquery)
+    agrees bit-for-bit.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    tp = F.col("o_totalprice").cast(MONEY)
+    w = Window.partitionBy("o_custkey")
+    # n_orders at DECIMAL(9,0): (18,6)×(9,0) → (28,6), exact in both
+    # engines. A bare BIGINT multiplicand would push Spark past the
+    # 38-precision cap and silently drop a scale digit (precision-loss
+    # rule), flipping boundary comparisons vs. the oracle.
+    enriched = orders.withColumn(
+        "sum_tp", F.sum(tp).over(w).cast(MONEY_SUM)
+    ).withColumn("n_orders", F.count(F.lit(1)).over(w).cast("decimal(9,0)"))
+    return (
+        enriched.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("n_orders").cast("long")).alias("n_orders"),
+            F.sum(
+                F.when(tp * F.col("n_orders") > F.col("sum_tp"), 1).otherwise(0)
+            ).cast("long").alias("n_above_avg"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def customer_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): customers who ordered in both
+    1995 and 1996, and customers who ordered in 1995 but lapsed in 1996.
+
+    Extension operator (no set ops in the reference). INTERSECT/EXCEPT
+    lower to hash aggregates + joins in Catalyst; both branches share the
+    same orders scan (Spark reuses the exchange under AQE).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    yr = F.year(F.col("o_orderdate"))
+    y95 = orders.filter(yr == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(yr == 1996).select(F.col("o_custkey").alias("custkey"))
+    both = y95.intersect(y96).withColumn("status", F.lit("both_years"))
+    lapsed = y95.subtract(y96).withColumn("status", F.lit("lapsed_after_1995"))
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    return (
+        both.unionByName(lapsed)
+        .join(cust, "custkey")
+        .select("custkey", "name", "status")
+        .orderBy("custkey")
+    )
+
+
+def events_session_windows(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` operator
+    (the same expression works unchanged under Structured Streaming with a
+    watermark — merging session state is Spark's, not ours).
+
+    Complements ``events_sessionized`` (the window-function island
+    formulation): session_window semantics start a NEW session when the
+    gap is >= the threshold (the previous session spans
+    [ts, ts + gap)), which the SQL oracle reproduces with lag/cumsum.
+    One shuffle on user_id.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    sw = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).alias("sum_value"),
+        )
+    )
+    return sw.select(
+        "user_id",
+        F.col("w.start").cast("long").alias("session_start"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")

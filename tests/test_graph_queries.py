@@ -116,3 +116,14 @@ def test_search_and_directory(tiny):
     assert [r["name"] for r in gq.directory(tiny).collect()] == sorted(
         ["Alice A", "Bob B", "Cara C", "Dan D", "Eve E", "Fay F"]
     )
+
+
+def test_link_prediction_scores(tiny):
+    # Seed Alice(1): N = {Bob, Cara, Dan}. Two-hop candidates outside
+    # N∪{seed}: only Eve(5) via Cara. deg(Alice)=3, deg(Eve)=2 →
+    # common=1, jaccard=1/(3+2-1), pref_attach=3·2.
+    rows = gq.link_prediction_scores(tiny, "Alice A").collect()
+    assert [
+        (r.name, r.common_neighbors, r.jaccard_num, r.jaccard_den, r.pref_attach)
+        for r in rows
+    ] == [("Eve E", 1, 1, 4, 6)]

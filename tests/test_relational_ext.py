@@ -1,0 +1,55 @@
+"""Unit tests for the set-op / correlated-subquery / session-window
+relational extensions (oracle-checked end-to-end by the driver; these
+pin the semantics that the oracle comparison relies on)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.queries import relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_window_gap_boundary(spark):
+    # Spark's session windows span [ts, ts+gap] and MERGE on boundary
+    # touch: a gap of exactly the threshold stays in the same session; a
+    # new session needs a strictly greater gap. This is the strict->
+    # semantics the events_session_windows oracle encodes.
+    t0 = datetime(2020, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0),
+            (1, t0 + timedelta(seconds=1800)),          # exact gap → merges
+            (1, t0 + timedelta(seconds=1800 + 1801)),   # gap > 30min → new
+        ],
+        "user_id long, ts timestamp",
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("session_window.start"))
+        .collect()
+    )
+    assert [r.n for r in sess] == [2, 1]
+
+
+def test_customer_year_sets_disjoint(spark):
+    df = rel.customer_year_sets(spark, SF)
+    per_key = df.groupBy("custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_key and all(r.n == 1 for r in per_key)  # INTERSECT ∩ EXCEPT = ∅
+    statuses = {r.status for r in df.select("status").distinct().collect()}
+    assert statuses <= {"both_years", "lapsed_after_1995"}
+
+
+def test_orders_above_customer_avg_bounds(spark):
+    rows = rel.orders_above_customer_avg(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # strictly-above-average can never include every order, and a
+        # single-order customer can never beat their own average.
+        assert 0 <= r.n_above_avg < max(r.n_orders, 2)
+        if r.n_orders == 1:
+            assert r.n_above_avg == 0
