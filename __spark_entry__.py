@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_pred_scores": on_graph(
             lambda g: gq.link_prediction_scores(g, EGO_NAME)
         ),
+        "g_label_propagation": on_graph(
+            lambda g: galg.label_propagation(g)
+        ),  # rows-only check (iterative mode-of-neighbors)
         # -- relational OLAP --
         "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
@@ -120,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": rel.orders_above_customer_avg,
         "customer_year_sets": rel.customer_year_sets,
         "events_session_windows": rel.events_session_windows,
+        "order_priority_pivot": rel.order_priority_pivot,
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -147,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": similarity.centroids_by_label,
         # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
+        "stream_click_attribution": _stream_attribution,
         "mm_image_features": _mm_features,  # rows-only (generated input)
         "emb_kmeans": _kmeans,  # rows-only (iterative float fitting)
     }
@@ -156,6 +161,12 @@ def _stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import hourly_rollup_replay
 
     return hourly_rollup_replay(spark, sf_dir)
+
+
+def _stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.streaming.events import click_attribution_replay
+
+    return click_attribution_replay(spark, sf_dir)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +780,22 @@ GROUP BY 1, 2, mx
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY 1, 2
 """,
+        # Stream-stream inner join replay: over a full availableNow run
+        # every matched pair is emitted (watermarks bound state, not
+        # inner-join output), so the batch join is the exact oracle.
+        "stream_click_attribution": """
+SELECT p.user_id,
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  epoch_us(c.ts) // 1000000 AS click_sec,
+  epoch_us(p.ts) // 1000000 AS purchase_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY p.user_id, click_id, purchase_id
+""",
         "events_value_percentiles": """
 WITH ranked AS (
   SELECT event_type, value,
@@ -856,6 +883,16 @@ SELECT o.o_custkey AS custkey,
 FROM orders o
 GROUP BY o.o_custkey
 ORDER BY custkey
+""",
+        "order_priority_pivot": """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_5,
+FROM orders
+GROUP BY 1 ORDER BY 1
 """,
         "customer_year_sets": """
 WITH y95 AS (

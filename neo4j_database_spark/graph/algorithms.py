@@ -216,3 +216,54 @@ def triangle_count(g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)) -> 
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def label_propagation(
+    g: GraphModel,
+    types: tuple[str, ...] | None = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected view: each superstep every node adopts its neighbors'
+    most frequent label (ties → smallest label, so the algorithm is
+    fully deterministic, unlike classic randomized LPA).
+
+    Iterative-join shape like ``pagerank``: the static edge table stays
+    put; per superstep one join ships current labels to neighbors, one
+    aggregate counts (node, label) votes, one window picks the winner.
+    At scale the labels frame is co-partitioned with edges on the join
+    key; ``localCheckpoint`` truncates lineage per superstep. Fixed
+    ``max_iter`` keeps the result reproducible (rows-only driver check —
+    iterative mode-of-neighbors is not SQL-expressible)."""
+    from pyspark.sql.window import Window as W
+
+    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    labels = g.persons.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        votes = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.partitionBy("src").orderBy(F.desc("n"), F.asc("label"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("bid"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels.id == best.bid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        g.persons.select("id", "name")
+        .join(labels, "id")
+        .select("name", F.col("label").alias("community"))
+        .orderBy("name")
+    )

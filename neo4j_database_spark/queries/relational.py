@@ -560,3 +560,30 @@ def events_session_windows(
         "n_events",
         "sum_value",
     ).orderBy("user_id", "session_start")
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year × priority as a wide matrix via
+    ``groupBy().pivot()`` with an explicit value list.
+
+    The explicit list matters at scale: without it Spark runs an extra
+    distinct-collect job over the fact table just to discover the
+    columns. With it, the pivot is a single partial+final aggregate —
+    exactly the feature-matrix shape (A3) on relational data, and
+    SQL-expressible as conditional aggregation.
+    """
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = load_table(spark, "orders", sf_dir)
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    # stable snake_case column names for the oracle comparison
+    renames = {p: f"n_{p.split('-')[0]}" for p in priorities}
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    return wide.select(
+        "order_year",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    ).orderBy("order_year")

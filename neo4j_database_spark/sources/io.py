@@ -87,3 +87,34 @@ def corrupt_rows(df: DataFrame) -> DataFrame:
     if "_corrupt_record" not in df.columns:
         raise ValueError("DataFrame was not loaded with a corrupt-record column")
     return df.cache().filter(F.col("_corrupt_record").isNotNull())
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: rows hash-clustered into ``buckets`` files
+    by ``bucket_by`` (optionally sorted within each bucket).
+
+    This is the 100 TB join strategy the graph store docstrings point
+    at: two tables bucketed on the same key with the same bucket count
+    join with NO exchange — each task reads matching buckets from both
+    sides (and with sort_by, no sort either). The same applies to
+    groupBy on the bucket key. Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the files); ``path`` keeps the data
+    external so tests control the location.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, bucket_by)
+    )
+    if sort_by is not None:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)

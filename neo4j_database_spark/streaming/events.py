@@ -173,3 +173,65 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def click_attribution_stream(
+    events: DataFrame, attribution_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream self-join with event-time bounds: attribute each
+    purchase to the same user's clicks in the preceding N minutes.
+
+    Both sides carry watermarks and the join condition carries a time
+    range, so Spark bounds the join state to [watermark, now] on each
+    side — the canonical scalable stream-stream join (state is
+    O(window), not O(history)). Inner-join matches are emitted as soon
+    as both sides arrive; over a full availableNow replay the emitted
+    set equals the batch join exactly, which is why this streaming
+    pipeline has an exact SQL oracle (stream_click_attribution).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("long").alias("click_sec"),
+        F.col("purchase_ts").cast("long").alias("purchase_sec"),
+    )
+
+
+def click_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-facing availableNow replay of the stream-stream join."""
+    name = "stream_click_attribution_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory_sink(click_attribution_stream(stream), name)
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")

@@ -85,3 +85,23 @@ def test_pagerank_mass_conserved(tiny):
     ranks = {r["name"]: r["rank"] for r in rows}
     # the hub has the highest rank
     assert max(ranks, key=ranks.get) == "Alice A"
+
+
+def test_label_propagation_two_triangles(spark):
+    from neo4j_database_spark.graph.algorithms import label_propagation
+    from neo4j_database_spark.graph.model import GraphModel
+
+    persons = spark.createDataFrame(
+        [(i, f"P{i}", "H", "S", 0.0) for i in range(1, 7)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    tri = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in tri], "src long, dst long, type string"
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    g = GraphModel(persons=persons, houses=houses, edges=edges)
+    got = {r.name: r.community for r in label_propagation(g, max_iter=6).collect()}
+    # deterministic min-tie-break LPA settles each triangle on one label;
+    # the bridge edge 3-4 must not merge the two communities
+    assert got == {"P1": 1, "P2": 1, "P3": 1, "P4": 3, "P5": 3, "P6": 3}

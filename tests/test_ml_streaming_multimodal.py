@@ -175,3 +175,39 @@ def test_multimodal_frame_sampling(spark):
     assert set(per_video) == set(metas)
     for mid, n in per_video.items():
         assert n == (metas[mid] - 1) // 1000 + 1
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """availableNow replay of the watermarked stream-stream join emits
+    exactly the batch join result."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.streaming.events import click_attribution_replay
+
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.click_sec, r.purchase_sec)
+        for r in click_attribution_replay(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r.u, r.cid, r.pid, r.cts, r.pts)
+        for r in c.join(p, "u")
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "u",
+            "cid",
+            "pid",
+            F.col("cts").cast("long").alias("cts"),
+            F.col("pts").cast("long").alias("pts"),
+        )
+        .collect()
+    }
+    assert got == want and got

@@ -64,3 +64,34 @@ def test_order_priority_semi_join(spark, sf_dir):
 def test_anti_join_plan(spark, sf_dir):
     plan = plan_of(rel.customers_without_orders(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables co-bucketed on the join key join with zero exchanges —
+    the co-located join layout write_bucketed exists for."""
+    from neo4j_database_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        orders, "b_orders", str(tmp_path / "bo"), "o_custkey", 8, "o_custkey"
+    )
+    write_bucketed(
+        cust, "b_customer", str(tmp_path / "bc"), "c_custkey", 8, "c_custkey"
+    )
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")  # force SMJ so the broadcast path can't hide a shuffle
+        .join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey == spark.table("b_customer").c_custkey,
+        )
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    # bucket-local aggregation also skips the exchange
+    agg = spark.table("b_orders").groupBy("o_custkey").count()
+    assert "Exchange" not in plan_of(agg)

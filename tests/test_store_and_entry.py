@@ -26,7 +26,12 @@ def test_entry_contract(spark):
 
 # iterative / floating-point algorithms with no closed-form SQL twin —
 # the driver records a weaker rows-only check for these by design
-ROWS_ONLY = {"g_pagerank", "mm_image_features", "emb_kmeans"}
+ROWS_ONLY = {
+    "g_pagerank",
+    "g_label_propagation",
+    "mm_image_features",
+    "emb_kmeans",
+}
 
 
 def test_queries_and_oracles_aligned():
