@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
         "stream_click_attribution": _stream_attribution,
+        "stream_dedup": _stream_dedup,
         "mm_image_features": _mm_features,  # rows-only (generated input)
         "emb_kmeans": _kmeans,  # rows-only (iterative float fitting)
     }
@@ -167,6 +168,12 @@ def _stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import click_attribution_replay
 
     return click_attribution_replay(spark, sf_dir)
+
+
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.streaming.events import dedup_replay
+
+    return dedup_replay(spark, sf_dir)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +786,15 @@ FROM events, m
 GROUP BY 1, 2, mx
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY 1, 2
+""",
+        # Streaming dedup replay over a doubled input: emitted set ==
+        # the original events (dropDuplicates keeps exactly one row per
+        # event_id; payload identical on both copies).
+        "stream_dedup": """
+SELECT event_id, user_id, event_type,
+  epoch_us(ts) // 1000000 AS sec
+FROM events
+ORDER BY event_id
 """,
         # Stream-stream inner join replay: over a full availableNow run
         # every matched pair is emitted (watermarks bound state, not

