@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_year_sets": rel.customer_year_sets,
         "events_session_windows": rel.events_session_windows,
         "order_priority_pivot": rel.order_priority_pivot,
+        "events_daily_gapfill": rel.events_daily_gapfill,
+        "daily_revenue_rolling": rel.daily_revenue_rolling,
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -899,6 +901,37 @@ SELECT o.o_custkey AS custkey,
 FROM orders o
 GROUP BY o.o_custkey
 ORDER BY custkey
+""",
+        "events_daily_gapfill": """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, t.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+ORDER BY s.day, t.event_type
+""",
+        "daily_revenue_rolling": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx
+  FROM orders GROUP BY 1, 3
+)
+SELECT day, revenue,
+  CAST(SUM(revenue) OVER (
+    ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+  ) AS DECIMAL(38,6)) AS revenue_7d
+FROM daily ORDER BY day
 """,
         "order_priority_pivot": """
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,

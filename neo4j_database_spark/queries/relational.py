@@ -587,3 +587,65 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
     ).orderBy("order_year")
+
+
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: daily event counts per type over a dense
+    date spine, missing days filled with 0.
+
+    The spine is generated engine-side (``sequence`` over the observed
+    min..max day, exploded, cross-joined with the type dim) — no
+    driver-side date loop, so the same plan works for a 10-year spine.
+    The left join is broadcast (spine × types is small relative to the
+    fact table at scale: days × types, not rows).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+    daily = ev.groupBy(day, "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    dense = spine.crossJoin(types)
+    return (
+        dense.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-day order revenue with a 7-day trailing sum
+    (RANGE frame over an integer day index, so days missing from the
+    data still bound the frame correctly — a ROWS frame would silently
+    span gaps).
+
+    Two shuffles: the daily pre-aggregation (which shrinks the fact
+    table to days × 1 rows BEFORE the window sort — never window over
+    raw facts) and the single-partition window over days. The day count
+    is tiny at any data scale, so the unpartitioned window is safe; at
+    finer granularity partition the window by month and stitch.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"))
+        .withColumn("day_idx", F.datediff("day", F.lit("1995-01-01")))
+    )
+    w = (
+        Window.orderBy("day_idx").rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "revenue_7d", F.sum("revenue").over(w).cast("decimal(38,6)")
+        )
+        .select("day", "revenue", "revenue_7d")
+        .orderBy("day")
+    )
