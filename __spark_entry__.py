@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_pivot": rel.order_priority_pivot,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "daily_revenue_rolling": rel.daily_revenue_rolling,
+        "customer_stratified_sample": rel.customer_stratified_sample,
+        "doc_train_test_split": text.train_test_split_counts,
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -901,6 +903,31 @@ SELECT o.o_custkey AS custkey,
 FROM orders o
 GROUP BY o.o_custkey
 ORDER BY custkey
+""",
+        "customer_stratified_sample": """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY md5(c_name), c_name) AS rn
+  FROM customer
+)
+SELECT n_name AS nation, rn AS sample_rank, c_name AS name
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 5
+ORDER BY nation, sample_rank
+""",
+        "doc_train_test_split": """
+WITH tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+              THEN 'val'
+              ELSE 'test' END AS split,
+         length(text) AS len
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len
+FROM tagged GROUP BY split ORDER BY split
 """,
         "events_daily_gapfill": """
 WITH bounds AS (

@@ -110,10 +110,13 @@ def pagerank(
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(out_deg, "src").localCheckpoint()
-    dangling_ids = nodes.join(
-        out_deg, nodes.id == out_deg.src, "left_anti"
-    ).localCheckpoint()
-    has_dangling = dangling_ids.count() > 0
+    # Dangling (degree-0) nodes receive no inflow, so every dangling node
+    # carries the SAME rank each iteration and the leaked dangling mass
+    # follows a scalar recurrence — computed on the driver, costing zero
+    # Spark jobs per superstep (previously a full aggregate per
+    # iteration): r_dang(t+1) = (1-d)/n + d·mass(t)/n; mass = n_dang·r.
+    n_dang = n - out_deg.count()
+    dangling_mass = n_dang / n  # each node starts at rank 1/n
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for _ in range(max_iter):
@@ -128,28 +131,19 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling (degree-0) nodes leak their mass; redistribute it —
-        # the per-iteration aggregate only runs when dangling nodes exist
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                ranks.join(F.broadcast(dangling_ids), "id")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
-            )
+        teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
         ranks = (
             nodes.join(contribs, "id", "left")
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    F.lit(teleport_plus_dangling)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
+        dangling_mass = n_dang * teleport_plus_dangling
 
     return (
         g.persons.select("id", "name")

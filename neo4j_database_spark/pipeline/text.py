@@ -224,3 +224,42 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp_exact"),
         F.md5(norm).alias("fp_normalized"),
     ).orderBy("doc_id")
+
+
+def train_test_split_counts(spark, sf_dir: str):
+    """Deterministic hash-based train/val/test split of the document
+    corpus (90/5/5 by md5 of the document id).
+
+    The split is a pure function of the stable id — reproducible across
+    runs, engines, cluster sizes, and data layout (unlike randomSplit,
+    which is seed + partitioning dependent). This is how large training
+    corpora are split in practice: adding documents never reshuffles
+    existing assignments. md5 is used (not xxhash64) because every
+    engine agrees on it, making the split itself oracle-checkable.
+    Returns per-split counts + length sums as the audit view.
+    """
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    # First 4 hex digits of md5(id): fixed-length lowercase hex compares
+    # lexicographically exactly like its numeric value, so the split
+    # thresholds are plain string comparisons — no base conversion, and
+    # bit-identical in any engine with md5(). 0.90*65536=58982=0xe666,
+    # 0.95*65536=62259=0xf333.
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "e666", F.lit("train"))
+        .when(bucket < "f333", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), F.length("text").alias("len"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("sum_len"),
+        )
+        .orderBy("split")
+    )

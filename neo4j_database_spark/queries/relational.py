@@ -649,3 +649,32 @@ def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "revenue", "revenue_7d")
         .orderBy("day")
     )
+
+
+def customer_stratified_sample(
+    spark: SparkSession, sf_dir: str, per_group: int = 5
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly N customers per nation,
+    chosen by md5-hash order of the name.
+
+    Reproducible sampling is a training-data-pipeline primitive:
+    ``df.sample()`` output depends on partitioning and row order, so it
+    can't be audited or replayed; hash-ordering is a pure function of
+    the row, stable under repartitioning and engine changes (md5, not
+    xxhash64, so the oracle agrees). One shuffle (the per-nation
+    window); rank ties are impossible because names are unique.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.md5(F.col("c_name")), "c_name")
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_group)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rn").alias("sample_rank"),
+            F.col("c_name").alias("name"),
+        )
+        .orderBy("nation", "sample_rank")
+    )
