@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- graph ETL audits (reference get_insert.py rule joins) --
         "g_rule_edge_counts": on_graph(gq.rule_edge_counts),
+        "g_house_adjacency": on_graph(gq.house_adjacency),
         "g_friend_counts_by_house": on_graph(gq.friend_counts_by_house),
         # -- ML feature extraction (reference train_fix.py) --
         "g_feature_matrix": on_graph(lambda g: feature_matrix(g)),
@@ -430,6 +431,15 @@ GROUP BY house ORDER BY house
 """,
         "g_rule_edge_counts": f"""{GRAPH_CTES}
 SELECT type, COUNT(*) AS n FROM edges GROUP BY type ORDER BY type
+""",
+        "g_house_adjacency": f"""{GRAPH_CTES}
+SELECT ps.house AS src_house, pd.house AS dst_house, e.type,
+       COUNT(*) AS n_edges
+FROM edges e
+JOIN persons ps ON e.src = ps.id
+JOIN persons pd ON e.dst = pd.id
+GROUP BY ps.house, pd.house, e.type
+ORDER BY src_house, dst_house, e.type
 """,
         "g_friend_counts_by_house": f"""{GRAPH_CTES}
 SELECT p.house AS house, COUNT(*) AS n

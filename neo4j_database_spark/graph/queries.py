@@ -274,3 +274,24 @@ def link_prediction_scores(g: GraphModel, name: str, k: int = 20) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def house_adjacency(g: GraphModel) -> DataFrame:
+    """Graph summarization / coarsening: collapse the person graph to a
+    house-level adjacency — edge counts between house pairs per
+    relationship type (the supergraph of the quotient partition).
+
+    Two broadcast joins (the house of each endpoint via the person dim)
+    and one aggregate whose output is |houses|² × types at most —
+    coarsening is how interactive exploration works at 100 TB: the
+    supergraph is tiny no matter how big the base graph is.
+    """
+    src_h = g.persons.select(F.col("id").alias("src"), F.col("house").alias("src_house"))
+    dst_h = g.persons.select(F.col("id").alias("dst"), F.col("house").alias("dst_house"))
+    return (
+        g.edges.join(src_h, "src")
+        .join(dst_h, "dst")
+        .groupBy("src_house", "dst_house", "type")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("src_house", "dst_house", "type")
+    )
