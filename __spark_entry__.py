@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_rolling": rel.daily_revenue_rolling,
         "customer_stratified_sample": rel.customer_stratified_sample,
         "doc_train_test_split": text.train_test_split_counts,
+        "events_run_lengths": rel.events_run_lengths,
         "doc_clean_corpus": text.clean_corpus,
         "sales_rollup": rel.sales_rollup,
         "sales_cube": rel.sales_cube,
@@ -913,6 +914,33 @@ SELECT o.o_custkey AS custkey,
 FROM orders o
 GROUP BY o.o_custkey
 ORDER BY custkey
+""",
+        # Gaps-and-islands formulation of the applyInPandas run-length
+        # kernel: integer outputs make the Arrow path exactly checkable.
+        "events_run_lengths": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN event_type <> lag(event_type) OVER w
+           OR lag(event_type) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id,
+    SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_seq
+  FROM ordered
+),
+per_run AS (
+  SELECT user_id, run_seq, COUNT(*) AS len
+  FROM runs GROUP BY user_id, run_seq
+)
+SELECT user_id,
+  CAST(SUM(len) AS BIGINT) AS n_events,
+  COUNT(*) AS n_runs,
+  CAST(MAX(len) AS BIGINT) AS longest_run
+FROM per_run GROUP BY user_id ORDER BY user_id
 """,
         "customer_stratified_sample": """
 WITH ranked AS (

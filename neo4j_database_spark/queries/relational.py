@@ -678,3 +678,55 @@ def customer_stratified_sample(
         )
         .orderBy("nation", "sample_rank")
     )
+
+
+def events_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user run-length encoding of the
+    event-type sequence (number of runs + longest run).
+
+    The batch twin of the applyInPandasWithState operator — the Arrow
+    path for per-group imperative logic when window functions get
+    convoluted. One shuffle on user_id; each group is one user's
+    events (small), processed vectorized in numpy. Rows are sorted
+    inside the kernel by (ts, event_id) so the result is deterministic
+    regardless of partitioning — and integer-valued, so the
+    gaps-and-islands SQL formulation is an exact oracle.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        et = pdf["event_type"].to_numpy()
+        if len(et) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "n_runs", "longest_run"]
+            )
+        import numpy as np
+
+        change = np.flatnonzero(et[1:] != et[:-1])
+        bounds = np.concatenate(([-1], change, [len(et) - 1]))
+        lengths = np.diff(bounds)
+        return pd.DataFrame(
+            [
+                [
+                    int(pdf["user_id"].iloc[0]),
+                    len(et),
+                    len(lengths),
+                    int(lengths.max()),
+                ]
+            ],
+            columns=["user_id", "n_events", "n_runs", "longest_run"],
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            runs,
+            schema="user_id long, n_events long, n_runs long, longest_run long",
+        )
+        .orderBy("user_id")
+    )
