@@ -263,3 +263,37 @@ def train_test_split_counts(spark, sf_dir: str):
         )
         .orderBy("split")
     )
+
+
+def byte_entropy_col():
+    """Vectorized scalar ``@pandas_udf``: Shannon byte-entropy of a text
+    column (bits/byte) — the standard cheap gibberish/compression gate
+    in corpus quality filtering.
+
+    The one scalar kernel in this engine that genuinely needs Python:
+    a 256-bin histogram + entropy per value has no built-in expression.
+    Arrow-batched (pandas Series in/out), so the Python boundary costs
+    one transfer per batch, not per row. Float output → test-checked
+    (not oracle-hashed; libm log2 is not cross-engine exact).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them module-wide and PySpark's hint resolver then rejects the
+    # signature — the explicit PandasUDFType path is hint-free
+    @pandas_udf("double")
+    def entropy(s):
+        out = np.zeros(len(s))
+        for i, v in enumerate(s):
+            if v:
+                counts = np.bincount(
+                    np.frombuffer(v.encode("utf-8", "ignore"), dtype=np.uint8),
+                    minlength=256,
+                )
+                p = counts[counts > 0] / counts.sum()
+                out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    return entropy

@@ -101,3 +101,24 @@ def test_srp_same_vector_same_bucket(spark):
         ).alias("b"),
     ).collect()
     assert out[0]["b"] == out[1]["b"]
+
+
+def test_byte_entropy_pandas_udf(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.pipeline.text import byte_entropy_col
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None), (5, "abcd")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.h
+        for r in df.select("id", byte_entropy_col()(F.col("text")).alias("h")).collect()
+    }
+    assert got[1] == 0.0            # single symbol → zero entropy
+    assert abs(got[2] - 1.0) < 1e-9  # two equiprobable symbols → 1 bit
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert abs(got[5] - 2.0) < 1e-9  # four equiprobable symbols → 2 bits
