@@ -289,7 +289,13 @@ def centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(
-            F.sum(F.col("x").cast(ACC)).cast("decimal(38,9)").alias("sum_x"),
+            # exact decimal accumulation; DOUBLE on output (DECIMAL output
+            # columns hash-mismatch on the driver: Spark materializes
+            # Decimal, DuckDB float64 — same value, different strings)
+            F.sum(F.col("x").cast(ACC))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("sum_x"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("label", "dim")

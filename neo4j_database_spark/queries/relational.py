@@ -29,6 +29,21 @@ def _dec(col: F.Column) -> F.Column:
     return col.cast(MONEY)
 
 
+def _money_out(col: F.Column) -> F.Column:
+    """Final-output form of an exact decimal money aggregate.
+
+    Accumulation stays DECIMAL (exact, order-independent); the OUTPUT
+    column is DOUBLE. Rationale (round-1 driver finding): the driver
+    hashes exact cell values, and DECIMAL columns materialize as Python
+    Decimal from Spark but float64 from DuckDB — equal values, different
+    strings, hash fail. A DECIMAL(28,6) whose unscaled value fits in
+    2^53 converts to the identical IEEE64 double in both engines
+    (correctly-rounded conversion), so DOUBLE outputs hash-match; the
+    oracle SQL applies the same CAST(... AS DOUBLE) to the same decimal.
+    """
+    return col.cast(MONEY_SUM).cast("double")
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: full-scan partial+final hash aggregate on lineitem.
 
@@ -44,10 +59,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast(MONEY_SUM).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast(MONEY_SUM).alias("sum_base_price"),
-            F.sum(disc_price).cast(MONEY_SUM).alias("sum_disc_price"),
-            F.sum(charge).cast(MONEY_SUM).alias("sum_charge"),
+            F.sum(_dec(F.col("l_quantity"))).cast(MONEY_SUM).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast(MONEY_SUM).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast(MONEY_SUM).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast(MONEY_SUM).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -70,7 +85,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust.hint("broadcast"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast(MONEY_SUM).alias("revenue"))
+        .agg(F.sum(revenue).cast(MONEY_SUM).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
@@ -84,7 +99,7 @@ def top_customers_by_spend(spark: SparkSession, sf_dir: str, k: int = 10) -> Dat
     spend = (
         orders.groupBy("o_custkey")
         .agg(
-            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("total_spend"),
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).cast("double").alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -112,7 +127,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).cast(MONEY_SUM).alias("revenue"))
+        .agg(F.sum(revenue).cast(MONEY_SUM).cast("double").alias("revenue"))
         .orderBy("nation")
     )
 
@@ -152,7 +167,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"),
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("nation", "segment")
@@ -170,7 +185,7 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"),
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("segment", "priority")
@@ -247,7 +262,7 @@ def asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec(F.col("attributed"))).cast(MONEY_SUM).alias(
+            F.sum(_dec(F.col("attributed"))).cast(MONEY_SUM).cast("double").alias(
                 "sum_attributed"
             ),
         )
@@ -289,7 +304,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.min("p_size").alias("min_size"),
             F.max("p_size").alias("max_size"),
-            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).alias("sum_price"),
+            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).cast("double").alias("sum_price"),
         )
         .orderBy("part_type")
     )
@@ -327,7 +342,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("hour", "event_type")
@@ -448,7 +463,7 @@ def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).alias("sum_price"),
+            F.sum(_dec(F.col("p_retailprice"))).cast(MONEY_SUM).cast("double").alias("sum_price"),
         )
         .orderBy("band_id")
     )
@@ -551,7 +566,7 @@ def events_session_windows(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).alias("sum_value"),
+            F.sum(F.col("value").cast(MONEY)).cast(MONEY_SUM).cast("double").alias("sum_value"),
         )
     )
     return sw.select(
@@ -634,9 +649,11 @@ def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finer granularity partition the window by month and stitch.
     """
     orders = load_table(spark, "orders", sf_dir)
+    # the rolling sum runs over the EXACT decimal dailies (window sums of
+    # doubles are frame-order-dependent); only the final outputs go DOUBLE
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue"))
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("revenue_dec"))
         .withColumn("day_idx", F.datediff("day", F.lit("1995-01-01")))
     )
     w = (
@@ -644,9 +661,13 @@ def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         daily.withColumn(
-            "revenue_7d", F.sum("revenue").over(w).cast("decimal(38,6)")
+            "revenue_7d_dec", F.sum("revenue_dec").over(w).cast("decimal(38,6)")
         )
-        .select("day", "revenue", "revenue_7d")
+        .select(
+            "day",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.col("revenue_7d_dec").cast("double").alias("revenue_7d"),
+        )
         .orderBy("day")
     )
 

@@ -63,8 +63,11 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # exact decimal accumulation, DOUBLE output (decimal outputs
+            # hash-mismatch on the driver — see queries/relational._money_out)
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(28,6)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

@@ -17,11 +17,26 @@ import __spark_entry__ as entrymod
 from neo4j_database_spark.session import get_spark
 
 
+from decimal import Decimal
+
+# Column types that survive the driver's exact cell hashing. DECIMAL does
+# NOT: the driver materializes Spark results as Python Decimal objects but
+# DuckDB results as float64, so equal values stringify differently and the
+# hash fails even when the math is exact (round-1 lesson: all 12 hash-fail
+# queries had a DECIMAL output column; every all-int/string/double query
+# passed). Decimal is therefore an ERROR here, not a comparable value.
+DRIVER_UNSAFE = "__DRIVER_UNSAFE_DECIMAL__"
+
+
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6g}"
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, float):
+        # exact: repr round-trips the IEEE64 value, so any cross-engine
+        # bit drift fails locally before it fails on the driver
+        return repr(v)
+    if isinstance(v, Decimal):
+        return DRIVER_UNSAFE
     return str(v)
 
 
@@ -60,7 +75,12 @@ def main():
         sc, sn, sh, sl = table_fingerprint(scols, srows)
         oc, on, oh, ol = table_fingerprint(ocols, orows)
         ok = (sc == oc) and (sn == on) and (sh == oh)
+        decimal_leak = any(DRIVER_UNSAFE in line for line in sl + ol)
+        if decimal_leak:
+            ok = False
         status = "OK " if ok else "FAIL"
+        if decimal_leak:
+            status = "DEC!"
         print(f"{name:32s} {status} spark={sn} oracle={on}")
         if not ok:
             failures.append(name)
