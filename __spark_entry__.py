@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_counts": rel.region_customer_counts,
         "doc_token_stats": text.token_stats,
         "doc_quality_score": text.quality_score,
+        "g_house_nodes": on_graph(
+            lambda g: gq.house_subgraph_nodes(g, SUBGRAPH_HOUSES)
+        ),
     }
 
 
@@ -218,8 +221,19 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neo4j_database_spark/graph/model.py exactly.
 GRAPH_CTES = """
 WITH persons AS (
+  -- full reference property set (get_insert.py:87-103), derived as pure
+  -- functions of the person id — mirrors model.with_person_props exactly
   SELECT c_custkey AS id, c_name AS name, n_name AS house,
-         c_mktsegment AS segment, c_acctbal AS acctbal
+         c_mktsegment AS segment, c_acctbal AS acctbal,
+         CASE WHEN c_custkey % 19 = 0 THEN 'half-giant'
+              WHEN c_custkey % 23 = 0 THEN 'werewolf'
+              ELSE 'human' END AS species,
+         CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+         (c_custkey % 7) <> 0 AS alive,
+         CASE WHEN c_custkey % 10 < 3 THEN ''
+              ELSE 'https://img.invalid/p' || CAST(c_custkey AS VARCHAR) || '.png'
+         END AS image,
+         FALSE AS is_user
   FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 ),
 friend_e AS (
@@ -272,6 +286,67 @@ sym_edges AS (
 
 def _sql_list(values: list[str]) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
+def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
+    """Exact oracle for galg.pagerank: the iteration UNROLLED as chained
+    CTEs (10 supersteps), with the identical arithmetic contract —
+
+    - per-edge contributions rank/deg computed in IEEE doubles, then
+      quantized to DECIMAL(20,9) (both engines agree on double→decimal
+      at scale 9 for |x| ≤ 1) and summed exactly (order-independent);
+    - the teleport + dangling-mass scalar recurrence computed in DOUBLE
+      with the same operation order as the Python driver code
+      (algorithms.py: (1-d)/n + d*mass/n; mass' = n_dang*tpd), literals
+      CAST to DOUBLE because DuckDB float literals default to DECIMAL.
+    """
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    ctes = [
+        "pr_deg AS (SELECT src, COUNT(*) AS deg FROM sym_edges GROUP BY src)",
+        (
+            "pr_consts AS (SELECT"
+            " (SELECT CAST(COUNT(*) AS DOUBLE) FROM persons) AS n,"
+            " (SELECT CAST(COUNT(*) AS DOUBLE) FROM persons)"
+            " - (SELECT CAST(COUNT(*) AS DOUBLE) FROM pr_deg) AS n_dang)"
+        ),
+        f"pr_r0 AS (SELECT id, {one} / n AS rank FROM persons, pr_consts)",
+        "pr_s0 AS (SELECT n, n_dang, n_dang / n AS mass FROM pr_consts)",
+    ]
+    for k in range(max_iter):
+        ctes.append(
+            f"pr_t{k} AS (SELECT n, n_dang,"
+            f" (({one} - {d}) / n) + (({d} * mass) / n) AS tpd"
+            f" FROM pr_s{k})"
+        )
+        ctes.append(
+            f"pr_s{k + 1} AS (SELECT n, n_dang, n_dang * tpd AS mass"
+            f" FROM pr_t{k})"
+        )
+        ctes.append(
+            f"""pr_r{k + 1} AS (
+  SELECT p.id,
+         t.tpd + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM persons p
+  CROSS JOIN pr_t{k} t
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           CAST(SUM(CAST(r.rank / CAST(dg.deg AS DOUBLE) AS DECIMAL(20,9)))
+                AS DOUBLE) AS inflow
+    FROM sym_edges e
+    JOIN pr_r{k} r ON e.src = r.id
+    JOIN pr_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) i ON i.id = p.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT p.name, r.rank
+FROM persons p JOIN pr_r{max_iter} r ON r.id = p.id
+ORDER BY r.rank DESC, p.name ASC
+"""
 
 
 def _feature_matrix_sql() -> str:
@@ -380,7 +455,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "g_directory": f"""{GRAPH_CTES}
-SELECT name, house, segment, acctbal FROM persons ORDER BY name
+SELECT name, house, species, gender, alive, image, segment, acctbal
+FROM persons ORDER BY name
 """,
         "g_search": f"""{GRAPH_CTES}
 SELECT name, house FROM persons
@@ -419,6 +495,15 @@ FROM persons a JOIN persons b ON a.house = b.house
 WHERE a.name = '{EGO_NAME}' AND b.name <> a.name
 ORDER BY mate LIMIT 100
 """,
+        "g_house_nodes": f"""{GRAPH_CTES}
+SELECT CAST(id AS VARCHAR) AS node_id, name AS label, 'person' AS grp, house
+FROM persons WHERE house IN ({sub_houses})
+UNION ALL
+SELECT n_name AS node_id, n_name AS label, 'house' AS grp,
+       CAST(NULL AS VARCHAR) AS house
+FROM nation WHERE n_name IN ({sub_houses})
+ORDER BY grp, node_id
+""",
         "g_house_subgraph": f"""{GRAPH_CTES}
 SELECT s.name AS src_name, d.name AS dst_name, e.type AS rel_type
 FROM edges e
@@ -428,7 +513,7 @@ WHERE s.house IN ({sub_houses}) AND d.house IN ({sub_houses})
 ORDER BY rel_type, src_name, dst_name LIMIT 5000
 """,
         "g_winder": f"""{GRAPH_CTES}
-SELECT p.name AS name,
+SELECT p.name AS name, p.house AS house, p.image AS image,
        COUNT(DISTINCT s.name) AS common_friends,
        string_agg(DISTINCT s.name, ',' ORDER BY s.name) AS shared_with
 FROM sym_edges e
@@ -437,7 +522,7 @@ JOIN persons p ON e.dst = p.id
 WHERE s.name IN ({seeds})
   AND p.name NOT IN ({seeds})
   AND e.type IN ('FRIEND_OF', 'SAME_FAMILY', 'ROMANTIC_WITH')
-GROUP BY p.name
+GROUP BY p.name, p.house, p.image
 ORDER BY common_friends DESC, name ASC
 LIMIT 3
 """,
@@ -495,6 +580,7 @@ FROM (
   GROUP BY substr(name, length(name) - 1, 2)
 )
 """,
+        "g_pagerank": _pagerank_sql(),
         "g_link_pred_scores": f"""{GRAPH_CTES}
 , nbr AS (
   SELECT DISTINCT src, dst FROM sym_edges
@@ -692,12 +778,16 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
   FROM toks
   CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
 ),
+-- inverted-index pruning: drop shingles in more than 50 docs (mirrors
+-- dedup.ngram_jaccard_pairs max_df)
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN rare r ON r.shingle = s.shingle),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

@@ -84,10 +84,14 @@ class WinderEngine:
         if not friends:
             raise ValueError("friends list must be non-empty")  # app.py:210-212
         out = gq.winder(self.graph, friends, k).collect()
+        # response keys mirror app.py:238-244: name, house, image, score
+        # (= common_friends), shared_with
         return [
             {
                 "name": r["name"],
-                "common_friends": r["common_friends"],
+                "house": r["house"],
+                "image": r["image"],
+                "score": r["common_friends"],
                 "shared_with": r["shared_with"].split(",") if r["shared_with"] else [],
             }
             for r in out
@@ -128,23 +132,47 @@ class WinderEngine:
     def house_graph(
         self, houses: Sequence[str], limit: int = 5000
     ) -> dict[str, Any]:
+        """Person-person subgraph PLUS the House hub nodes and BELONGS_TO
+        spokes (reference app.py:410-434 runs a second query for exactly
+        this, so the UI's "House Connection" filter and hub rendering
+        work). House node ids are the house NAME — the reference's
+        ``h.get("id", h["name"])`` — which cannot collide with numeric
+        person ids."""
         sub = gq.house_subgraph(self.graph, houses, limit)
         members = self.graph.persons.filter(F.col("house").isin(list(houses)))
-        nodes = members.select(
-            F.col("id"),
+        person_nodes = members.select(
+            F.col("id").cast("string").alias("id"),
             F.col("name").alias("label"),
             F.lit("person").alias("group"),
             "house",
         )
+        hub_nodes = self.graph.houses.filter(
+            F.col("name").isin(list(houses))
+        ).select(
+            F.col("name").alias("id"),
+            F.col("name").alias("label"),
+            F.lit("house").alias("group"),
+            F.lit(None).cast("string").alias("house"),
+        )
+        nodes = person_nodes.unionByName(hub_nodes)
         ids = members.select("name", F.col("id").alias("nid"))
-        edges = (
+        pp_edges = (
             sub.join(ids.withColumnsRenamed({"name": "src_name"}), "src_name")
             .withColumnsRenamed({"nid": "source"})
             .join(ids.withColumnsRenamed({"name": "dst_name"}), "dst_name")
             .withColumnsRenamed({"nid": "target"})
-            .select("source", "target", F.col("rel_type").alias("label"))
+            .select(
+                F.col("source").cast("string").alias("source"),
+                F.col("target").cast("string").alias("target"),
+                F.col("rel_type").alias("label"),
+            )
         )
-        return cytoscape_elements(nodes, edges)
+        belongs_edges = members.select(
+            F.col("id").cast("string").alias("source"),
+            F.col("house").alias("target"),
+            F.lit("BELONGS_TO").alias("label"),
+        )
+        return cytoscape_elements(nodes, pp_edges.unionByName(belongs_edges))
 
     # -- GET /housemates/<name> (app.py:287-301) --
     def housemates(self, name: str, limit: int = 100) -> list[str]:
@@ -210,9 +238,11 @@ class WinderEngine:
         if write_back:
             # S6 writeback against this graph's schema: MERGE the user
             # node (fresh id, last-writer-wins on name) + chosen edges
-            # (append + dedup). The reference marks isUser=true; this
-            # node table flags users by the USER segment instead.
-            p = self.graph.persons
+            # (append + dedup). is_user=true marks the node, mirroring
+            # the reference's isUser flag (app.py:105).
+            from neo4j_database_spark.graph.model import with_person_props
+
+            p = with_person_props(self.graph.persons)
             # MERGE semantics: an existing node keeps its id (so its
             # edges stay attached); only a truly new user mints one.
             existing = p.filter(F.col("name") == name).select("id").first()
@@ -220,7 +250,21 @@ class WinderEngine:
                 existing["id"] if existing else p.agg(F.max("id")).first()[0] + 1
             )
             user_row = self.spark.createDataFrame(
-                [(new_id, name, predicted, "USER", 0.0)], p.schema
+                [
+                    (
+                        new_id,
+                        name,
+                        predicted,
+                        "USER",
+                        0.0,
+                        "human",  # species default (get_insert.py:98 analog)
+                        "",
+                        True,  # alive defaults true (get_insert.py:100)
+                        "",  # image defaults '' (get_insert.py:101)
+                        True,  # isUser (app.py:105)
+                    )
+                ],
+                p.schema,
             )
             persons = p.filter(F.col("name") != name).unionByName(user_row)
             targets = persons.select("id", "name")

@@ -39,10 +39,35 @@ def degree_centrality(g: GraphModel, types: tuple[str, ...] | None = None) -> Da
     )
 
 
+# Node-count threshold for broadcasting the per-node state frame in
+# iterative supersteps. Below it, broadcasting ranks/labels avoids
+# shuffling anything per iteration (the edge table never moves and the
+# aggregate combines map-side). Above it, a broadcast would ship an
+# executor-memory-sized frame to every executor each superstep — the
+# classic driver/executor OOM at billion-node scale — so the loop
+# switches to co-partitioned joins: the static edge table is hash
+# partitioned on the join key ONCE (localCheckpoint preserves the
+# partitioning), and each superstep shuffles only the node-sized state
+# frame. ~10M ids × ~16B/row ≈ 160 MB broadcast — a sane ceiling.
+BROADCAST_NODE_LIMIT = 10_000_000
+
+
+def _copartition(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition ``df`` on ``key`` and pin the partitioning.
+
+    ``localCheckpoint`` materializes the RDD and preserves its output
+    partitioning in the resulting LogicalRDD, so later equi-joins on
+    ``key`` reuse it (only the other side shuffles).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, key).localCheckpoint()
+
+
 def connected_components(
     g: GraphModel,
     types: tuple[str, ...] = ("FRIEND_OF",),
     max_iter: int = 20,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
 ) -> DataFrame:
     """Min-label propagation connected components.
 
@@ -52,19 +77,24 @@ def connected_components(
     converges in 2 supersteps; the max_iter bound is the safety rail for
     path-shaped graphs (diameter supersteps needed).
 
+    Per-superstep shuffle: zero in broadcast mode; one node-sized
+    exchange (the labels frame) in co-partitioned mode — the edge table
+    never moves in either mode.
+
     Returns (component, size) — component = min person id in the
     component, the conventional canonical label.
     """
-    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
     labels = g.persons.select("id", F.col("id").alias("comp")).localCheckpoint()
+    small = labels.count() <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
+    edges = (
+        edges.localCheckpoint() if small else _copartition(edges, "src")
+    )
 
     for _ in range(max_iter):
-        # Broadcast the node-label side: the edge table never shuffles
-        # across supersteps and the aggregate combines map-side. (At
-        # billion-node scale flip to co-partitioned edges+labels with
-        # partitioning reuse instead of broadcast.)
+        label_side = F.broadcast(labels) if small else labels
         nbr_min = (
-            edges.join(F.broadcast(labels), edges.src == labels.id)
+            edges.join(label_side, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -93,23 +123,50 @@ def connected_components(
     )
 
 
+# Per-edge rank contributions are quantized to DECIMAL(20,9) before the
+# inflow sum. Double sums are accumulation-order-dependent (partition
+# count, engine); decimal sums are exact and order-independent, so every
+# iteration's ranks are bit-identical across partitionings AND across
+# engines — which is what makes the DuckDB oracle for g_pagerank exact.
+# Scale 9 is the largest scale where double→decimal conversion provably
+# agrees between engines for |x| ≤ 1 (|x|·10⁹·2⁻⁵² ≪ 0.5); the ~5e-10
+# quantization per contribution is far below any meaningful rank signal.
+CONTRIB_DEC = "decimal(20,9)"
+
+
 def pagerank(
     g: GraphModel,
     types: tuple[str, ...] | None = None,
     max_iter: int = 10,
     damping: float = 0.85,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
 ) -> DataFrame:
     """PageRank over the undirected view (each stored edge contributes
     both directions), uniform teleport, dangling mass redistributed
     uniformly. Iterative join-aggregate supersteps with checkpointing.
+
+    Deterministic by construction (decimal-quantized contributions, see
+    CONTRIB_DEC) — the result is independent of partitioning and
+    hash-matches the unrolled DuckDB oracle (__spark_entry__._pagerank_sql).
     """
     # Static structures materialize once: edges pre-joined with out-degree
     # (so the per-iteration join touches one table), dangling ids fixed.
-    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
+    small = n <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+    edges_deg = edges.join(out_deg, "src")
+    # Small graphs: broadcast ranks each superstep (zero per-iteration
+    # shuffle of anything node-sized; the edge table never moves). Large
+    # graphs: broadcasting an O(nodes) frame per superstep OOMs — hash
+    # partition the static edge table on the join key once and let each
+    # superstep shuffle only the ranks frame into that partitioning.
+    edges_deg = (
+        edges_deg.localCheckpoint()
+        if small
+        else _copartition(edges_deg, "src")
+    )
     # Dangling (degree-0) nodes receive no inflow, so every dangling node
     # carries the SAME rank each iteration and the leaked dangling mass
     # follows a scalar recurrence — computed on the driver, costing zero
@@ -120,16 +177,15 @@ def pagerank(
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for _ in range(max_iter):
-        # Broadcast ranks (one row per node, small): the 2-orders-larger
-        # edge table stays in place, contributions partial-aggregate
-        # map-side, and the only shuffle carries per-node partials. At
-        # billion-node scale: co-partition edges_deg and ranks on the
-        # join key once and reuse the partitioning instead.
+        rank_side = F.broadcast(ranks) if small else ranks
         contribs = (
-            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            edges_deg.join(rank_side, edges_deg.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).cast(CONTRIB_DEC).alias("c"),
+            )
             .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(F.sum("c").cast("double").alias("inflow"))
         )
         teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
         ranks = (
@@ -231,7 +287,9 @@ def label_propagation(
     iterative mode-of-neighbors is not SQL-expressible)."""
     from pyspark.sql.window import Window as W
 
-    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    # static edge table co-partitioned on the per-superstep join key so
+    # only the node-sized labels frame shuffles each iteration
+    edges = _copartition(g.sym_edges(types).select("src", "dst"), "dst")
     labels = g.persons.select("id", F.col("id").alias("label")).localCheckpoint()
 
     for _ in range(max_iter):

@@ -6,7 +6,8 @@ nodes and five relationship types created by rule-based ETL
 DataFrames (GraphFrames convention):
 
     persons(id BIGINT, name STRING, house STRING, segment STRING,
-            acctbal DOUBLE)
+            acctbal DOUBLE, species STRING, gender STRING, alive BOOLEAN,
+            image STRING, is_user BOOLEAN)
     edges(src BIGINT, dst BIGINT, type STRING)
 
 mapped from the driver's tables per FIXTURES.md §5: ``customer`` plays
@@ -60,14 +61,67 @@ ENEMY_HOUSE_B = "NATION_1"
 ROMANCE_STEP = 101
 
 
+# Full person property set of the reference (get_insert.py:87-103 SETs
+# house, species, gender, alive, image, id; app.py:105 adds isUser on
+# user writeback). The TPC-H fixture tables have no such columns, so they
+# are derived as pure functions of the person id — deterministic,
+# engine-portable (the DuckDB oracle CTE reproduces the same CASE
+# expressions), and stable under repartitioning.
+PERSON_PROP_COLS = ("species", "gender", "alive", "image", "is_user")
+
+
+def with_person_props(persons: DataFrame) -> DataFrame:
+    """Add any missing reference person properties, derived from ``id``.
+
+    Idempotent: frames that already carry a property column (e.g. a real
+    ingest through etl.normalize_persons, or a user-node writeback) keep
+    their values; only absent columns are filled. Test fixtures with the
+    minimal (id, name, house, segment, acctbal) schema pass through here
+    so every serving query can rely on the full property set.
+    """
+    out = persons
+    if "species" not in out.columns:
+        out = out.withColumn(
+            "species",
+            F.when(F.col("id") % 19 == 0, F.lit("half-giant"))
+            .when(F.col("id") % 23 == 0, F.lit("werewolf"))
+            .otherwise(F.lit("human")),
+        )
+    if "gender" not in out.columns:
+        out = out.withColumn(
+            "gender",
+            F.when(F.col("id") % 2 == 0, F.lit("female")).otherwise(
+                F.lit("male")
+            ),
+        )
+    if "alive" not in out.columns:
+        out = out.withColumn("alive", (F.col("id") % 7) != 0)
+    if "image" not in out.columns:
+        out = out.withColumn(
+            "image",
+            F.when(F.col("id") % 10 < 3, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("https://img.invalid/p"),
+                    F.col("id").cast("string"),
+                    F.lit(".png"),
+                )
+            ),
+        )
+    if "is_user" not in out.columns:
+        out = out.withColumn("is_user", F.lit(False))
+    return out
+
+
 def persons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Person nodes: customer rows with the house (nation name) denormalized.
+    """Person nodes: customer rows with the house (nation name) denormalized
+    plus the reference's full property set (species/gender/alive/image/
+    is_user, get_insert.py:87-103).
 
     The nation dim is ≤25 rows — broadcast join, no shuffle on the fact side.
     """
     customer = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
-    return (
+    return with_person_props(
         customer.join(
             F.broadcast(nation),
             customer.c_nationkey == nation.n_nationkey,

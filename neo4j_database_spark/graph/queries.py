@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from neo4j_database_spark.graph.model import GraphModel
+from neo4j_database_spark.graph.model import GraphModel, with_person_props
 
 # Edge types that carry "social" signal for link prediction (the reference's
 # winder expands FRIEND_OF; our graph adds family/romance so common-neighbor
@@ -27,8 +27,23 @@ WINDER_TYPES = ("FRIEND_OF", "SAME_FAMILY", "ROMANTIC_WITH")
 
 
 def directory(g: GraphModel) -> DataFrame:
-    """Full person directory, sorted. Reference: app.py:188-204 (P1/T2)."""
-    return g.persons.select("name", "house", "segment", "acctbal").orderBy("name")
+    """Full person directory, sorted, with the complete property set the
+    reference serves (app.py:188-204 returns name, house, species, alive,
+    image; get_insert.py:87-103 defines the stored properties). P1/T2."""
+    return (
+        with_person_props(g.persons)
+        .select(
+            "name",
+            "house",
+            "species",
+            "gender",
+            "alive",
+            "image",
+            "segment",
+            "acctbal",
+        )
+        .orderBy("name")
+    )
 
 
 def search(g: GraphModel, q: str, limit: int = 10) -> DataFrame:
@@ -150,19 +165,29 @@ def winder(g: GraphModel, seed_names: Sequence[str], k: int = 3) -> DataFrame:
 
     seed IN-filter (P2) → undirected expansion (J3) → anti-filter of the
     seed set (J3b) → group-count + collect of shared seeds (A2) → top-k
-    (T1). The seed side is a handful of rows → broadcast; the aggregation
-    is partial+final hash agg; the top-k is TakeOrderedAndProject.
+    (T1). The candidate enrich carries house + image (the reference
+    returns candidate.name, candidate.house, candidate.image,
+    app.py:223-227 — J9). The seed side is a handful of rows →
+    broadcast; the aggregation is partial+final hash agg; the top-k is
+    TakeOrderedAndProject.
     """
     seeds = g.persons.filter(F.col("name").isin(list(seed_names))).select(
         F.col("id").alias("src"), F.col("name").alias("seed_name")
     )
-    cand = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("name"))
+    cand = with_person_props(g.persons).select(
+        F.col("id").alias("dst"),
+        F.col("name").alias("name"),
+        "house",
+        "image",
+    )
     return (
         g.sym_edges(WINDER_TYPES)
         .join(F.broadcast(seeds), "src")
         .join(cand, "dst")
         .filter(~F.col("name").isin(list(seed_names)))
-        .groupBy("name")
+        # names are unique, so house/image are functionally dependent on
+        # name — grouping on all three adds no groups, just carries them
+        .groupBy("name", "house", "image")
         .agg(
             F.countDistinct("seed_name").alias("common_friends"),
             F.array_join(F.sort_array(F.collect_set("seed_name")), ",").alias(
@@ -172,6 +197,36 @@ def winder(g: GraphModel, seed_names: Sequence[str], k: int = 3) -> DataFrame:
         .orderBy(F.desc("common_friends"), F.asc("name"))
         .limit(k)
     )
+
+
+def house_subgraph_nodes(
+    g: GraphModel, houses: Sequence[str]
+) -> DataFrame:
+    """Node list of the house-subgraph endpoint: the member persons PLUS
+    one hub node per requested house. Reference: app.py:410-434 (query
+    #2 of /graph/houses fetches House nodes so the UI can render hubs
+    and the BELONGS_TO spokes). House hub ids are the house NAME, like
+    the reference's ``h.get("id", h["name"])`` — person ids are numeric,
+    so the namespaces can't collide."""
+    members = (
+        g.persons.filter(F.col("house").isin(list(houses)))
+        .select(
+            F.col("id").cast("string").alias("node_id"),
+            F.col("name").alias("label"),
+            F.lit("person").alias("grp"),
+            "house",
+        )
+    )
+    hubs = (
+        g.houses.filter(F.col("name").isin(list(houses)))
+        .select(
+            F.col("name").alias("node_id"),
+            F.col("name").alias("label"),
+            F.lit("house").alias("grp"),
+            F.lit(None).cast("string").alias("house"),
+        )
+    )
+    return members.unionByName(hubs).orderBy("grp", "node_id")
 
 
 def house_histogram(g: GraphModel, names: Sequence[str]) -> DataFrame:

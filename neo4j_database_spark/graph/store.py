@@ -36,10 +36,14 @@ CACHE_ROOT = os.environ.get(
     "SPARK_GRAFT_GRAPH_CACHE", "/tmp/neo4j_database_spark_graph"
 )
 
+# Bump when the materialized schema changes so stale caches self-invalidate
+# (v2: persons gained species/gender/alive/image/is_user).
+STORE_VERSION = 2
+
 
 def _store_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(CACHE_ROOT, key)
+    return os.path.join(CACHE_ROOT, f"{key}__v{STORE_VERSION}")
 
 
 def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:

@@ -37,7 +37,20 @@ def salted_join(
     within a hot key); the small side is replicated across all salts
     via explode. The join key becomes (key, salt), so one hot key's
     rows spread over ``num_salts`` tasks instead of one straggler.
+
+    Only ``inner`` and ``left`` (big side preserved) are supported:
+    each big row carries exactly one salt, so unmatched big rows emit
+    once and semantics are preserved. ``right``/``full_outer`` would
+    emit ``num_salts`` duplicates for every unmatched SMALL-side key
+    (the small side is replicated across all salts) — refuse rather
+    than silently corrupt.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, "
+            f"got how={how!r} (the exploded small side would duplicate "
+            f"unmatched keys)"
+        )
     big_salted = big.withColumn(
         SALT_COL,
         F.pmod(

@@ -117,7 +117,11 @@ def simhash_fingerprints(
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold_num: int = 1, threshold_den: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 50,
 ) -> DataFrame:
     """Candidate near-dup pairs with exact n-gram Jaccard ≥ num/den.
 
@@ -126,9 +130,30 @@ def ngram_jaccard_pairs(
     The threshold test is integer cross-multiplication
     (``den*common ≥ num*(na+nb-common)``) so the oracle comparison never
     touches floats.
+
+    High-document-frequency shingles are dropped BEFORE the pair join
+    (standard inverted-index pruning): a shingle present in n documents
+    emits C(n,2) pairs, so one stopword-like trigram shared by 1% of a
+    100 TB corpus would alone produce ~10¹² pairs — the quadratic
+    blow-up that kills naive all-pairs dedup. With ``df ≤ max_df`` the
+    per-shingle pair fan-out is bounded by C(max_df, 2) and total work
+    is linear in corpus size. Near-dup semantics are preserved: a
+    shingle shared by more than ``max_df`` documents carries ~zero
+    discrimination signal (it matches everything), exactly like
+    stopwords in text retrieval. Jaccard is computed consistently over
+    the PRUNED shingle space (sizes too), mirrored in the SQL oracle.
     """
     docs = load_table(spark, "documents", sf_dir)
     sh = shingles(docs)
+    # document frequency per shingle; keep only discriminative shingles.
+    # (shingles() is distinct per doc, so count(*) == document frequency)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -242,14 +242,22 @@ def click_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_events_stream(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication: keep one row per event_id across
-    micro-batches, with the watermark bounding the dedup state (ids
-    older than the watermark are evicted — at-least-once upstreams are
-    the norm in large ingest pipelines, and unbounded dedup state is
-    the classic scale failure).
+    micro-batches, with BOUNDED state.
 
-    Projection to the key + payload BEFORE dropDuplicates keeps the
-    state-store row narrow."""
-    return events.withWatermark("ts", WATERMARK).dropDuplicates(["event_id"])
+    ``dropDuplicatesWithinWatermark`` is the operator whose state the
+    watermark actually evicts: an id is remembered only until the
+    watermark passes its event time, so state is O(events inside the
+    watermark window), not O(all ids ever seen). Plain
+    ``dropDuplicates(['event_id'])`` would grow the state store forever
+    (Spark only evicts dropDuplicates state when the event-time column
+    is part of the key subset) — the classic scale failure for
+    at-least-once upstreams, whose duplicates arrive close together.
+
+    Projection to the key + payload BEFORE dedup keeps the state-store
+    row narrow."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

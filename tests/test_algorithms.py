@@ -87,6 +87,24 @@ def test_pagerank_mass_conserved(tiny):
     assert max(ranks, key=ranks.get) == "Alice A"
 
 
+def test_pagerank_copartitioned_mode_identical(tiny):
+    """The co-partitioned (big-graph) superstep path must produce
+    bit-identical ranks to the broadcast path: contributions are
+    decimal-quantized, so sums are accumulation-order-independent and
+    the result cannot depend on partitioning or join strategy."""
+    bcast = alg.pagerank(tiny, max_iter=5).collect()
+    copart = alg.pagerank(tiny, max_iter=5, broadcast_node_limit=0).collect()
+    assert [(r["name"], r["rank"]) for r in bcast] == [
+        (r["name"], r["rank"]) for r in copart
+    ]
+
+
+def test_connected_components_copartitioned_mode_identical(tiny):
+    comps = alg.connected_components(tiny).collect()
+    copart = alg.connected_components(tiny, broadcast_node_limit=0).collect()
+    assert [tuple(r) for r in comps] == [tuple(r) for r in copart]
+
+
 def test_label_propagation_two_triangles(spark):
     from neo4j_database_spark.graph.algorithms import label_propagation
     from neo4j_database_spark.graph.model import GraphModel

@@ -16,7 +16,18 @@ def test_characters_sorted(engine):
     chars = engine.characters()
     names = [c["name"] for c in chars]
     assert names == sorted(names) and len(names) > 0
-    assert set(chars[0]) == {"name", "house", "segment", "acctbal"}
+    # full reference property set (app.py:196-202 serves name/house/
+    # species/alive/image; plus fixture-mapping segment/acctbal/gender)
+    assert set(chars[0]) == {
+        "name",
+        "house",
+        "species",
+        "gender",
+        "alive",
+        "image",
+        "segment",
+        "acctbal",
+    }
 
 
 def test_search(engine):
@@ -28,8 +39,9 @@ def test_search(engine):
 def test_winder_response_shape(engine):
     out = engine.winder(["Customer#000000000", "Customer#000000001"])
     assert 0 < len(out) <= 3
+    # response keys mirror reference app.py:238-244
     assert all(
-        set(r) == {"name", "common_friends", "shared_with"}
+        set(r) == {"name", "house", "image", "score", "shared_with"}
         and isinstance(r["shared_with"], list)
         for r in out
     )
@@ -50,9 +62,19 @@ def test_ego_graph_cytoscape_shape(engine):
 
 def test_house_graph(engine):
     g = engine.house_graph(["NATION_3", "NATION_7"])
-    houses = {n["data"]["house"] for n in g["elements"]["nodes"]}
-    assert houses <= {"NATION_3", "NATION_7"}
-    assert len(g["elements"]["edges"]) > 0
+    nodes = g["elements"]["nodes"]
+    person_nodes = [n for n in nodes if n["data"]["group"] == "person"]
+    hub_nodes = [n for n in nodes if n["data"]["group"] == "house"]
+    assert {n["data"]["house"] for n in person_nodes} <= {"NATION_3", "NATION_7"}
+    # House hub nodes present (reference app.py:410-434, query #2)
+    assert {n["data"]["id"] for n in hub_nodes} == {"NATION_3", "NATION_7"}
+    edges = g["elements"]["edges"]
+    belongs = [e for e in edges if e["data"]["label"] == "BELONGS_TO"]
+    # every member has a BELONGS_TO spoke into its hub
+    assert len(belongs) == len(person_nodes) > 0
+    hub_ids = {n["data"]["id"] for n in hub_nodes}
+    assert all(e["data"]["target"] in hub_ids for e in belongs)
+    assert len(edges) > len(belongs)  # person-person edges still there
 
 
 def test_predict_house_composite_flow(engine):

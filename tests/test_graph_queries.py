@@ -92,6 +92,33 @@ def test_house_subgraph_both_endpoints(tiny):
     }
 
 
+def test_house_subgraph_nodes_includes_hubs(tiny):
+    """Node list of /graph/houses: member persons + one hub per house
+    (reference app.py:410-434 query #2)."""
+    rows = gq.house_subgraph_nodes(tiny, ["NATION_0", "NATION_1"]).collect()
+    got = [(r["node_id"], r["label"], r["grp"], r["house"]) for r in rows]
+    assert got == [
+        ("NATION_0", "NATION_0", "house", None),
+        ("NATION_1", "NATION_1", "house", None),
+        ("1", "Alice A", "person", "NATION_0"),
+        ("2", "Bob B", "person", "NATION_0"),
+        ("3", "Cara C", "person", "NATION_1"),
+        ("4", "Dan D", "person", "NATION_1"),
+    ]
+
+
+def test_winder_enrichment_columns(tiny):
+    """Winder carries candidate house + image (app.py:223-227); derived
+    image is a pure function of id (with_person_props)."""
+    rows = gq.winder(tiny, ["Bob B", "Dan D"], k=3).collect()
+    byname = {r["name"]: r for r in rows}
+    assert byname["Alice A"]["house"] == "NATION_0"
+    assert byname["Cara C"]["house"] == "NATION_1"
+    # id=1 → 1 % 10 < 3 → empty image; id=3 → non-empty derived URL
+    assert byname["Alice A"]["image"] == ""
+    assert byname["Cara C"]["image"] == "https://img.invalid/p3.png"
+
+
 def test_feature_matrix_no_double_count(tiny):
     """Undirected neighbors counted once per neighbor (train_fix.py
     semantics): Cara has friends Alice+Bob (NATION_0) and romance Eve

@@ -31,6 +31,24 @@ def test_salted_join_equivalent(spark, skewed):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_rejects_outer(spark, skewed):
+    """right/full would emit num_salts duplicates per unmatched small-side
+    key — the operator must refuse instead of silently corrupting."""
+    import pytest
+
+    dim = spark.createDataFrame([("hot", "H")], "key string, label string")
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError):
+            skew.salted_join(skewed, dim, "key", how=how)
+    # left join on the big side stays exact: unmatched big rows emit once
+    plain = skewed.join(dim, "key", "left").select("key", "v", "label")
+    salted = skew.salted_join(skewed, dim, "key", how="left").select(
+        "key", "v", "label"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
 def test_salted_join_spreads_hot_key(spark, skewed):
     salted = skewed.withColumn(
         skew.SALT_COL,

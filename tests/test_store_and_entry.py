@@ -21,13 +21,18 @@ def test_entry_contract(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["name", "common_friends", "shared_with"]
+    assert df.columns == [
+        "name",
+        "house",
+        "image",
+        "common_friends",
+        "shared_with",
+    ]
 
 
 # iterative / floating-point algorithms with no closed-form SQL twin —
 # the driver records a weaker rows-only check for these by design
 ROWS_ONLY = {
-    "g_pagerank",
     "g_label_propagation",
     "mm_image_features",
     "emb_kmeans",
