@@ -293,8 +293,10 @@ def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
     CTEs (10 supersteps), with the identical arithmetic contract —
 
     - per-edge contributions rank/deg computed in IEEE doubles, then
-      quantized to DECIMAL(20,9) (both engines agree on double→decimal
-      at scale 9 for |x| ≤ 1) and summed exactly (order-independent);
+      quantized to LONG nano-units round(x·1e9) (Spark HALF_UP ==
+      DuckDB half-away-from-zero on positives) and summed exactly
+      (order-independent integer sum), back to double by an exact
+      /1e9 division (per-node inflow ≤ 1e9 nanos ≪ 2^53);
     - the teleport + dangling-mass scalar recurrence computed in DOUBLE
       with the same operation order as the Python driver code
       (algorithms.py: (1-d)/n + d*mass/n; mass' = n_dang*tpd), literals
@@ -331,8 +333,9 @@ def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
   CROSS JOIN pr_t{k} t
   LEFT JOIN (
     SELECT e.dst AS id,
-           CAST(SUM(CAST(r.rank / CAST(dg.deg AS DOUBLE) AS DECIMAL(20,9)))
-                AS DOUBLE) AS inflow
+           CAST(SUM(CAST(round((r.rank / CAST(dg.deg AS DOUBLE))
+                               * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS inflow
     FROM sym_edges e
     JOIN pr_r{k} r ON e.src = r.id
     JOIN pr_deg dg ON dg.src = e.src
