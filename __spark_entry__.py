@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_house_nodes": on_graph(
             lambda g: gq.house_subgraph_nodes(g, SUBGRAPH_HOUSES)
         ),
+        "doc_pack_sequences": text.pack_sequences,
+        "doc_dedup_clusters": dedup.dedup_clusters,
     }
 
 
@@ -448,6 +450,76 @@ FROM sums ORDER BY doc_id
 # mirrors similarity.cosine_dup_pairs threshold (squared in the same
 # Python float arithmetic the Spark plan uses)
 _COS_THRESHOLD_SQ = repr(0.4 * 0.4)
+
+
+def _dedup_clusters_sql(max_iter: int = 5) -> str:
+    """Oracle for dedup.dedup_clusters: exact-dup pairs (same md5 digest)
+    ∪ MinHash-LSH candidate pairs, then ``max_iter`` unrolled supersteps
+    of min-label propagation. Integer labels — exact by construction."""
+    ctes = [
+        _SHINGLE_CTES.strip().lstrip(),
+        """dg AS (
+  SELECT doc_id, md5(shingle) AS d0, md5('x1|' || shingle) AS d1 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    MIN(substr(d0, 1, 8)) AS mh_0, MIN(substr(d0, 9, 8)) AS mh_1,
+    MIN(substr(d0, 17, 8)) AS mh_2, MIN(substr(d0, 25, 8)) AS mh_3,
+    MIN(substr(d1, 1, 8)) AS mh_4, MIN(substr(d1, 9, 8)) AS mh_5,
+    MIN(substr(d1, 17, 8)) AS mh_6, MIN(substr(d1, 25, 8)) AS mh_7
+  FROM dg GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+),
+near_p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+digs AS (SELECT md5(text) AS d, doc_id FROM documents),
+sv AS (SELECT d, MIN(doc_id) AS survivor FROM digs GROUP BY d),
+exact_p AS (
+  SELECT sv.survivor AS id_a, digs.doc_id AS id_b
+  FROM digs JOIN sv ON sv.d = digs.d
+  WHERE digs.doc_id <> sv.survivor
+),
+dpairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT * FROM near_p UNION ALL SELECT * FROM exact_p
+  )
+),
+dsym AS (
+  SELECT id_a AS src, id_b AS dst FROM dpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dpairs
+),
+dl0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)""",
+    ]
+    for k in range(max_iter):
+        ctes.append(
+            f"""dl{k + 1} AS (
+  SELECT l.id, least(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
+  FROM dl{k} l
+  LEFT JOIN (
+    SELECT e.dst AS id, MIN(s.lbl) AS mn
+    FROM dsym e JOIN dl{k} s ON e.src = s.id
+    GROUP BY e.dst
+  ) m ON m.id = l.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body},
+dsizes AS (SELECT lbl, COUNT(*) AS cluster_size FROM dl{max_iter} GROUP BY lbl)
+SELECT l.id AS doc_id, l.lbl AS cluster_id, s.cluster_size
+FROM dl{max_iter} l JOIN dsizes s ON s.lbl = l.lbl
+ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1298,6 +1370,30 @@ SELECT doc_id, COUNT(*) AS n_fingerprints,
        MIN(fp) AS min_fp, MAX(fp) AS max_fp
 FROM sel GROUP BY doc_id ORDER BY doc_id
 """,
+        # LLM sequence packing: concat-then-chunk per shard; integer-exact
+        "doc_pack_sequences": """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(floor(CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      / CAST(2048 AS DOUBLE)) AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT shard, chunk_id, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM chunked GROUP BY shard, chunk_id ORDER BY shard, chunk_id
+""",
+        # dedup clustering: exact+LSH pair graph → fixed-iteration
+        # min-label components (same unrolled construction as g_pagerank,
+        # but integer labels → trivially exact)
+        "doc_dedup_clusters": _dedup_clusters_sql(),
         # -- embeddings: extended similarity --
         "emb_cosine_dup_pairs": f"""
 WITH {_EMB_COMPONENTS.strip()},

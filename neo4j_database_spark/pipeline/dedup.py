@@ -267,3 +267,77 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 5
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: the composition a corpus
+    cleaner actually runs.
+
+    Pair graph = exact-duplicate pairs (identical md5 digest) ∪
+    MinHash-LSH candidate pairs (``minhash_lsh_pairs``); clusters are
+    the connected components of that graph, labeled by min doc_id —
+    fixed ``max_iter`` supersteps of min-label propagation, which
+    covers any cluster of diameter ≤ max_iter (near-dup clusters are
+    dense — LSH links most members pairwise — so 5 is generous; fixed
+    iteration keeps the result deterministic and SQL-expressible).
+
+    Scale shape: pairs come from bucketed joins (digest groupBy, LSH
+    band join) — never all-pairs; the propagation loop shuffles one
+    node-sized label frame per superstep (the doc side of the pair
+    graph, tiny relative to the corpus text). Integer labels → exact
+    unrolled SQL oracle (same construction as g_pagerank's).
+
+    Returns every document with its cluster id (singletons keep their
+    own id) plus the cluster size — the canonical keep-one-per-cluster
+    input.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    digests = docs.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+    survivors = digests.groupBy("digest").agg(
+        F.min("doc_id").alias("survivor")
+    )
+    exact_pairs = (
+        digests.join(survivors, "digest")
+        .filter(F.col("doc_id") != F.col("survivor"))
+        .select(
+            F.col("survivor").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    near_pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = exact_pairs.unionByName(near_pairs).distinct()
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+
+    labels = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.id_a == labels.id)
+            .groupBy(F.col("id_b").alias("id"))
+            .agg(F.min("lbl").alias("mn"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

@@ -7,7 +7,7 @@ Python UDFs, so the hot path stays inside whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neo4j_database_spark.catalog import load_table
@@ -297,3 +297,52 @@ def byte_entropy_col():
         return pd.Series(out)
 
     return entropy
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """LLM sequence packing (concat-then-chunk): assign documents to
+    fixed-token-budget training chunks.
+
+    The standard packing recipe for pretraining data: concatenate
+    documents in a deterministic order and split the token stream every
+    ``capacity`` tokens — a document lands in the chunk where its first
+    token falls (chunk = floor(tokens_before / capacity)). Packing runs
+    independently per shard (``doc_id % n_shards``), which is exactly
+    how a 100 TB pipeline does it: each shard is one writer's stream,
+    the per-shard window sort never sees more than 1/n_shards of the
+    corpus, and adding shards scales out with zero coordination. Output
+    is one row per (shard, chunk) with occupancy stats — the packing
+    efficiency report every training-data pipeline needs.
+
+    Integer-exact (token counts + floor division) → exact SQL oracle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    chunked = toks.withColumn(
+        "chunk_id", F.floor(before / F.lit(capacity)).cast("long")
+    )
+    return (
+        chunked.groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "chunk_id")
+    )

@@ -122,3 +122,55 @@ def test_byte_entropy_pandas_udf(spark):
     assert abs(got[2] - 1.0) < 1e-9  # two equiprobable symbols → 1 bit
     assert got[3] == 0.0 and got[4] == 0.0
     assert abs(got[5] - 2.0) < 1e-9  # four equiprobable symbols → 2 bits
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from neo4j_database_spark.pipeline.text import pack_sequences
+
+    from neo4j_database_spark.catalog import load_table
+
+    chunks = pack_sequences(spark, sf_dir, capacity=2048, n_shards=8).collect()
+    n_docs_total = load_table(spark, "documents", sf_dir).count()
+    # every document lands in exactly one chunk
+    assert sum(c["n_docs"] for c in chunks) == n_docs_total
+    by_shard = {}
+    for c in chunks:
+        by_shard.setdefault(c["shard"], []).append(c)
+    for shard, cs in by_shard.items():
+        cs.sort(key=lambda c: c["chunk_id"])
+        # chunk ids dense from 0; doc ranges strictly increasing (concat
+        # order preserved); every doc id belongs to its shard
+        assert cs[0]["chunk_id"] == 0
+        for prev, nxt in zip(cs, cs[1:]):
+            assert nxt["first_doc"] > prev["last_doc"]
+        for c in cs:
+            assert c["first_doc"] % 8 == shard and c["last_doc"] % 8 == shard
+            assert c["total_tokens"] > 0
+
+
+def test_dedup_clusters_merges_exact_and_near(spark, sf_dir):
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.pipeline.dedup import dedup_clusters
+
+    rows = dedup_clusters(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert len(rows) == docs.count()  # every doc labeled exactly once
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # canonical label: min id in cluster → label ≤ member id, and the
+    # label is itself a member carrying its own id as label
+    assert all(c <= d for d, c in label.items())
+    assert all(label[c] == c for c in set(label.values()))
+    # exact duplicates (identical text) must share a cluster
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    for g in dup_groups:
+        assert len({label[i] for i in g["ids"]}) == 1
+    # cluster_size consistent with the labeling
+    from collections import Counter
+
+    sizes = Counter(label.values())
+    assert all(r["cluster_size"] == sizes[r["cluster_id"]] for r in rows)
