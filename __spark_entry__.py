@@ -103,8 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- graph ETL audits (reference get_insert.py rule joins) --
         "g_rule_edge_counts": on_graph(gq.rule_edge_counts),
-        "g_house_adjacency": on_graph(gq.house_adjacency),
-        "g_friend_counts_by_house": on_graph(gq.friend_counts_by_house),
         # -- ML feature extraction (reference train_fix.py) --
         "g_feature_matrix": on_graph(lambda g: feature_matrix(g)),
         # -- graph analytics (north-star: GraphX-style, as DataFrame loops) --
@@ -133,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_regex_token_stats": text.regex_token_stats,
         "doc_top_terms": text.top_distinctive_terms,
         "doc_winnow_fingerprints": text.winnow_fingerprints,
+        "doc_pack_sequences": text.pack_sequences,
+        "doc_dedup_clusters": dedup.dedup_clusters,
         # -- similarity search over embeddings --
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_knn_lsh": similarity.knn_lsh,
@@ -158,7 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": rel.sales_cube,
         "asof_order_events": rel.asof_order_events,
         # ---------------- driver check window ends here (50) ----------------
-        # capability-redundant variants, all green in CORRECTNESS_r01:
+        # capability-redundant variants, all green in CORRECTNESS_r01
+        # with unchanged code/results (evidence on record):
+        "g_house_adjacency": on_graph(gq.house_adjacency),
+        "g_friend_counts_by_house": on_graph(gq.friend_counts_by_house),
         "order_priority_counts": rel.order_priority_counts,
         "events_sessionized": rel.events_sessionized,
         "events_json_extract": rel.events_json_extract,
@@ -180,8 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_house_nodes": on_graph(
             lambda g: gq.house_subgraph_nodes(g, SUBGRAPH_HOUSES)
         ),
-        "doc_pack_sequences": text.pack_sequences,
-        "doc_dedup_clusters": dedup.dedup_clusters,
     }
 
 
