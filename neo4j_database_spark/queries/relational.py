@@ -217,52 +217,41 @@ def asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute every event to the issuing user's most recent order at or
     before the event time (user = custkey mod 50).
 
-    Implemented with the union-sort carry-forward pattern: tag both
-    sides, sort each user's merged timeline once, and carry the latest
-    order forward with last(ignorenulls) — ONE shuffle of n+m rows,
-    versus the naive inequality join's |events|×|orders-per-user|
-    blow-up (13s → sub-second at sf0.1). Deterministic: at equal
-    timestamps orders sort before events (inclusive as-of) and higher
-    orderkey sorts last (the carried value), matching the oracle's
+    Delegates to the generic ``operators.asof.asof_join`` (union-sort
+    carry-forward): ONE shuffle of n+m rows versus the naive inequality
+    join's |events|×|orders-per-user| blow-up (13s → sub-second at
+    sf0.1). Deterministic: equal timestamps match inclusively and the
+    highest orderkey wins among ties, matching the oracle's
     row_number(o_orderdate DESC, o_orderkey DESC) exactly. At 100 TB
     this is the standard distributed ASOF plan — range-bucket on
     (user, time) and the sort becomes per-bucket merge.
     """
-    from pyspark.sql.window import Window as W
+    from neo4j_database_spark.operators.asof import asof_join
 
     orders = load_table(spark, "orders", sf_dir).select(
         (F.col("o_custkey") % 50).alias("user_id"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.col("o_orderkey").alias("sortkey"),
+        F.col("o_orderdate").alias("ots"),
         "o_totalprice",
-        F.lit(None).cast("string").alias("event_type"),
+        "o_orderkey",
     )
     ev = load_table(spark, "events", sf_dir).select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        F.col("event_id").alias("sortkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-        "event_type",
+        "user_id", "ts", "event_id", "event_type"
     )
-    timeline = orders.unionByName(ev)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "is_event", "sortkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = timeline.withColumn(
-        "attributed", F.last("o_totalprice", ignorenulls=True).over(w)
-    )
-    matched = carried.filter(
-        (F.col("is_event") == 1) & F.col("attributed").isNotNull()
+    matched = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        value_cols=["o_totalprice"],
+        tie_col="o_orderkey",
+        how="inner",
     )
     return (
         matched.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec(F.col("attributed"))).cast(MONEY_SUM).cast("double").alias(
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).cast("double").alias(
                 "sum_attributed"
             ),
         )

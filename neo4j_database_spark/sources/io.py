@@ -118,3 +118,41 @@ def write_bucketed(
     if sort_by is not None:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 256,
+    sort_within_by: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each. Returns the number of output files.
+
+    The small-files problem is the silent killer of long-lived 100 TB
+    tables: streaming sinks and incremental batch appends produce
+    thousands of KB-sized files, and every downstream scan pays task
+    scheduling + footer reads per file. Compaction is the maintenance
+    pass (OPTIMIZE in table formats): read, coalesce to
+    ceil(bytes/target), rewrite. ``coalesce`` (not ``repartition``)
+    avoids a shuffle — upstream partitions are merged, not rehashed;
+    pass ``sort_within_by`` to restore clustering for row-group
+    min/max pruning while the data is being rewritten anyway.
+    """
+    import math
+    import os
+
+    # sum of file sizes on disk ≈ compressed bytes to rewrite
+    total_bytes = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    out = df.coalesce(n_files)
+    if sort_within_by is not None:
+        out = out.sortWithinPartitions(sort_within_by)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_files

@@ -117,3 +117,91 @@ def test_csv_roundtrip(spark, tmp_path):
     )
     df = io.read_csv(spark, str(p), schema)
     assert [(r["a"], r["b"]) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+
+
+def test_asof_join_hand_cases(spark):
+    from neo4j_database_spark.operators.asof import asof_join
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 1001),
+            (1, 20, 200.0, 1002),
+            (1, 20, 250.0, 1003),  # tie at t=20: higher okey wins
+            (2, 50, 500.0, 2001),
+        ],
+        "user long, ts long, price double, okey long",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 5, "e0"),   # before any order → no match
+            (1, 10, "e1"),  # equal ts → inclusive match (1001)
+            (1, 25, "e2"),  # most recent at t≤25 is the t=20 pair → 1003
+            (2, 49, "e3"),  # before user 2's order → no match
+            (3, 99, "e4"),  # user with no orders
+        ],
+        "user long, ts long, eid string",
+    )
+    inner = asof_join(
+        events, orders, on="user", left_ts="ts", right_ts="ts",
+        value_cols=["price", "okey"], tie_col="okey", how="inner",
+    )
+    got = {r["eid"]: (r["price"], r["okey"]) for r in inner.collect()}
+    assert got == {"e1": (100.0, 1001), "e2": (250.0, 1003)}
+
+    left = asof_join(
+        events, orders, on="user", left_ts="ts", right_ts="ts",
+        value_cols=["okey"], tie_col="okey", how="left",
+    )
+    lgot = {r["eid"]: r["okey"] for r in left.collect()}
+    assert lgot == {"e0": None, "e1": 1001, "e2": 1003, "e3": None, "e4": None}
+
+
+def test_asof_join_matches_naive(spark):
+    """Union-sort carry-forward == naive inequality-join + argmax."""
+    from pyspark.sql.window import Window as W
+
+    from neo4j_database_spark.operators.asof import asof_join
+
+    orders = spark.createDataFrame(
+        [(u, t, float(u * 1000 + t), u * 100 + t)
+         for u in range(5) for t in range(0, 50, 7)],
+        "user long, ts long, price double, okey long",
+    )
+    events = spark.createDataFrame(
+        [(u % 6, t, u * 50 + t) for u in range(9) for t in range(3, 60, 11)],
+        "user long, ts long, eid long",
+    )
+    fast = asof_join(
+        events, orders, on="user", left_ts="ts", right_ts="ts",
+        value_cols=["okey"], tie_col="okey", how="inner",
+    ).select("eid", "okey")
+    j = events.alias("e").join(
+        orders.alias("o"),
+        (F.col("e.user") == F.col("o.user")) & (F.col("o.ts") <= F.col("e.ts")),
+    )
+    w = W.partitionBy("eid").orderBy(F.desc("o.ts"), F.desc("okey"))
+    naive = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eid", "okey")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_compact_parquet(spark, tmp_path):
+    from neo4j_database_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+    n = compact_parquet(spark, src, dst, target_file_mb=256, sort_within_by="id")
+    assert n == 1  # tiny data → single target-size file
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
