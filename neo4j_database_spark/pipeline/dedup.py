@@ -218,6 +218,35 @@ def minhash_signatures(
     raise ValueError(hash_fn)
 
 
+def band_keys(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows for LSH banding — the
+    persistable inverted-index form of the MinHash signatures (at scale
+    this frame IS the stored index, partitioned by band_idx)."""
+    sig = minhash_signatures(docs, num_hashes, hash_fn)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * band_size + r}").cast("string")
+                      for r in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -236,24 +265,7 @@ def minhash_lsh_pairs(
     pathology.
     """
     docs = load_table(spark, "documents", sf_dir)
-    sig = minhash_signatures(docs, num_hashes, hash_fn)
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh_{b * band_size + r}").cast("string")
-                      for r in range(band_size)],
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sig.select(
-        "doc_id", F.explode(bands).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    exploded = band_keys(docs, num_hashes, band_size, hash_fn)
     a = exploded.select(
         F.col("doc_id").alias("id_a"), "band_idx", "band_key"
     )
@@ -340,4 +352,59 @@ def dedup_clusters(
             "cluster_size",
         )
         .orderBy("doc_id")
+    )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Ingest-time near-dup screening: candidate pairs between a NEW
+    document batch and the existing corpus, plus batch-internal pairs —
+    work linear in |batch|, never corpus × corpus.
+
+    The incremental counterpart of ``minhash_lsh_pairs``, mirroring
+    ``store.merge_increment``'s delta-edges idea: at 100 TB the corpus
+    band index (``band_keys``; partitioned by band_idx, bucketed by
+    band_key) is PERSISTED once and each arriving batch computes only
+    its own signatures, then probes the stored index with one bucketed
+    equi-join. Appending the accepted batch's bands keeps the index
+    current — no rescan, no rebuild.
+
+    Inputs are (doc_id, text) frames; ``batch`` doc_ids must be
+    disjoint from ``corpus``. Returns one row per candidate pair:
+    (batch_id, match_id, n_bands_hit, source) with source ∈
+    {'corpus', 'batch'}; batch-internal pairs appear once
+    (batch_id < match_id). Default hash_fn is the production xxhash64
+    path (no oracle constraint at the ingest boundary).
+    """
+    cb = band_keys(corpus, num_hashes, band_size, hash_fn)
+    bb = band_keys(batch, num_hashes, band_size, hash_fn)
+    probe = bb.select(
+        F.col("doc_id").alias("batch_id"), "band_idx", "band_key"
+    )
+    vs_corpus = (
+        probe.join(
+            cb.select(F.col("doc_id").alias("match_id"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .groupBy("batch_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+        .withColumn("source", F.lit("corpus"))
+    )
+    vs_batch = (
+        probe.join(
+            bb.select(F.col("doc_id").alias("match_id"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("batch_id") < F.col("match_id"))
+        .groupBy("batch_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+        .withColumn("source", F.lit("batch"))
+    )
+    return vs_corpus.unionByName(vs_batch).orderBy(
+        "batch_id", "source", "match_id"
     )

@@ -174,3 +174,28 @@ def test_dedup_clusters_merges_exact_and_near(spark, sf_dir):
 
     sizes = Counter(label.values())
     assert all(r["cluster_size"] == sizes[r["cluster_id"]] for r in rows)
+
+
+def test_incremental_near_dups(spark, docs):
+    """Batch probing: near-dup of a corpus doc is flagged against the
+    corpus; two near-dup docs inside the batch are flagged once; a
+    novel doc is silent. Linear-in-batch by construction (band probe)."""
+    from neo4j_database_spark.pipeline.dedup import incremental_near_dups
+
+    corpus = docs.filter(F.col("doc_id").isin([1, 4]))
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "the quick brown fox jumps over the sleepy dog"),  # near 1/10
+            (12, "nothing like anything else in any corpus anywhere truly"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_near_dups(corpus, batch).collect()
+    got = {(r["batch_id"], r["match_id"], r["source"]) for r in rows}
+    assert (10, 1, "corpus") in got  # exact dup hits all bands
+    assert (10, 11, "batch") in got  # batch-internal near dup, once
+    assert not any(b == 12 for b, _m, _s in got)  # novel doc is clean
+    # exact dup collides in every band
+    full = {r["batch_id"]: r["n_bands_hit"] for r in rows if r["match_id"] == 1}
+    assert full[10] == 4
