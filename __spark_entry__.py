@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_house_nodes": on_graph(
             lambda g: gq.house_subgraph_nodes(g, SUBGRAPH_HOUSES)
         ),
+        "doc_chunks": text.chunk_documents,
     }
 
 
@@ -1390,6 +1391,28 @@ SELECT shard, chunk_id, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM chunked GROUP BY shard, chunk_id ORDER BY shard, chunk_id
+""",
+        # sliding-window chunking (chunk_tokens=64, overlap=8 → stride 56);
+        # chunk text compared via md5 digest of the reassembled window
+        "doc_chunks": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+w AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+ex AS (
+  SELECT doc_id, t, n, CAST(s AS BIGINT) AS start
+  FROM w CROSS JOIN UNNEST(generate_series(1, greatest(n - 8, 1), 56)) AS u(s)
+)
+SELECT doc_id,
+  (start - 1) // 56 AS chunk_idx,
+  start AS chunk_start,
+  CAST(len(list_slice(t, CAST(start AS INT), CAST(least(start + 63, n) AS INT)))
+       AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(
+    list_slice(t, CAST(start AS INT), CAST(least(start + 63, n) AS INT)), ' '))
+    AS chunk_digest
+FROM ex ORDER BY doc_id, chunk_idx
 """,
         # dedup clustering: exact+LSH pair graph → fixed-iteration
         # min-label components (same unrolled construction as g_pagerank,

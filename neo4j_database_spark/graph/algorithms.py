@@ -225,6 +225,7 @@ def bfs_distances(
     source_name: str,
     types: tuple[str, ...] = ("FRIEND_OF",),
     max_depth: int = 10,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
 ) -> DataFrame:
     """Single-source shortest-path distances (unweighted BFS) over the
     undirected view.
@@ -233,8 +234,16 @@ def bfs_distances(
     anti-join already-visited nodes, checkpoint, repeat until the
     frontier empties or max_depth. Only reached nodes are returned
     (unreachable ≡ absent, mirroring Cypher's shortestPath null).
+
+    The frontier broadcasts only below ``broadcast_node_limit`` total
+    nodes — a frontier can grow to a constant fraction of the graph on
+    small-diameter graphs, so at scale the edge table is co-partitioned
+    on the expansion key once and each level shuffles just the
+    frontier/visited frames (both node-sized).
     """
-    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    small = g.persons.count() <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
+    edges = edges.localCheckpoint() if small else _copartition(edges, "src")
     visited = (
         g.persons.filter(F.col("name") == source_name)
         .select("id", F.lit(0).alias("dist"))
@@ -242,8 +251,9 @@ def bfs_distances(
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
+        frontier_side = F.broadcast(frontier) if small else frontier
         neighbors = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.id)
+            edges.join(frontier_side, edges.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
         )

@@ -346,3 +346,46 @@ def pack_sequences(
         )
         .orderBy("shard", "chunk_id")
     )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ~``chunk_tokens``-token windows overlapping by ``overlap`` tokens —
+    the text splitter feeding RAG indexes and long-document pretraining.
+
+    Chunk starts are 1, 1+stride, 1+2·stride, … (stride = chunk_tokens −
+    overlap) up to n_tokens − overlap, so every token is covered and
+    consecutive chunks share exactly ``overlap`` tokens (the final chunk
+    is shorter). Pure higher-order array functions — sequence → explode →
+    slice — so chunking runs inside codegen with zero Python; one narrow
+    map stage, no shuffle at all (the parallelism is the input
+    partitioning, which is why this scales to any corpus size).
+
+    Integer positions + deterministic text reassembly → exact SQL oracle.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - overlap, F.lit(1)), F.lit(stride)
+    )
+    exploded = toks.filter(F.col("n") >= 1).select(
+        "doc_id", "t", "n", F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_idx")

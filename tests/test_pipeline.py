@@ -199,3 +199,34 @@ def test_incremental_near_dups(spark, docs):
     # exact dup collides in every band
     full = {r["batch_id"]: r["n_bands_hit"] for r in rows if r["match_id"] == 1}
     assert full[10] == 4
+
+
+def test_chunk_documents_coverage(spark, sf_dir):
+    """Chunks tile each document: consecutive chunks overlap by exactly
+    `overlap` tokens, the last chunk ends at n_tokens, and token counts
+    reconcile (sum of chunk lengths = n + overlap * (n_chunks - 1))."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.pipeline.text import chunk_documents, _tokens
+
+    chunks = chunk_documents(spark, sf_dir, chunk_tokens=64, overlap=8)
+    rows = chunks.collect()
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n")
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every non-empty doc chunked
+    assert set(by_doc) == {d for d, n in n_by_doc.items() if n >= 1}
+    for d, cs in by_doc.items():
+        cs.sort(key=lambda r: r["chunk_idx"])
+        n = n_by_doc[d]
+        assert [c["chunk_idx"] for c in cs] == list(range(len(cs)))
+        assert cs[0]["chunk_start"] == 1
+        for prev, nxt in zip(cs, cs[1:]):
+            assert nxt["chunk_start"] - prev["chunk_start"] == 56  # stride
+        last = cs[-1]
+        assert last["chunk_start"] + last["n_chunk_tokens"] - 1 == n
+        total = sum(c["n_chunk_tokens"] for c in cs)
+        assert total == n + 8 * (len(cs) - 1)
