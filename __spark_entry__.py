@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: gq.house_subgraph_nodes(g, SUBGRAPH_HOUSES)
         ),
         "doc_chunks": text.chunk_documents,
+        "doc_repetition_stats": text.repetition_stats,
     }
 
 
@@ -1391,6 +1392,26 @@ SELECT shard, chunk_id, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM chunked GROUP BY shard, chunk_id ORDER BY shard, chunk_id
+""",
+        # intra-doc repetition profile over positional trigrams (integers)
+        "doc_repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+per_gram AS (SELECT doc_id, g, COUNT(*) AS m FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+  CAST(SUM(m) AS BIGINT) AS n_grams,
+  COUNT(*) AS n_distinct_grams,
+  CAST(SUM(m) - COUNT(*) AS BIGINT) AS n_dup_grams,
+  CAST(MAX(m) AS BIGINT) AS max_gram_count
+FROM per_gram GROUP BY doc_id ORDER BY doc_id
 """,
         # sliding-window chunking (chunk_tokens=64, overlap=8 → stride 56);
         # chunk text compared via md5 digest of the reassembled window

@@ -389,3 +389,40 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+def repetition_stats(
+    spark: SparkSession, sf_dir: str, width: int = 3
+) -> DataFrame:
+    """Intra-document repetition profile: how much of a document is
+    repeated word n-grams — the standard filter for boilerplate, chat
+    logs, and degenerate generations (the Gopher/MassiveText
+    "repetition" rules). A document whose trigrams are mostly
+    duplicates of each other is near-certainly low-value training text.
+
+    Per document over positional (multiplicity-preserving) ``width``-
+    grams: total occurrences, distinct grams, duplicated occurrences
+    (total − distinct), and the hottest gram's multiplicity. All
+    integers — callers threshold (e.g. drop if n_dup_grams·5 ≥ n_grams)
+    without any float in the contract; exact SQL oracle.
+
+    One explode + one two-level aggregate; grams never join anything,
+    so the cost is a linear scan however large the corpus.
+    """
+    from neo4j_database_spark.pipeline.dedup import positional_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = positional_shingles(docs, width).select("doc_id", "shingle")
+    per_gram = grams.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            (F.sum("m") - F.count(F.lit(1))).cast("long").alias("n_dup_grams"),
+            F.max("m").cast("long").alias("max_gram_count"),
+        )
+        .orderBy("doc_id")
+    )

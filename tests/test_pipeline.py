@@ -230,3 +230,25 @@ def test_chunk_documents_coverage(spark, sf_dir):
         assert last["chunk_start"] + last["n_chunk_tokens"] - 1 == n
         total = sum(c["n_chunk_tokens"] for c in cs)
         assert total == n + 8 * (len(cs) - 1)
+
+
+def test_repetition_stats_hand_case(spark, monkeypatch):
+    """'a b c a b c a b c' has 7 trigrams, 3 distinct ('a b c' ×3,
+    'b c a' ×2, 'c a b' ×2) → 4 duplicated, hottest count 3."""
+    from neo4j_database_spark.pipeline import text as textmod
+
+    fake = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "w x y z")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        textmod, "load_table", lambda _s, _t, _d: fake
+    )
+    rows = {r["doc_id"]: r for r in textmod.repetition_stats(spark, "x").collect()}
+    assert (
+        rows[1]["n_grams"],
+        rows[1]["n_distinct_grams"],
+        rows[1]["n_dup_grams"],
+        rows[1]["max_gram_count"],
+    ) == (7, 3, 4, 3)
+    assert rows[2]["n_dup_grams"] == 0 and rows[2]["n_grams"] == 2
