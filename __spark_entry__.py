@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_chunks": text.chunk_documents,
         "doc_repetition_stats": text.repetition_stats,
+        "stream_session_windows": _stream_sessions,
     }
 
 
@@ -204,6 +205,12 @@ def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import dedup_replay
 
     return dedup_replay(spark, sf_dir)
+
+
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.streaming.events import session_windows_replay
+
+    return session_windows_replay(spark, sf_dir)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,6 +992,44 @@ FROM events, m
 GROUP BY 1, 2, mx
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
 ORDER BY 1, 2
+""",
+        # Streaming session windows: append mode emits exactly the
+        # sessions closed by the final watermark (session end = last
+        # event + gap ≤ max_ts − 2h; watermark tracked in ms, hence the
+        # //1000 floor). Same lag/cumsum session construction as
+        # events_session_windows.
+        "stream_session_windows": """
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+wm AS (SELECT ((max(us) // 1000) - 7200000) * 1000 AS w FROM us),
+flagged AS (
+  SELECT user_id, us, event_id, value,
+    CASE WHEN us - lag(us) OVER w IS NULL
+           OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM us
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessions AS (
+  SELECT user_id, us, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+),
+per_s AS (
+  SELECT user_id, seq,
+    MIN(us) // 1000000 AS session_start,
+    MAX(us) AS last_us,
+    COUNT(*) AS n_events,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+      AS sum_value
+  FROM sessions GROUP BY user_id, seq
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM per_s, wm
+WHERE last_us + 1800000000 <= wm.w
+ORDER BY user_id, session_start
 """,
         # Streaming dedup replay over a doubled input: emitted set ==
         # the original events (dropDuplicates keeps exactly one row per

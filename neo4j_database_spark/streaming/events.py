@@ -116,6 +116,57 @@ def hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def session_windows_stream(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming gap-based sessionization with ``F.session_window`` —
+    MERGING window state: a late-but-in-watermark event can extend a
+    session or fuse two open sessions, which tumbling windows cannot
+    express. The watermark closes a session once no event can extend it
+    (watermark ≥ session end = last event + gap), bounding state to the
+    open sessions per user.
+
+    The same expression as the batch twin
+    (queries/relational.events_session_windows) — one groupBy swap is
+    the whole batch→stream migration."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of streaming sessionization: append mode
+    emits exactly the sessions the final watermark (max ts − WATERMARK)
+    has closed (session_end = last event + gap ≤ watermark) — a
+    deterministic subset of the batch sessionization, hence an exact
+    SQL oracle (stream_session_windows)."""
+    name = "stream_session_windows_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory_sink(session_windows_stream(stream), name)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 def user_activity_state_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     lifetime counters (events seen, value sum, last event time) carried

@@ -95,3 +95,41 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     # bucket-local aggregation also skips the exchange
     agg = spark.table("b_orders").groupBy("o_custkey").count()
     assert "Exchange" not in plan_of(agg)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking claims zero shuffle (sequence→explode→slice map stage);
+    the final orderBy is presentation-only, so at most ONE exchange (the
+    sort's range partitioning) and no hash-partition exchange at all."""
+    from neo4j_database_spark.pipeline.text import chunk_documents
+
+    plan = plan_of(chunk_documents(spark, sf_dir))
+    assert "hashpartitioning" not in plan.lower()
+    assert plan.count("Exchange") <= 1  # only the output sort's range exchange
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-sort carry-forward must cost one hash exchange of the
+    merged timeline — never a nested-loop or per-row range join."""
+    from neo4j_database_spark.operators.asof import asof_join
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0)], "user long, ts long, price double"
+    )
+    events = spark.createDataFrame([(1, 12, "e")], "user long, ts long, eid string")
+    plan = plan_of(
+        asof_join(events, orders, on="user", left_ts="ts", right_ts="ts",
+                  value_cols=["price"])
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one timeline shuffle
+
+
+def test_pack_sequences_shard_partitioned_window(spark, sf_dir):
+    """Packing must window per shard (scales out), never a global
+    single-partition window."""
+    from neo4j_database_spark.pipeline.text import pack_sequences
+
+    plan = plan_of(pack_sequences(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
