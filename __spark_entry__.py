@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": text.chunk_documents,
         "doc_repetition_stats": text.repetition_stats,
         "stream_session_windows": _stream_sessions,
+        "emb_quantize_int8": similarity.quantize_int8,
     }
 
 
@@ -970,6 +971,18 @@ SELECT vec_id,
 FROM pairs
 ORDER BY rank_score DESC, vec_id ASC
 LIMIT 10
+""",
+        # symmetric int8 quantization: integer codes hash exactly; the
+        # per-vector scale is a pure max (no arithmetic) so it is
+        # bit-identical; round() is half-away-from-zero in both engines
+        "emb_quantize_int8": f"""
+WITH {_EMB_COMPONENTS.strip()},
+scales AS (SELECT vec_id, MAX(abs(x)) AS scale FROM comp GROUP BY vec_id)
+SELECT c.vec_id, s.scale, CAST(c.j AS INT) AS dim,
+  CAST(CASE WHEN s.scale = 0 THEN 0
+            ELSE round(c.x * CAST(127.0 AS DOUBLE) / s.scale) END AS INT) AS code
+FROM comp c JOIN scales s ON s.vec_id = c.vec_id
+ORDER BY c.vec_id, dim
 """,
         "emb_centroids": f"""
 WITH {_EMB_COMPONENTS.strip()}
