@@ -1,0 +1,305 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond dedup/similarity (pipeline/dedup.py, similarity.py), a production
+pretraining pipeline needs: benchmark decontamination, PII/denylist
+scrubbing, domain-mixture resampling, and lexical relevance ranking.
+The reference app has no corpus layer at all (its data surface is the
+HP-API JSON, reference get_insert.py:59-65); these are north-star
+extensions mandated by BASELINE.json, designed Spark-first:
+
+- Every operator is a declarative DataFrame plan — zero Python UDFs;
+  regex/ngram/scoring all run inside whole-stage codegen.
+- Global statistics (eval-set shingle dictionaries, document frequencies,
+  per-source counts) are tiny relative to the corpus and are broadcast;
+  the corpus side is touched exactly once, map-side, per operator.
+- Determinism contract: sampling and splits are pure functions of stable
+  document ids (md5 buckets, integer threshold arithmetic) so results are
+  identical across engines, cluster sizes, and data layouts — required
+  for the DuckDB oracles and for reproducible corpus builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 marks the held-out eval/benchmark set
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, eval_mod: int = EVAL_MOD
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-3-gram with the held-out eval set.
+
+    The standard pretraining hygiene step (eval answers leaking into the
+    training corpus inflate benchmark scores): collect the eval set's
+    n-gram dictionary, then mark any training document with an n-gram
+    collision. Here the eval set is the deterministic doc_id % 97 == 0
+    slice of `documents` (a stand-in for MMLU/GSM8K/… dumps).
+
+    Scale shape: the eval dictionary is tiny versus the corpus (eval
+    benchmarks are MBs against 100 TB), so it BROADCASTS and the corpus
+    is scanned exactly once, map-side — no corpus-sized shuffle. Train
+    shingles join the broadcast dictionary, collisions aggregate on
+    doc_id (count shuffle only). For eval sets too big to broadcast the
+    same plan degrades gracefully to a shuffle join on the shingle key.
+    """
+    from neo4j_database_spark.pipeline.dedup import shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    sh = shingles(docs)
+    eval_sh = (
+        sh.where((F.col("doc_id") % eval_mod) == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.where((F.col("doc_id") % eval_mod) != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        docs.where(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / denylist scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): char classes, \d, \b, bounded reps — no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+DENY_RE = r"\bcustomer\b|\bspark\b"  # stand-in sensitive-term denylist
+
+
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing: count and redact emails, phone numbers, and
+    denylisted terms; emit redaction counts + digest of the clean text.
+
+    All regex work is JVM-side (`regexp_count` / `regexp_replace` inside
+    codegen) — at 100 TB this is a pure map stage with no shuffle at all
+    (the orderBy exists only for the deterministic oracle; production
+    writes partition-local). The digest lets downstream exact-dedup run
+    on scrubbed content without re-materializing text.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        DENY_RE,
+        "<TERM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+        .cast("int")
+        .alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+        .cast("int")
+        .alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(DENY_RE))
+        .cast("int")
+        .alias("n_denied"),
+        F.md5(redacted).alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture resampling
+# ---------------------------------------------------------------------------
+
+_HEX_SCALE = 16**5  # md5 5-hex-digit bucket space: [0, 1048576)
+
+
+def _md5_bucket5(id_col: Column) -> Column:
+    """First 5 hex digits of md5(id) as an integer in [0, 16^5)."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 5), 16, 10
+    ).cast("long")
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: deterministically downsample every
+    source to the size of the smallest source (uniform target mixture).
+
+    Corpus mixing ("weight Wikipedia up, Common Crawl down") needs
+    per-domain sampling that is (a) exact — integer threshold arithmetic,
+    not float rates; (b) stable — a document's keep/drop decision is a
+    pure function of its id, unchanged when the corpus grows; (c) cheap —
+    per-source counts are a tiny aggregate broadcast back, the corpus is
+    scanned once map-side. keep(doc) ⇔ md5_bucket(doc_id) < min_n·16⁵//n_src,
+    giving E[kept] = min_n per source without any global sort/shuffle of
+    the corpus itself.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    min_n = counts.agg(F.min("n_orig").alias("min_n"))
+    # `div` = exact integer division (float `/`-then-truncate can be off
+    # by one at representability boundaries; DuckDB's `//` is integer too)
+    thresholds = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_orig",
+        F.expr(f"(min_n * {_HEX_SCALE}L) div n_orig").alias("keep_below"),
+    )
+    kept = (
+        docs.join(F.broadcast(thresholds), "source")
+        .where(_md5_bucket5(F.col("doc_id")) < F.col("keep_below"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+    return (
+        thresholds.select("source", "n_orig")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_orig").cast("long").alias("n_orig"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical ranking
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "merge", "window")
+_K1 = 1.2
+_B = 0.75
+_K1P1 = _K1 + 1.0
+
+
+def bm25_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k document ranking for a bag of query terms.
+
+    Lexical relevance scoring — the retrieval half of corpus curation
+    (quality-targeted selection, RAG pre-filtering). Classic BM25 with a
+    *rational* idf, (N − df + ½)/(df + ½), instead of its log: log is the
+    one libm call whose low bits differ across engines, and the rational
+    form is a strictly monotone transform of it (same ranking), keeping
+    every operation inside IEEE-exact +,−,×,÷ so Spark and DuckDB agree
+    bit-for-bit. Per-term contributions accumulate through DECIMAL(20,9)
+    (order-independent sum), emitted as DOUBLE.
+
+    Scale shape: corpus statistics (N, Σdl, per-term df) are ONE tiny
+    aggregate row broadcast back; per-document tf/dl are computed map-side
+    from the token array; the only corpus-wide movement is the final
+    TakeOrderedAndProject top-k (no global sort).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+
+    # NB: a two-arg lambda would be interpreted by F.filter as
+    # (element, index) — bind the term via a closure factory instead
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)
+    ]
+    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    dl = F.col("dl").cast("double")
+    denom_base = F.lit(_K1) * (
+        F.lit(1.0) - F.lit(_B) + (F.lit(_B) * dl) / avgdl
+    )
+
+    contribs = []
+    for i in range(len(terms)):
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        tfd = F.col(f"tf_{i}").cast("double")
+        contrib = (idf * (tfd * F.lit(_K1P1))) / (tfd + denom_base)
+        contribs.append(contrib.cast("decimal(20,9)"))
+    score_dec = contribs[0]
+    for c in contribs[1:]:
+        score_dec = score_dec + c
+
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", score_dec.cast("decimal(38,9)").cast("double").alias("bm25")
+        )
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate-distinct sketch (rows-only: sketch estimates are
+# engine-specific by design)
+# ---------------------------------------------------------------------------
+
+
+def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users (HyperLogLog++) next to
+    the exact count.
+
+    At 100 TB, COUNT(DISTINCT) is the classic scalability cliff — it
+    shuffles every distinct key. HLL++ sketches are fixed-size (~1.5 KB
+    at 2% rsd), merge associatively in partial aggregation, and never
+    shuffle raw keys. The exact column exists here to audit the error;
+    production drops it. Rows-only driver check: sketch estimates are
+    engine-implementation-specific, so no cross-engine oracle exists by
+    construction (the companion pytest asserts relative error < 5%).
+    """
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

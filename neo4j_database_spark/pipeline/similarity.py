@@ -340,3 +340,68 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code"),
     )
     return quantized.orderBy("vec_id", "dim")
+
+
+# ---- product quantization ------------------------------------------------
+
+PQ_SUBSPACES = 4  # m subspaces over the 64-dim embeddings (16 dims each)
+PQ_CENTROID_IDS = (1, 2, 3, 4)  # codebook rows: k=4 centroids per subspace
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: per subspace, the id of the nearest
+    codebook centroid (squared-L2, exact decimal accumulation).
+
+    PQ is the other half of large-scale ANN (alongside IVF, ivf_knn
+    above): a D-dim vector compresses to m small codes, and distances
+    against a query decompose into m table lookups. The codebook here is
+    deterministic — the subvectors of stored vectors 1..4 — standing in
+    for k-means-trained centroids so assignments stay oracle-exact
+    (k-means itself is iterative float fitting → rows-only territory,
+    see ml/clustering.py).
+
+    Scale shape: the codebook is tiny by construction (m·k subvectors —
+    collected once, folded into the plan as literals, broadcast with the
+    closure), so assignment is one map-only stage over the corpus: no
+    shuffle, no join, no Python. The orderBy exists for the oracle; a
+    production index build writes codes partition-local at ingest.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(
+        emb.select("embedding").first()["embedding"]
+    )  # 64 for driver data
+    sub = dim // PQ_SUBSPACES
+    cb_rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(
+            F.col("vec_id").isin(list(PQ_CENTROID_IDS))
+        ).collect()
+    }
+    vec = _as_double_arr("embedding")
+
+    def d2(s: int, cid: int) -> Column:
+        cslice = cb_rows[cid][s * sub : (s + 1) * sub]
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, s * sub + 1, sub),
+                F.array(*[F.lit(c) for c in cslice]),
+                lambda x, c: ((x - c) * (x - c)).cast(ACC),
+            ),
+            F.lit(0).cast(ACC),
+            lambda acc, v: (acc + v).cast(ACC),
+        )
+
+    per_sub = []
+    for s in range(PQ_SUBSPACES):
+        dists = F.array(*[d2(s, cid) for cid in PQ_CENTROID_IDS])
+        # first index attaining the min → ties break to the lowest
+        # centroid id (array is in PQ_CENTROID_IDS order)
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        per_sub.append(
+            F.struct(F.lit(s).cast("int").alias("subspace"), code.alias("code"))
+        )
+    return (
+        emb.select("vec_id", F.explode(F.array(*per_sub)).alias("sc"))
+        .select("vec_id", F.col("sc.subspace"), F.col("sc.code"))
+        .orderBy("vec_id", "subspace")
+    )

@@ -1,0 +1,128 @@
+"""Corpus-curation operator tests (pipeline/curation.py + pq_codes)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.pipeline import curation, similarity
+
+
+def _patch_docs(spark, monkeypatch, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.curation.load_table",
+        lambda spark, name, sf_dir: df,
+    )
+    return df
+
+
+def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
+    _patch_docs(
+        spark,
+        monkeypatch,
+        [
+            (0, "a b c d", "en", "s", 7),          # eval (0 % 97 == 0)
+            (1, "a b c x", "en", "s", 7),          # shares shingle "a b c"
+            (2, "z z z w", "en", "s", 7),          # clean
+            (3, "hi", "en", "s", 2),               # too short for shingles
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.decontaminate(spark, "x").collect()}
+    assert set(out) == {1, 2, 3}  # eval doc excluded from the output
+    assert out[1]["contaminated"] and out[1]["n_shared_shingles"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_shared_shingles"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_scrub_pii_counts_and_digest(spark, monkeypatch):
+    raw = "mail bob@example.com phone 555-123-4567 ask customer spark now"
+    _patch_docs(spark, monkeypatch, [(1, raw, "en", "s", len(raw))])
+    r = curation.scrub_pii(spark, "x").collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_denied"]) == (1, 1, 2)
+    expected = "mail <EMAIL> phone <PHONE> ask <TERM> <TERM> now"
+    assert r["redacted_digest"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_mixture_sample_balances_sources(spark, monkeypatch):
+    rows = [(i, f"doc {i}", "en", "A", 10) for i in range(1, 9)] + [
+        (100, "small corpus", "en", "B", 12),
+        (101, "small corpus two", "en", "B", 16),
+    ]
+    _patch_docs(spark, monkeypatch, rows)
+    out = {r["source"]: r for r in curation.mixture_sample(spark, "x").collect()}
+    assert out["A"]["n_orig"] == 8 and out["B"]["n_orig"] == 2
+    # the smallest source keeps everything (threshold = full bucket space)
+    assert out["B"]["n_kept"] == 2 and out["B"]["kept_chars"] == 28
+    assert out["A"]["n_kept"] <= 8
+    # keep decision is the documented pure function of doc_id: recompute
+    expected_a = sum(
+        1
+        for i in range(1, 9)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16)
+        < (2 * 16**5) // 8
+    )
+    assert out["A"]["n_kept"] == expected_a
+
+
+def test_bm25_ranks_term_dense_docs_first(spark, monkeypatch):
+    _patch_docs(
+        spark,
+        monkeypatch,
+        [
+            (1, "spark merge window spark merge window", "en", "s", 38),
+            (2, "spark alone among many other plain words here", "en", "s", 46),
+            (3, "no query words at all in this document", "en", "s", 38),
+            (4, "window", "en", "s", 6),
+        ],
+    )
+    rows = curation.bm25_scores(spark, "x").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # zero-score docs filtered
+    assert ids[0] == 1  # densest doc wins
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
+
+
+def test_pq_codes_assign_nearest_centroid(spark, monkeypatch):
+    # constant vectors → every subspace distance is unambiguous (no ties)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0] * 8, 0),
+            (2, [2.0] * 8, 0),
+            (3, [3.0] * 8, 0),
+            (4, [4.0] * 8, 0),
+            (5, [2.1] * 8, 0),  # nearest centroid 2 → code 1 everywhere
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.similarity.load_table",
+        lambda spark, name, sf_dir: emb,
+    )
+    out = similarity.pq_codes(spark, "x")
+    codes5 = [
+        r["code"]
+        for r in out.where(F.col("vec_id") == 5).orderBy("subspace").collect()
+    ]
+    assert codes5 == [1, 1, 1, 1]
+    # each codebook vector is its own nearest centroid in every subspace
+    for cid, code in zip(similarity.PQ_CENTROID_IDS, range(4)):
+        own = [
+            r["code"]
+            for r in out.where(F.col("vec_id") == cid).orderBy("subspace").collect()
+        ]
+        assert own == [code] * 4
+
+
+def test_approx_user_counts_error_bound(spark, sf_dir):
+    rows = curation.approx_user_counts(spark, sf_dir).collect()
+    assert rows, "expected at least one event type"
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(
+            r["exact_users"], 1
+        )
+        assert rel_err < 0.05, (r["event_type"], rel_err)
