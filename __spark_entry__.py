@@ -122,9 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": curation.mixture_sample,
         "doc_bm25": curation.bm25_scores,
         "emb_pq_codes": similarity.pq_codes,
+        # -- behavioral analytics over the event log --
+        "events_funnel": rel.events_funnel,
+        "events_retention_cohorts": rel.events_retention_cohorts,
+        "doc_bigram_lift": text.bigram_collocations,
         # -- training-data pipeline: text + dedup (SURVEY.md §2.9) --
         "doc_lang_id": text.lang_id,
-        "doc_fingerprints": text.fingerprints,
         "doc_exact_dedup": dedup.exact_dedup,
         "doc_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "doc_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -138,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_knn_lsh": similarity.knn_lsh,
         "emb_ivf_knn": similarity.ivf_knn,
-        "emb_cosine_dup_pairs": similarity.cosine_dup_pairs,
         "emb_centroids": similarity.centroids_by_label,
         # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
@@ -149,7 +151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational OLAP with money outputs (DOUBLE-output contract) --
         "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
-        "nation_revenue": rel.nation_revenue,
         "events_hourly": rel.events_hourly,
         "part_price_bands": rel.part_price_bands,
         "events_session_windows": rel.events_session_windows,
@@ -163,9 +164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # g_search; g_survival_features ⊂ g_feature_matrix's conditional
         # agg; g_house_histogram = the groupBy-count of g_rule_edge_counts;
         # sales_cube = sales_rollup's grouping-sets + _money_out machinery;
-        # top_customers_by_spend = top_unshipped_orders' join+agg+top-k
-        # money shape.
+        # top_customers_by_spend / nation_revenue = top_unshipped_orders'
+        # join+agg(+top-k) money shape; doc_fingerprints = exact_dedup's
+        # md5 digest + winnow_fingerprints' normalization;
+        # emb_cosine_dup_pairs = emb_knn_lsh's SRP bucket machinery.
         "g_ego_fuzzy": on_graph(lambda g: gq.ego_network_fuzzy(g, FUZZY_Q)),
+        "nation_revenue": rel.nation_revenue,
+        "doc_fingerprints": text.fingerprints,
+        "emb_cosine_dup_pairs": similarity.cosine_dup_pairs,
         "g_survival_features": on_graph(gq.survival_features),
         "g_house_histogram": on_graph(
             lambda g: gq.house_histogram(g, HISTOGRAM_NAMES)
@@ -972,6 +978,78 @@ WITH toks AS (
 SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(t, ' ')) AS fp_normalized
 FROM toks ORDER BY doc_id
+""",
+        "events_funnel": """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL
+  SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+)
+ORDER BY step
+""",
+        "events_retention_cohorts": """
+WITH active AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT f.cohort_day,
+  (epoch_us(a.day) // 1000000 - epoch_us(f.cohort_day) // 1000000) // 86400
+    AS day_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN first f ON f.user_id = a.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        "doc_bigram_lift": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+uni AS (
+  SELECT unnest(t) AS tok FROM toks
+),
+uc AS (SELECT tok, COUNT(*) AS c_tok FROM uni GROUP BY tok),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+),
+nb AS (SELECT COUNT(*) AS n_bigrams FROM bi)
+SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+  CAST(nb.n_bigrams * b.c_xy AS DOUBLE)
+    / CAST(u1.c_tok * u2.c_tok AS DOUBLE) AS lift
+FROM bc b
+JOIN uc u1 ON u1.tok = b.w1
+JOIN uc u2 ON u2.tok = b.w2
+CROSS JOIN nb
+ORDER BY lift DESC, b.w1 ASC, b.w2 ASC
+LIMIT 20
 """,
         "doc_decontaminate": f"""
 WITH {_SHINGLE_CTES.strip().lstrip()},

@@ -426,3 +426,73 @@ def repetition_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_collocations(
+    spark: SparkSession, sf_dir: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k bigram collocations ranked by lift — the PMI family of
+    phrase/term-of-art mining used in tokenizer-vocabulary construction
+    and corpus exploration.
+
+    lift(x,y) = N_bigrams·c(xy) / (c(x)·c(y)); PMI is its log, a
+    monotone transform, so the ranking is identical while every
+    operation stays IEEE-exact (integer counts, one correctly-rounded
+    double division — no libm log crossing engines; the same trick as
+    curation.bm25_scores' rational idf).
+
+    Plan shape: one explode over token positions feeds BOTH the bigram
+    and unigram counts (Catalyst reuses the scan), the unigram
+    vocabulary (tiny vs corpus — Heaps' law) broadcasts back onto the
+    bigram counts twice, and the result is a TakeOrderedAndProject.
+    The only corpus-sized shuffles are the two count aggregations,
+    keyed on short token strings. At true 100 TB the integer products
+    here can pass 2^53 — the production variant then emits log-lift
+    from the same exact counts instead; ranking unchanged.
+    """
+    from neo4j_database_spark.pipeline.dedup import positional_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    uni = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    bi = (
+        positional_shingles(docs, width=2)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+        .select(
+            F.element_at(F.split(F.col("shingle"), " "), 1).alias("w1"),
+            F.element_at(F.split(F.col("shingle"), " "), 2).alias("w2"),
+            "c_xy",
+        )
+    )
+    n_bi = positional_shingles(docs, width=2).agg(
+        F.count(F.lit(1)).alias("n_bigrams")
+    )
+    return (
+        bi.join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .withColumnRenamed("c_tok", "c_w1")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("tok", "w2").withColumnRenamed(
+                    "c_tok", "c_w2"
+                )
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            (
+                (F.col("n_bigrams") * F.col("c_xy")).cast("double")
+                / (F.col("c_w1") * F.col("c_w2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -740,3 +740,88 @@ def events_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users reaching view → click → purchase in
+    strict event-time order (each step's first qualifying event must
+    follow the previous step's).
+
+    Behavioral-analytics staple with no single SQL operator behind it:
+    the plan is a chain of per-user min-timestamp aggregations, each
+    seeded by the previous step (step k's events filtered to
+    ts > t_{k-1}). Every stage shuffles only (user_id, ts) — never the
+    event payload — and all three shuffles hash on user_id, so AQE
+    coalesces them onto one exchange footprint; at 100 TB this is 3
+    narrow aggregations over a pre-partitioned-by-user event log, not a
+    self-join blowup. Timestamps compare exactly (micros) in both
+    engines, so the funnel counts are oracle-exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = [
+        ("1_view", t1),
+        ("2_view_click", t2),
+        ("3_view_click_purchase", t3),
+    ]
+    counts = [
+        df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for name, df in steps
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step")
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: users grouped by first-active day, counted
+    on each later active day as an integer day offset.
+
+    The canonical growth-analytics rollup. Plan: per-user first-day
+    aggregate (one shuffle on user_id), joined back to the distinct
+    (user, day) activity set (same user_id partitioning — AQE reuses
+    it), then a count per (cohort_day, offset). Day offsets are derived
+    by integer epoch-second arithmetic (`div 86400` on date_trunc'd
+    timestamps), which is engine-exact — no calendar datediff semantics
+    to disagree on.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.expr(
+                "(CAST(day AS LONG) - CAST(cohort_day AS LONG)) div 86400"
+            ).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
