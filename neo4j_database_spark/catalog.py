@@ -35,8 +35,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     The driver may hand us a SparkSession it built itself (entry(spark)
     contract), so session.py's builder configs can't be assumed:
-    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
-      reader otherwise rejects (PARQUET_TYPE_ILLEGAL);
+    - nanosAsLong: events.parquet has shipped as TIMESTAMP(NANOS), which
+      the reader otherwise rejects (PARQUET_TYPE_ILLEGAL); harmless for
+      micros-encoded data;
     - UTC session timezone: timestamps must stringify/hash identically
       to the (naive-UTC) DuckDB oracle.
     Both are runtime-settable SQL confs; idempotent and cheap.
@@ -51,11 +52,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-        # as epoch-nanos. Truncate to micros (`div`, not `/`: ns epochs
-        # exceed double's 2^53 exact-integer range) — DuckDB's reader
-        # truncates ns→µs identically, keeping the oracle comparable.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to session-tz TIMESTAMP, whatever
+    the physical parquet encoding was.
+
+    The generator has shipped events.ts as parquet TIMESTAMP(NANOS)
+    (arrives as epoch-nanos long under nanosAsLong) and as TIMESTAMP(MICROS)
+    (arrives as TIMESTAMP_NTZ since the writer marks it not-UTC-adjusted).
+    Dispatch on the loaded dtype so both encodings produce the same
+    column: for nanos, truncate with integer `div` (ns epochs exceed
+    double's 2^53 exact range — DuckDB's reader truncates ns→µs the same
+    way); for NTZ, reinterpret the naive value in the session timezone
+    (pinned UTC by ensure_session_confs), which is exactly how the DuckDB
+    oracle treats it.
+    """
+    dt = df.schema[col].dataType.typeName()
+    if dt in ("long", "bigint"):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -22,26 +22,38 @@ from pyspark.sql import types as T
 
 WATERMARK = "2 hours"
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch-nanos (parquet NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over event parquet drops (one file = one
-    micro-batch unit). ts arrives as epoch-nanos (see catalog.py) and is
-    converted to a proper event-time column."""
-    from neo4j_database_spark.catalog import ensure_session_confs
+    micro-batch unit).
+
+    A file-source stream needs its schema up front, but the generator has
+    shipped events.ts under two physical encodings (epoch-nanos long /
+    TIMESTAMP(MICROS) — see catalog.normalize_event_time). Probe the
+    existing files with a batch read (footer-only, no data scan) and
+    build the stream schema from what is actually on disk, then normalize
+    to a proper event-time column.
+    """
+    from neo4j_database_spark.catalog import (
+        ensure_session_confs,
+        normalize_event_time,
+    )
 
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+    ts_type = spark.read.parquet(events_dir).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_stream_schema(ts_type)).option(
         "maxFilesPerTrigger", 1
     )
     if events_dir.endswith(".parquet"):
@@ -52,7 +64,7 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
         events_dir = os.path.dirname(events_dir)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_time(raw)
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
@@ -334,3 +346,49 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory_sink(out, name)
     return spark.table(name).orderBy("event_id")
+
+
+def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment — the single most common
+    production streaming shape: a fact stream joined to a slowly-changing
+    dimension snapshot.
+
+    A stream-static inner join is STATELESS (no watermark, no state
+    store): each micro-batch joins against the current dim snapshot and
+    emits immediately. With a broadcast hint on the static side every
+    executor holds the dim once and the stream never shuffles — at 100 TB
+    of stream the dim table (customers) is the small side by orders of
+    magnitude, so this is the plan you want on a real cluster. The dim
+    frame is re-read per micro-batch by Spark, which is exactly how
+    slowly-changing dims pick up updates mid-stream.
+    """
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+            events.user_id == F.col("c_custkey"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            "value",
+        )
+    )
+
+
+def enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow replay of the stream-static enrichment. Stateless →
+    the emitted set is exactly the batch join's result, so the pipeline
+    has an exact SQL oracle (stream_enrich)."""
+    from neo4j_database_spark.catalog import load_table
+
+    name = "stream_enrich_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, "customer", sf_dir)
+    run_to_memory_sink(enrich_events_stream(stream, dim), name)
+    return spark.table(name)

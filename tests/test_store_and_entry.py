@@ -36,6 +36,7 @@ ROWS_ONLY = {
     "g_label_propagation",
     "mm_image_features",
     "emb_kmeans",
+    "events_approx_users",  # HLL sketch — engine-specific estimate
 }
 
 
