@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": text.repetition_stats,
         "stream_session_windows": _stream_sessions,
         "emb_quantize_int8": similarity.quantize_int8,
+        "stream_enrich": _stream_enrich,
+        "events_sliding_distinct_users": rel.events_sliding_distinct_users,
+        "orders_profile": _orders_profile,
     }
 
 
@@ -233,6 +236,19 @@ def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import session_windows_replay
 
     return session_windows_replay(spark, sf_dir)
+
+
+def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.streaming.events import enrich_replay
+
+    return enrich_replay(spark, sf_dir)
+
+
+def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.profile import profile
+
+    return profile(load_table(spark, "orders", sf_dir))
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,5 +1835,69 @@ SELECT vec_id,
 FROM hits
 ORDER BY rank_score DESC, vec_id ASC
 LIMIT 10
+""",
+        # Stream-static dim enrichment replay: the join is STATELESS
+        # (no watermark/state), so the availableNow emission equals the
+        # batch join exactly. value is a raw data point, not an
+        # aggregate — doubles hash exactly.
+        "stream_enrich": """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+""",
+        "events_sliding_distinct_users": """
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+spine AS (SELECT DISTINCT day AS report_day FROM day_user)
+SELECT s.report_day,
+  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS users_7d
+FROM spine s
+JOIN day_user d ON d.day <= s.report_day AND d.day + 6 >= s.report_day
+GROUP BY s.report_day
+ORDER BY s.report_day
+""",
+        # Long-format column profile of orders. Counts are exact;
+        # min/max are raw data points cast to DOUBLE (no accumulation)
+        # so every cell hashes identically cross-engine.
+        "orders_profile": """
+SELECT 'o_orderkey' AS "column",
+  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+  CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+ORDER BY "column"
 """,
     }

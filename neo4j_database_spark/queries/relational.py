@@ -825,3 +825,40 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per day: EXACT distinct active users over the trailing 7 days —
+    the rolling-MAU/WAU shape.
+
+    Sliding distinct is not decomposable the way sums are (a user active
+    on 3 of the 7 days must count once), so the portable exact plan is:
+    (1) collapse the event log to distinct (day, user) pairs — the only
+    shuffle that touches event-scale data; (2) expand each pair to the ≤7
+    report days it can serve via an explicit day-spine broadcast range
+    join; (3) count distinct per report day. The expansion is bounded by
+    the window length (7×), and the spine (one row per day) broadcasts,
+    so stage 2 is map-side. At 100 TB the same plan holds — the
+    (day,user) collapse is a fraction of the log, and the alternative for
+    very wide windows is per-day HLL partials merged across the window
+    (see curation.approx_user_counts for the sketch variant).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    day_user = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    spine = day_user.select("day").distinct().select(
+        F.col("day").alias("report_day")
+    )
+    return (
+        day_user.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("report_day"))
+            & (F.col("day") >= F.date_sub(F.col("report_day"), 6)),
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+        .orderBy("report_day")
+    )

@@ -1,0 +1,84 @@
+"""Tests for the column profiler, sliding distinct users, and the
+stream-static enrichment join."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.operators.profile import profile
+from neo4j_database_spark.queries import relational as rel
+
+
+def test_profile_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (None, 5.0, "b"), (4, 7.5, None)],
+        "k long, x double, s string",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 4.0
+    assert rows["x"]["n_nulls"] == 1
+    assert rows["x"]["n_distinct"] == 2
+    assert rows["x"]["min_num"] == 5.0 and rows["x"]["max_num"] == 7.5
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_num"] is None and rows["s"]["max_num"] is None
+
+
+def test_profile_approx_mode_runs(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("m")
+    )
+    rows = {r["column"]: r for r in profile(df, approx_distinct=True).collect()}
+    # HLL estimate: right order of magnitude, exact not required
+    assert 900 <= rows["k"]["n_distinct"] <= 1100
+    assert 8 <= rows["m"]["n_distinct"] <= 12
+
+
+def test_sliding_distinct_users_hand_case(spark, monkeypatch):
+    # day 1: users {1,2}; day 3: {2}; day 9: {3} — trailing-7d windows:
+    # d1={1,2}, d3={1,2}, d9={2,3} (day 3 in range, day 1 aged out)
+    rows = [
+        (1, datetime(2024, 1, 1)),
+        (2, datetime(2024, 1, 1)),
+        (2, datetime(2024, 1, 1, 5)),  # same day dup — must not double
+        (2, datetime(2024, 1, 3)),
+        (3, datetime(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda spark, name, sf_dir: df,
+    )
+    out = {
+        str(r["report_day"]): r["users_7d"]
+        for r in rel.events_sliding_distinct_users(spark, "unused").collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-03": 2, "2024-01-09": 2}
+
+
+def test_stream_enrich_equals_batch_join(spark, sf_dir):
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.streaming.events import enrich_replay
+
+    streamed = sorted(
+        tuple(r) for r in enrich_replay(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    batch = sorted(
+        tuple(r)
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .join(cust, ev.user_id == cust.c_custkey)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            "value",
+        )
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
