@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _stream_enrich,
         "events_sliding_distinct_users": rel.events_sliding_distinct_users,
         "orders_profile": _orders_profile,
+        "customer_merge": rel.customer_merge,
     }
 
 
@@ -1899,5 +1900,45 @@ SELECT 'o_orderpriority',
   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM orders
 ORDER BY "column"
+""",
+        # MERGE INTO semantics: full-outer join + row CASEs, mirroring
+        # operators/merge.py::merge_into exactly (same key shift, same
+        # delete threshold, same decimal→DOUBLE balance math).
+        "customer_merge": """
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 100000
+              ELSE o_custkey END AS k,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS spend,
+    COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= '1998-01-01'
+  GROUP BY 1
+),
+tgt AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+),
+j AS (
+  SELECT * FROM tgt FULL OUTER JOIN src ON tgt.c_custkey = src.k
+  -- matched + delete condition
+  WHERE NOT (tgt.c_custkey IS NOT NULL AND src.k IS NOT NULL
+             AND src.n_orders >= 8)
+)
+SELECT
+  COALESCE(c_custkey, k) AS c_custkey,
+  CASE WHEN c_custkey IS NULL
+         THEN 'Customer#merged-' || CAST(k AS VARCHAR)
+       ELSE c_name END AS c_name,
+  CASE WHEN c_custkey IS NULL THEN 'NEW'
+       WHEN k IS NOT NULL THEN 'UPDATED'
+       ELSE c_mktsegment END AS c_mktsegment,
+  CASE WHEN c_custkey IS NULL THEN CAST(spend AS DOUBLE)
+       WHEN k IS NOT NULL
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,6)) + spend AS DOUBLE)
+       ELSE c_acctbal END AS c_acctbal,
+  CASE WHEN c_custkey IS NULL THEN 'inserted'
+       WHEN k IS NOT NULL THEN 'updated'
+       ELSE 'kept' END AS action
+FROM j
+ORDER BY c_custkey
 """,
     }

@@ -862,3 +862,58 @@ def events_sliding_distinct_users(
         .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
         .orderBy("report_day")
     )
+
+
+def customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE INTO: apply a per-customer change batch (1998+
+    order activity) to the customer dim in one pass — update matched
+    rows' balance/segment, purge heavy churners, insert unknown keys.
+
+    Drives operators/merge.py::merge_into (the Delta/ANSI MERGE shape:
+    one full-outer join + codegen'd row CASEs — no second pass, no
+    collect). Keys ≡ 0 (mod 7) are shifted out of the known range to
+    exercise the not-matched-by-target insert branch deterministically.
+    Balance math follows the decimal-accumulate / DOUBLE-out contract.
+    """
+    from neo4j_database_spark.operators.merge import merge_into
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    src = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .groupBy(
+            F.when(
+                F.col("o_custkey") % 7 == 0, F.col("o_custkey") + 100000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey")
+        )
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    merged = merge_into(
+        cust,
+        src,
+        on="c_custkey",
+        update_set={
+            "c_mktsegment": F.lit("UPDATED"),
+            "c_acctbal": (
+                F.col("tgt.c_acctbal").cast(MONEY) + F.col("src.spend")
+            ).cast("double"),
+        },
+        insert_values={
+            "c_name": F.concat(
+                F.lit("Customer#merged-"),
+                F.col("src.c_custkey").cast("string"),
+            ),
+            "c_mktsegment": F.lit("NEW"),
+            "c_acctbal": F.col("src.spend").cast("double"),
+        },
+        delete_condition=F.col("src.n_orders") >= 8,
+        action_col="action",
+    )
+    return merged.orderBy("c_custkey")

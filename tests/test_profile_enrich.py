@@ -82,3 +82,35 @@ def test_stream_enrich_equals_batch_join(spark, sf_dir):
         .collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_merge_into_all_branches(spark):
+    from neo4j_database_spark.operators.merge import merge_into
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    # 1 → update, 2 → delete (flag), 9 → insert, 3 untouched
+    src = spark.createDataFrame(
+        [(1, 5.0, False), (2, 0.0, True), (9, 99.0, False)],
+        "k long, delta double, purge boolean",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r["k"]: tuple(r)
+        for r in merge_into(
+            tgt,
+            src,
+            on="k",
+            update_set={"bal": F.col("tgt.bal") + F.col("src.delta")},
+            insert_values={"bal": F.col("src.delta")},
+            delete_condition=F.col("src.purge"),
+            action_col="action",
+        ).collect()
+    }
+    assert out[1] == (1, "a", 15.0, "updated")
+    assert 2 not in out
+    assert out[3] == (3, "c", 30.0, "kept")
+    assert out[9] == (9, None, 99.0, "inserted")
