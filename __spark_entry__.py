@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct_users": rel.events_sliding_distinct_users,
         "orders_profile": _orders_profile,
         "customer_merge": rel.customer_merge,
+        "customer_fuzzy_matches": _customer_fuzzy,
     }
 
 
@@ -250,6 +251,14 @@ def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.operators.profile import profile
 
     return profile(load_table(spark, "orders", sf_dir))
+
+
+def _customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1, q=3)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1940,5 +1949,31 @@ SELECT
        ELSE 'kept' END AS action
 FROM j
 ORDER BY c_custkey
+""",
+        # Ed-Join prefix-filtered edit-distance self-join — mirrors
+        # operators/er.py::edit_distance_pairs (q=3, d=1, prefix q*d+1=4;
+        # occurrence-counted gram frequency, (df, gram) total order).
+        "customer_fuzzy_matches": """
+WITH names AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+grams AS (
+  SELECT id, s, substr(s, CAST(i AS INT), 3) AS gram
+  FROM names, UNNEST(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+ranked AS (
+  SELECT g.id, g.s, g.gram,
+         row_number() OVER (PARTITION BY g.id ORDER BY d.df, g.gram) AS rn
+  FROM grams g JOIN dfreq d USING (gram)
+),
+pfx AS (SELECT gram, id, s FROM ranked WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM pfx a JOIN pfx b USING (gram)
+  WHERE a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+)
+SELECT id_a, id_b, s_a, s_b,
+  CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s_a, s_b) <= 1
 """,
     }

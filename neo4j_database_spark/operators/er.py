@@ -1,0 +1,85 @@
+"""Entity resolution: exact edit-distance similarity self-join.
+
+The fuzzy-matching primitive behind dedupe/record-linkage pipelines:
+find all pairs of strings within Levenshtein distance ``max_dist``
+WITHOUT the quadratic all-pairs scan. This is the Ed-Join / prefix
+filtering algorithm (Xiao et al., VLDB'08; same family as PPJoin):
+
+1. q-gram multiset per string (an edit destroys ≤ q grams; an indel
+   shifts positions but not gram *contents*, so the multiset changes by
+   ≤ q·d grams for distance d);
+2. global total order on grams by ascending document frequency
+   (rare-first, ties broken lexically) — both engines sort identically,
+   making the plan oracle-exact;
+3. PREFIX: the first q·d+1 grams of each string under that order. Two
+   strings within distance d MUST share a prefix gram (pigeonhole on
+   the ≤ q·d destroyed grams per side) — no recall loss;
+4. equi-join on prefix grams → candidate pairs (rare grams ⇒ small
+   buckets), length filter, then exact levenshtein verification.
+
+Scale design: every step is an equi-join / aggregation — no cross
+join anywhere. The gram-frequency frame is gram-domain-sized (tiny vs
+the corpus) and broadcasts; the candidate join hashes on rare grams by
+construction, which is exactly what bounds bucket skew. Verification
+cost is |candidates|, the quantity prefix filtering minimizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
+
+    Strings shorter than ``q`` produce no grams and are never matched —
+    callers with very short keys should pad or lower ``q``.
+    """
+    prefix_len = q * max_dist + 1
+    base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
+    grams = base.select(
+        "id",
+        "s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(s) - {q - 1}, 0)),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(F.broadcast(gram_df), "gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "gram")
+        ),
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "gram", "id", "s"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
+            <= max_dist
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b").cast("long")
+    ).filter(F.col("dist") <= max_dist)

@@ -114,3 +114,48 @@ def test_merge_into_all_branches(spark):
     assert 2 not in out
     assert out[3] == (3, "c", 30.0, "kept")
     assert out[9] == (9, None, 99.0, "inserted")
+
+
+def test_edit_distance_pairs_handles_indels(spark):
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdef"),
+            (2, "abdef"),  # deletion of 'c'
+            (3, "abcdefg"),  # insertion of 'g'
+            (4, "zzzzzz"),
+        ],
+        "id long, s string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1}
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+    from pyspark.sql import functions as F
+
+    # deterministic varied strings: digits of i*i in different paddings
+    rows = [(i, f"{(i * i) % 10007:05d}x{i % 7}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    fast = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert fast == brute and len(brute) > 0
