@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": _orders_profile,
         "customer_merge": rel.customer_merge,
         "customer_fuzzy_matches": _customer_fuzzy,
+        "events_zorder_values": _zorder_values,
     }
 
 
@@ -251,6 +252,27 @@ def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.operators.profile import profile
 
     return profile(load_table(spark, "orders", sf_dir))
+
+
+def _zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.sources.io import zorder_key
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    y = F.pmod(F.col("ts").cast("long"), F.lit(65536))
+    return ev.select(
+        "event_id", zorder_key(F.col("user_id"), y).alias("zval")
+    ).orderBy("event_id")
+
+
+def _morton_sql(xe: str, ye: str, bits: int = 16) -> str:
+    """The same bit interleave as sources/io.zorder_key, as SQL text."""
+    return " + ".join(
+        f"((({xe} >> {i}) & 1) << {2 * i}) + "
+        f"((({ye} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
 
 
 def _customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1975,5 +1997,18 @@ SELECT id_a, id_b, s_a, s_b,
   CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
 FROM cand
 WHERE levenshtein(s_a, s_b) <= 1
+""",
+        # Z-order (Morton) key of (user_id, epoch-sec mod 2^16) — the
+        # bit interleave behind write_zordered, integer-exact in both
+        # engines (addition of disjoint bit terms ≡ the Spark OR chain).
+        "events_zorder_values": f"""
+SELECT event_id,
+  CAST({_morton_sql('x', 'y')} AS BIGINT) AS zval
+FROM (
+  SELECT event_id, user_id AS x,
+    (epoch_us(ts) // 1000000) % 65536 AS y
+  FROM events
+)
+ORDER BY event_id
 """,
     }

@@ -205,3 +205,54 @@ def test_compact_parquet(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 10000
     assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_zorder_layout_skips_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry tight footer min/max ranges on BOTH
+    dimensions; a time-sorted layout only prunes on time."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.sources.io import write_zordered
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.pmod(F.col("ts").cast("long"), F.lit(65536)).alias("sec16"),
+    )
+    zdir = str(tmp_path / "zorder")
+    tdir = str(tmp_path / "bytime")
+    write_zordered(ev, zdir, "user_id", "sec16", n_files=8)
+    ev.repartitionByRange(8, "sec16").sortWithinPartitions(
+        "sec16"
+    ).write.mode("overwrite").parquet(tdir)
+
+    def avg_span(d, col):
+        spans, glo_min, glo_max = [], None, None
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                j = next(
+                    j
+                    for j in range(rg.num_columns)
+                    if rg.column(j).path_in_schema == col
+                )
+                stats.append(rg.column(j).statistics)
+            mn = min(s.min for s in stats)
+            mx = max(s.max for s in stats)
+            spans.append(mx - mn)
+            glo_min = mn if glo_min is None else min(glo_min, mn)
+            glo_max = mx if glo_max is None else max(glo_max, mx)
+        return (sum(spans) / len(spans)) / max(glo_max - glo_min, 1)
+
+    # z-order: BOTH dims clustered (per-file span well under global)
+    assert avg_span(zdir, "user_id") < 0.8
+    assert avg_span(zdir, "sec16") < 0.8
+    # time-sorted: time clustered but user_id spans ~everything
+    assert avg_span(tdir, "sec16") < 0.3
+    assert avg_span(tdir, "user_id") > 0.9
