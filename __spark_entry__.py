@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_merge": rel.customer_merge,
         "customer_fuzzy_matches": _customer_fuzzy,
         "events_zorder_values": _zorder_values,
+        "doc_dup_spans": dedup.duplicated_spans,
     }
 
 
@@ -2010,5 +2011,37 @@ FROM (
   FROM events
 )
 ORDER BY event_id
+""",
+        # Cross-document duplicated k-token passages (k=8), mirroring
+        # pipeline/dedup.py::duplicated_spans: per-occurrence span
+        # counting, distinct-doc dup threshold, md5 span digests.
+        "doc_dup_spans": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+    md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS digest
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+  WHERE len(t) >= 8
+),
+dupd AS (
+  SELECT digest FROM spans GROUP BY digest
+  HAVING COUNT(DISTINCT doc_id) > 1
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+per_dup AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM spans s JOIN dupd USING (digest) GROUP BY s.doc_id
+)
+SELECT p.doc_id, p.n_spans,
+  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+    AS dup_ratio
+FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
+ORDER BY p.doc_id
 """,
     }

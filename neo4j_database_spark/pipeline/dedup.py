@@ -408,3 +408,65 @@ def incremental_near_dups(
     return vs_corpus.unionByName(vs_batch).orderBy(
         "batch_id", "source", "match_id"
     )
+
+
+def duplicated_spans(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-passage profile: for each document, how
+    many of its k-token spans also appear verbatim in OTHER documents.
+
+    The exact-substring counterpart of minhash near-dup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array ExactSubstr pass, re-expressed as a distributed plan):
+    repeated passages are memorization hotspots, and span-level stats
+    find partial overlap that whole-document digests miss.
+
+    Plan: tokenize → sliding k-gram spans (codegen'd array ops, no
+    Python) → digest each span so the shuffle carries 32-byte keys, not
+    k-word strings → per-digest distinct-doc count → join the dup flag
+    back onto the span stream → per-doc aggregate. Both aggregations
+    and the join hash on the same digest key, so the exchange is
+    reused; a production run swaps md5 → xxhash64 (8-byte keys) —
+    md5 is kept for the DuckDB oracle. Spans are counted per occurrence
+    (a doc repeating a shared span twice has 2 dup spans).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(
+        "doc_id", F.explode(grams).alias("span")
+    ).select("doc_id", F.md5(F.col("span")).alias("digest"))
+    dup_digests = (
+        spans.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("digest")
+    )
+    flagged = spans.join(dup_digests, "digest", "left_semi")
+    per_doc_dup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left")
+        .fillna(0, subset=["n_dup_spans"])
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            (
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

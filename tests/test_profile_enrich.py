@@ -159,3 +159,28 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
         .collect()
     }
     assert fast == brute and len(brute) > 0
+
+
+def test_duplicated_spans_hand_case(spark, monkeypatch):
+    from neo4j_database_spark.pipeline import dedup
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail1 tail2"),          # spans 1-3; span 1 shared
+        (2, "pre1 pre2 " + shared),            # spans 1-3; span 3 shared
+        (3, "a b c d e f g h i"),              # 2 spans, none shared
+        (4, "too short"),                      # < 8 tokens → no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.dedup.load_table",
+        lambda s, n, d: df,
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio)
+        for r in dedup.duplicated_spans(spark, "unused").collect()
+    }
+    assert out[1] == (3, 1, 1 / 3)
+    assert out[2] == (3, 1, 1 / 3)
+    assert out[3] == (2, 0, 0.0)
+    assert 4 not in out
