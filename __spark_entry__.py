@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fuzzy_matches": _customer_fuzzy,
         "events_zorder_values": _zorder_values,
         "doc_dup_spans": dedup.duplicated_spans,
+        "g_sssp": on_graph(lambda g: galg.sssp_distances(g, EGO_NAME)),
     }
 
 
@@ -274,6 +275,28 @@ def _morton_sql(xe: str, ye: str, bits: int = 16) -> str:
         f"((({ye} >> {i}) & 1) << {2 * i + 1})"
         for i in range(bits)
     )
+
+
+def _sssp_rounds_sql(n_rounds: int = 8) -> str:
+    """Unrolled Bellman-Ford CTE chain mirroring
+    graph/algorithms.py::sssp_distances (integer min-plus relaxation,
+    fixed rounds — see its docstring for why 8 rounds = convergence)."""
+    ctes = [
+        "we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w "
+        "FROM sym_edges WHERE type = 'FRIEND_OF')",
+        f"d0 AS (SELECT id, CAST(0 AS BIGINT) AS d FROM persons "
+        f"WHERE name = '{EGO_NAME}')",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT id, MIN(d) AS d FROM ("
+            f"SELECT id, d FROM d{r - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, p.d + e.w AS d "
+            f"FROM d{r - 1} p JOIN we e ON e.src = p.id"
+            f") GROUP BY id)"
+        )
+    return ", " + ",\n".join(ctes)
 
 
 def _customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,5 +2066,10 @@ SELECT p.doc_id, p.n_spans,
     AS dup_ratio
 FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
 ORDER BY p.doc_id
+""",
+        "g_sssp": f"""{GRAPH_CTES}{_sssp_rounds_sql(8)}
+SELECT p.name, CAST(d.d AS BIGINT) AS dist
+FROM d8 d JOIN persons p USING (id)
+ORDER BY p.name
 """,
     }

@@ -340,3 +340,58 @@ def label_propagation(
         .select("name", F.col("label").alias("community"))
         .orderBy("name")
     )
+
+
+def sssp_distances(
+    g: GraphModel,
+    source_name: str,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    max_iter: int = 8,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford supersteps)
+    over the undirected view.
+
+    Edge weight is the deterministic integer ``(src + dst) % 7 + 1`` —
+    symmetric, engine-portable, and strictly positive, standing in for a
+    stored weight property. Integer min-plus relaxation is exact in any
+    engine, so a FIXED iteration count makes the whole algorithm
+    oracle-checkable (g_sssp unrolls the same rounds in SQL).
+
+    After r rounds the frame holds exact shortest distances among paths
+    of ≤ r edges; with weights ≥ 1 and a direct edge ≤ 7, optimal paths
+    here use ≤ 7 edges, so max_iter=8 is full convergence, not an
+    approximation. Unreached nodes are absent (Cypher shortestPath
+    null). Same scale switch as BFS: broadcast the node-sized distance
+    frame on small graphs, else co-partition the static edge table once
+    and shuffle only distances each round.
+    """
+    small = g.persons.count() <= broadcast_node_limit
+    edges = g.sym_edges(types).select(
+        "src",
+        "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).alias("w"),
+    )
+    edges = edges.localCheckpoint() if small else _copartition(edges, "src")
+    dist = (
+        g.persons.filter(F.col("name") == source_name)
+        .select("id", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        dist_side = F.broadcast(dist) if small else dist
+        relaxed = edges.join(dist_side, edges.src == dist.id).select(
+            F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        g.persons.select("id", "name")
+        .join(dist, "id")
+        .select("name", F.col("d").cast("long").alias("dist"))
+        .orderBy("name")
+    )

@@ -123,3 +123,36 @@ def test_label_propagation_two_triangles(spark):
     # deterministic min-tie-break LPA settles each triangle on one label;
     # the bridge edge 3-4 must not merge the two communities
     assert got == {"P1": 1, "P2": 1, "P3": 1, "P4": 3, "P5": 3, "P6": 3}
+
+
+def test_sssp_weighted_relaxation(spark):
+    """Indirect path must beat the heavy direct edge:
+    w(2,11) = (13 % 7) + 1 = 7, but 2→5→11 costs 1 + 3 = 4."""
+    persons = spark.createDataFrame(
+        [
+            (2, "P Two", "NATION_9", "SEG", 1.0),
+            (5, "P Five", "NATION_9", "SEG", 1.0),
+            (11, "P Eleven", "NATION_9", "SEG", 1.0),
+            (99, "P Isolated", "NATION_8", "SEG", 1.0),
+        ],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [(2, 5, "FRIEND_OF"), (2, 11, "FRIEND_OF"), (5, 11, "FRIEND_OF")],
+        "src long, dst long, type string",
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    g = GraphModel(persons=persons, houses=houses, edges=edges)
+    out = {r["name"]: r["dist"] for r in alg.sssp_distances(g, "P Two").collect()}
+    assert out == {"P Two": 0, "P Five": 1, "P Eleven": 4}
+
+
+def test_sssp_copartitioned_mode_matches_broadcast(tiny):
+    a = {(r["name"], r["dist"])
+         for r in alg.sssp_distances(tiny, "Alice A").collect()}
+    b = {(r["name"], r["dist"])
+         for r in alg.sssp_distances(
+             tiny, "Alice A", broadcast_node_limit=0
+         ).collect()}
+    assert a == b
+    assert ("Alice A", 0) in a and len(a) == 4
