@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_values": _zorder_values,
         "doc_dup_spans": dedup.duplicated_spans,
         "g_sssp": on_graph(lambda g: galg.sssp_distances(g, EGO_NAME)),
+        "lineitem_correlations": rel.lineitem_correlations,
+        "events_value_percentiles_approx": rel.events_value_percentiles_approx,  # rows-only (GK sketch)
     }
 
 
@@ -2071,5 +2073,32 @@ ORDER BY p.doc_id
 SELECT p.name, CAST(d.d AS BIGINT) AS dist
 FROM d8 d JOIN persons p USING (id)
 ORDER BY p.name
+""",
+        # Pearson correlation from exact decimal co-moments; the final
+        # closed form runs in IEEE doubles (every op correctly rounded →
+        # identical bits when the expression shape matches).
+        "lineitem_correlations": """
+WITH cents AS (
+  SELECT l_returnflag,
+    CAST(round(l_quantity * 100) AS HUGEINT) AS qc,
+    CAST(round(l_extendedprice * 100) AS HUGEINT) AS pc
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(qc) AS DOUBLE) AS sx,
+    CAST(SUM(pc) AS DOUBLE) AS sy,
+    CAST(SUM(qc * qc) AS DOUBLE) AS sxx,
+    CAST(SUM(pc * pc) AS DOUBLE) AS syy,
+    CAST(SUM(qc * pc) AS DOUBLE) AS sxy
+  FROM cents GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+FROM agg
+ORDER BY l_returnflag
 """,
     }

@@ -917,3 +917,79 @@ def customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         action_col="action",
     )
     return merged.orderBy("c_custkey")
+
+
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate per-type value percentiles via percentile_approx —
+    the mergeable-sketch path (Greenwald-Khanna) that replaces the exact
+    rank-based plan at 100 TB: partials merge map-side, no full sort,
+    error bounded by 1/accuracy. Engine-specific estimates → rows-only
+    driver check; the error bound vs the exact rank plan is pinned by
+    test_relational_ext.py.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pcts = F.percentile_approx(
+        "value", [0.5, 0.9, 0.99], 10000
+    ).alias("p")
+    return (
+        ev.groupBy("event_type")
+        .agg(pcts)
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (quantity, extendedprice) per return flag,
+    computed from exact decimal co-moments instead of the engines'
+    float-accumulating corr() builtins.
+
+    Correlation is scale-invariant, so both values first become exact
+    integer cents (round(v·100) — 2-decimal inputs recover exactly, and
+    both engines agree on an integer). Co-moment sums over integers are
+    EXACT (decimal(38,0) here ≡ hugeint in the oracle), and each sum
+    then crosses to double in ONE correctly-rounded conversion — the
+    drift trap this dodges is scaled-DECIMAL→double, which some engines
+    evaluate as int→double followed by ÷10^scale (two roundings).
+    From identical double inputs, the closed form (×, −, ÷, √ — all
+    correctly rounded) is bit-identical in any engine. One pass, one
+    shuffle of 6 narrow partials per group — corr at 100 TB costs the
+    same as a sum.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    qc = F.round(F.col("l_quantity") * 100).cast("decimal(18,0)")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    agg = li.select(
+        "l_returnflag", qc.alias("qc"), pc.alias("pc")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qc").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("pc").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(F.col("qc") * F.col("qc"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("pc") * F.col("pc"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("qc") * F.col("pc"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"), corr.alias("corr_qty_price")
+    ).orderBy("l_returnflag")

@@ -53,3 +53,51 @@ def test_orders_above_customer_avg_bounds(spark):
         assert 0 <= r.n_above_avg < max(r.n_orders, 2)
         if r.n_orders == 1:
             assert r.n_above_avg == 0
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    from neo4j_database_spark.queries import relational as rel
+    from neo4j_database_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in rel.events_value_percentiles_approx(spark, sf_dir).collect()
+    }
+    values = {}
+    for r in (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .collect()
+    ):
+        values.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(values)
+    # the GK guarantee is on RANK, not value: the returned element's
+    # rank must be within n/accuracy (+1 slack) of the target rank
+    for et, vals in values.items():
+        vals.sort()
+        n = len(vals)
+        for a, p in zip(approx[et], (0.5, 0.9, 0.99)):
+            rank = sum(1 for v in vals if v <= a)
+            assert abs(rank - p * n) <= n / 10000 + 1, (et, p, a, rank)
+
+
+def test_lineitem_correlations_match_builtin(spark, sf_dir):
+    from neo4j_database_spark.queries import relational as rel
+    from neo4j_database_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ours = {
+        r.l_returnflag: r.corr_qty_price
+        for r in rel.lineitem_correlations(spark, sf_dir).collect()
+    }
+    builtin = {
+        r.l_returnflag: r.c
+        for r in load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(ours) == set(builtin)
+    for k in ours:
+        assert abs(ours[k] - builtin[k]) < 1e-9, (k, ours[k], builtin[k])

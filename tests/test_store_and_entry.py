@@ -37,6 +37,7 @@ ROWS_ONLY = {
     "mm_image_features",
     "emb_kmeans",
     "events_approx_users",  # HLL sketch — engine-specific estimate
+    "events_value_percentiles_approx",  # GK sketch — engine-specific
 }
 
 
