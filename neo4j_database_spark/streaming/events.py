@@ -392,3 +392,40 @@ def enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, "customer", sf_dir)
     run_to_memory_sink(enrich_events_stream(stream, dim), name)
     return spark.table(name)
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    dst_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Exactly-once parquet delivery via the foreachBatch contract.
+
+    Structured Streaming guarantees foreachBatch is called with a
+    deterministic (batch_df, epoch_id) pair per micro-batch; writing
+    each epoch to its own ``epoch=<id>`` directory with overwrite makes
+    REPLAYED epochs (failure → restart from checkpoint) rewrite the same
+    path instead of appending duplicates — at-least-once execution,
+    exactly-once visible output. This is the standard idempotent-sink
+    recipe for engines without a transactional table format; with
+    Delta/Iceberg the body becomes a MERGE keyed on epoch
+    (operators/merge.py is that MERGE, batch-side).
+
+    The checkpoint directory carries source offsets per epoch, so a
+    restarted query resumes — never re-reads — committed input.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{dst_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

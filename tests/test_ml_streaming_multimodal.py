@@ -211,3 +211,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting from the same checkpoint must not duplicate output,
+    and the delivered table equals the memory-sink replay."""
+    import neo4j_database_spark.streaming.events as sev
+
+    dst = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        sev.run_foreach_batch_parquet(
+            sev.hourly_rollup_stream(stream), dst, ckpt
+        )
+
+    run()
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{dst}/epoch=*").collect()
+    )
+    assert len(first) > 0
+    # restart from the same checkpoint: all input committed → no change
+    run()
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(f"{dst}/epoch=*").collect()
+    )
+    assert second == first
+    expected = sorted(
+        tuple(r) for r in sev.hourly_rollup_replay(spark, sf_dir).collect()
+    )
+    assert first == expected
