@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sssp": on_graph(lambda g: galg.sssp_distances(g, EGO_NAME)),
         "lineitem_correlations": rel.lineitem_correlations,
         "events_value_percentiles_approx": rel.events_value_percentiles_approx,  # rows-only (GK sketch)
+        "doc_decontaminate_fuzzy": curation.decontaminate_fuzzy,
     }
 
 
@@ -2100,5 +2101,36 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
 FROM agg
 ORDER BY l_returnflag
+""",
+        # Fuzzy decontamination: same MinHash/band construction as
+        # doc_minhash_lsh, but corpus bands probe the eval-subset bands
+        # (doc_id ≡ 0 mod 25) instead of self-joining.
+        "doc_decontaminate_fuzzy": f"""
+WITH {_SHINGLE_CTES.strip()},
+dg AS (
+  SELECT doc_id, md5(shingle) AS d0, md5('x1|' || shingle) AS d1 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    MIN(substr(d0, 1, 8)) AS mh_0, MIN(substr(d0, 9, 8)) AS mh_1,
+    MIN(substr(d0, 17, 8)) AS mh_2, MIN(substr(d0, 25, 8)) AS mh_3,
+    MIN(substr(d1, 1, 8)) AS mh_4, MIN(substr(d1, 9, 8)) AS mh_5,
+    MIN(substr(d1, 17, 8)) AS mh_6, MIN(substr(d1, 25, 8)) AS mh_7
+  FROM dg GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+)
+SELECT c.doc_id,
+  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_hits,
+  MIN(e.doc_id) AS first_eval_id
+FROM bands c
+JOIN bands e ON c.band_idx = e.band_idx AND c.band_key = e.band_key
+WHERE c.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+GROUP BY c.doc_id
+ORDER BY c.doc_id
 """,
     }

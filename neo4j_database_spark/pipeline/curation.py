@@ -303,3 +303,41 @@ def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def decontaminate_fuzzy(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 25
+) -> DataFrame:
+    """MinHash-LSH decontamination: flag corpus documents that are
+    NEAR-duplicates of benchmark/eval documents — the fuzzy counterpart
+    of ``decontaminate`` (exact n-gram collisions), catching
+    reformatted/partially-edited eval leakage that exact n-grams miss.
+
+    The eval set (here: doc_id ≡ 0 mod ``eval_mod``, standing in for a
+    benchmark suite) is banded with the same MinHash pipeline as the
+    corpus (pipeline/dedup.py::band_keys) and its band index is
+    BROADCAST — eval suites are a few thousand documents against a
+    corpus of billions, so the corpus-side scan never shuffles: each
+    corpus partition probes the in-memory eval index map-side. Output
+    is one row per contaminated corpus doc with the collision count and
+    the smallest colliding eval id for triage.
+    """
+    from neo4j_database_spark.pipeline.dedup import band_keys
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_bands = band_keys(docs.filter(is_eval)).select(
+        "band_idx", "band_key", F.col("doc_id").alias("eval_id")
+    )
+    corpus_bands = band_keys(docs.filter(~is_eval))
+    return (
+        corpus_bands.join(
+            F.broadcast(eval_bands), ["band_idx", "band_key"]
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").cast("long").alias("n_eval_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .orderBy("doc_id")
+    )

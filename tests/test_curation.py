@@ -126,3 +126,27 @@ def test_approx_user_counts_error_bound(spark, sf_dir):
             r["exact_users"], 1
         )
         assert rel_err < 0.05, (r["event_type"], rel_err)
+
+
+def test_decontaminate_fuzzy_flags_near_dup_of_eval(spark, monkeypatch):
+    from neo4j_database_spark.pipeline import curation
+
+    eval_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, eval_text),                      # eval doc (id % 25 == 0)
+        (1, eval_text + " extra tail"),      # near-dup of eval → flag
+        (2, "totally different words that share no shingles at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.curation.load_table",
+        lambda s, n, d: df,
+    )
+    out = {r.doc_id: r.n_eval_hits for r in
+           curation.decontaminate_fuzzy(spark, "unused").collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+    assert 0 not in out  # eval docs themselves are not reported
