@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": rel.lineitem_correlations,
         "events_value_percentiles_approx": rel.events_value_percentiles_approx,  # rows-only (GK sketch)
         "doc_decontaminate_fuzzy": curation.decontaminate_fuzzy,
+        "user_state_scd2": rel.user_state_scd2,
     }
 
 
@@ -2132,5 +2133,40 @@ JOIN bands e ON c.band_idx = e.band_idx AND c.band_key = e.band_key
 WHERE c.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
 GROUP BY c.doc_id
 ORDER BY c.doc_id
+""",
+        # SCD type-2 history build mirroring relational.user_state_scd2:
+        # change flags → running version numbers → interval close via
+        # lead(); epoch-second integers keep every cell engine-exact.
+        "user_state_scd2": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec, event_id
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, sec, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS is_change
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+ver AS (
+  SELECT user_id, event_type, sec,
+    SUM(is_change) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS UNBOUNDED PRECEDING) AS version
+  FROM chg
+),
+iv AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+    MIN(sec) AS valid_from, COUNT(*) AS n_events
+  FROM ver GROUP BY user_id, version
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  lead(valid_from) OVER w2 IS NULL AS is_current,
+  n_events
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
 """,
     }

@@ -993,3 +993,66 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", F.col("n").cast("long").alias("n"), corr.alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's
+    event-type stream into versioned validity intervals
+    (state, valid_from, valid_to, is_current, version).
+
+    The warehouse twin of operators/merge.py: MERGE applies a change
+    batch to a snapshot; SCD2 derives the full change HISTORY. One
+    window pass per user: lag() marks state changes, a running sum
+    numbers versions, first/last aggregation per (user, version) closes
+    each interval with the next version's start (lead over the interval
+    starts). valid_to is NULL on the open (current) interval. Every
+    timestamp is carried as epoch seconds — integer-exact cross-engine.
+
+    Shuffle profile: ONE hash exchange on user_id; both window
+    functions and the final aggregate reuse its sort. At 100 TB this is
+    the canonical "sessionize-shaped" plan — key-partitioned, no skew
+    beyond per-user event counts.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    changed = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("is_change").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # every row in a (user, version) group carries the same event_type
+    # by construction; MIN picks it deterministically (first() is
+    # order-dependent under parallel aggregation)
+    intervals = changed.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("sec").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "state",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )

@@ -101,3 +101,43 @@ def test_lineitem_correlations_match_builtin(spark, sf_dir):
     assert set(ours) == set(builtin)
     for k in ours:
         assert abs(ours[k] - builtin[k]) < 1e-9, (k, ours[k], builtin[k])
+
+
+def test_user_state_scd2_hand_case(spark, monkeypatch):
+    from datetime import datetime
+
+    from neo4j_database_spark.queries import relational as rel
+
+    rows = [
+        (1, "view", datetime(2024, 1, 1, 0), 10),
+        (1, "view", datetime(2024, 1, 1, 1), 11),
+        (1, "click", datetime(2024, 1, 1, 2), 12),
+        (1, "view", datetime(2024, 1, 1, 3), 13),  # state can recur
+        (2, "signup", datetime(2024, 1, 2, 0), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = [
+        (r.user_id, r.version, r.state, r.is_current, r.n_events)
+        for r in rel.user_state_scd2(spark, "unused").collect()
+    ]
+    assert out == [
+        (1, 1, "view", False, 2),
+        (1, 2, "click", False, 1),
+        (1, 3, "view", True, 1),
+        (2, 1, "signup", True, 1),
+    ]
+    # intervals must tile: valid_to of version k == valid_from of k+1
+    recs = rel.user_state_scd2(spark, "unused").collect()
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r.user_id, []).append(r)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to == b.valid_from
+        assert seq[-1].valid_to is None
