@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles_approx": rel.events_value_percentiles_approx,  # rows-only (GK sketch)
         "doc_decontaminate_fuzzy": curation.decontaminate_fuzzy,
         "user_state_scd2": rel.user_state_scd2,
+        "customer_order_quartiles": rel.customer_order_quartiles,
+        "regional_revenue_sql": rel.regional_revenue_sql,
     }
 
 
@@ -2168,5 +2170,38 @@ SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from,
 FROM iv
 WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 ORDER BY user_id, version
+""",
+        # Distribution-rank windows over a tie-free ordering: the
+        # rank-derived doubles are single exact integer divisions.
+        "customer_order_quartiles": """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+         AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, spend,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume_dist
+FROM spend
+WINDOW w AS (ORDER BY spend, custkey)
+ORDER BY custkey
+""",
+        # Same text as the spark.sql query (modulo dialect-free SQL) —
+        # the SQL-surface parity demo.
+        "regional_revenue_sql": """
+SELECT r.r_name AS region,
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+         AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+GROUP BY r.r_name
+ORDER BY r.r_name
 """,
     }

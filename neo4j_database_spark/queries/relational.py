@@ -1056,3 +1056,63 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+def customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window suite over per-customer spend: ntile(4)
+    quartile buckets, percent_rank, cume_dist — the remaining ranking
+    window functions beyond rank/dense_rank (customer_order_rank).
+
+    The window orders by (spend, custkey) — tie-free, so the
+    rank-derived doubles ((rank-1)/(N-1), rank/N: one exact integer
+    division each) are engine-identical. One aggregation shuffle + one
+    single-partition window over customer-sized data; at 100 TB the
+    global ordering window is the scale constraint and the move is
+    range-partitioned percentiles (events_value_percentiles) or the GK
+    sketch (events_value_percentiles_approx).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).cast("double").alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return (
+        spend.select(
+            F.col("o_custkey").alias("custkey"),
+            "spend",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape expressed as pure Spark SQL text over registered
+    views — the engine's second API surface (spark.sql ≡ the DataFrame
+    plans everywhere else; both compile to the same Catalyst tree).
+
+    Join order is written smallest-first but Catalyst/AQE reorders and
+    broadcasts the dims regardless — declarative SQL means the 100 TB
+    plan is the optimizer's problem, which is the point of the demo.
+    """
+    from neo4j_database_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+          CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )
