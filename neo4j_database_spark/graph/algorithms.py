@@ -380,17 +380,18 @@ def sssp_distances(
         .select("id", F.lit(0).cast("long").alias("d"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         dist_side = F.broadcast(dist) if small else dist
         relaxed = edges.join(dist_side, edges.src == dist.id).select(
             F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+        dist = dist.unionByName(relaxed).groupBy("id").agg(
+            F.min("d").alias("d")
         )
+        # every-other-superstep lineage cut — same measured tradeoff as
+        # pagerank (no convergence count forces materialization here)
+        if it % 2 == 1 or it == max_iter - 1:
+            dist = dist.localCheckpoint()
     return (
         g.persons.select("id", "name")
         .join(dist, "id")
