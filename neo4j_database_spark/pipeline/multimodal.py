@@ -3,15 +3,24 @@
 The reference's only media touchpoint is an image-URL string column
 (Person.image, get_insert.py:101). A training-data pipeline needs the
 real thing: opaque ``binary`` payload columns with typed metadata
-structs, decoded / feature-extracted / resized via Arrow-batched Pandas
-UDFs (``mapInPandas``) so the Python stage streams batches instead of
-rows.
+structs, decoded / feature-extracted / fingerprinted via Arrow-batched
+Pandas UDFs (``mapInPandas``) so the Python stage streams batches
+instead of rows.
 
-The *decode kernels* are stubs (image/audio codec libraries are not
-available in this environment — a production deployment drops
-``_decode_image_batch``'s body onto PIL/libvips and nothing else
-changes). Everything Spark-side is real and tested: schemas, batch
-iteration, partition sizing, output contracts.
+The image and audio decode kernels are REAL: pipeline/codecs.py decodes
+PNG (zlib inflate + all five scanline filters) and PCM WAV with the
+stdlib only — measured width/height/channels/pixel stats and an aHash
+perceptual fingerprint come from the payload BYTES, never from trusted
+metadata (metadata lies in real corpora; kernels must measure). Only
+video stays plan-level: no stdlib mp4 parser exists, so frame sampling
+computes the timestamp lattice JVM-side and documents the decode seam.
+
+Scale notes: modality/format filters run JVM-side BEFORE the Python
+stage so only relevant payload bytes cross the Arrow boundary; at
+100 TB repartition by byte volume first so Python workers see even
+work. Decoding is embarrassingly parallel — the pure-Python codecs
+trade single-core throughput (fine at test scale) for zero native
+dependencies; swapping in SIMD codecs changes no plan shape.
 """
 
 from __future__ import annotations
@@ -22,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from neo4j_database_spark.pipeline import codecs
 
 # Typed payload-metadata contract: every media row carries its modality,
 # declared format, and byte size — filterable without touching payloads.
@@ -50,6 +61,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
         T.StructField("checksum", T.StringType()),
         T.StructField("decoded", T.BooleanType()),
     ]
@@ -70,28 +84,53 @@ def attach_payload_stats(media: DataFrame) -> DataFrame:
 
 
 def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Decode kernel STUB — deterministic fake standing in for a codec.
-
-    Production: replace the body with PIL/libvips decode; the signature
-    (pandas in → pandas out) and the surrounding mapInPandas plumbing
-    are the real, stable interface.
+    """REAL decode kernel: PNG bytes → measured dimensions, channel
+    count, mean intensity, and a 64-bit aHash perceptual fingerprint
+    (codecs.decode_png / codecs.ahash64). Corrupt or non-PNG payloads
+    yield decoded=False with NULL pixel stats — the quarantine contract
+    (never throw mid-batch; one bad payload must not kill a partition).
     """
     import hashlib
 
-    payloads = pdf["payload"]
-    return pd.DataFrame(
-        {
-            "media_id": pdf["media_id"],
-            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-            # fake decode: metadata passthrough marks the plumbing path
-            "width": pdf["meta"].map(lambda m: m["width"] if m else None),
-            "height": pdf["meta"].map(lambda m: m["height"] if m else None),
-            "checksum": payloads.map(
-                lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-            ),
-            "decoded": payloads.map(lambda b: b is not None),
-        }
-    )
+    out = {
+        "media_id": [],
+        "n_bytes": [],
+        "width": [],
+        "height": [],
+        "channels": [],
+        "mean_intensity": [],
+        "ahash": [],
+        "checksum": [],
+        "decoded": [],
+    }
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        out["media_id"].append(mid)
+        if payload is None:
+            payload = b""
+        out["n_bytes"].append(len(payload))
+        out["checksum"].append(
+            hashlib.md5(payload).hexdigest() if payload else None
+        )
+        try:
+            w, h, ch, px = codecs.decode_png(bytes(payload))
+            # signed-long view of the 64-bit hash for Spark LongType
+            ah = codecs.ahash64(w, h, ch, px)
+            if ah >= 1 << 63:
+                ah -= 1 << 64
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["mean_intensity"].append(sum(px) // len(px) if px else 0)
+            out["ahash"].append(ah)
+            out["decoded"].append(True)
+        except Exception:
+            out["width"].append(None)
+            out["height"].append(None)
+            out["channels"].append(None)
+            out["mean_intensity"].append(None)
+            out["ahash"].append(None)
+            out["decoded"].append(False)
+    return pd.DataFrame(out)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -115,37 +154,59 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
-        T.StructField("bytes_per_ms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("mean_abs", T.IntegerType()),
         T.StructField("checksum", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Audio twin of the image path: Arrow-batched feature kernel over
-    audio rows (decode STUB — production drops in soundfile/ffmpeg;
-    the mapInPandas plumbing, schema, and modality pre-filter are the
-    stable surface)."""
+    """Audio twin of the image path: REAL PCM WAV parsing
+    (codecs.decode_wav) — sample rate and duration are measured from
+    the RIFF header, amplitude stats from the samples themselves.
+    Same quarantine contract: undecodable → decoded=False row."""
     import hashlib
 
     audio = media.filter(F.col("modality") == "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dur = pdf["meta"].map(lambda m: m["duration_ms"] if m else 0)
-            nbytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": nbytes,
-                    "duration_ms": dur,
-                    "bytes_per_ms": nbytes / dur.replace(0, 1),
-                    "checksum": pdf["payload"].map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
-                }
-            )
+            out = {
+                "media_id": [],
+                "n_bytes": [],
+                "sample_rate": [],
+                "duration_ms": [],
+                "peak": [],
+                "mean_abs": [],
+                "checksum": [],
+                "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if payload is None:
+                    payload = b""
+                out["n_bytes"].append(len(payload))
+                out["checksum"].append(
+                    hashlib.md5(payload).hexdigest() if payload else None
+                )
+                try:
+                    info = codecs.decode_wav(bytes(payload))
+                    out["sample_rate"].append(info["rate"])
+                    out["duration_ms"].append(info["duration_ms"])
+                    out["peak"].append(info["peak"])
+                    out["mean_abs"].append(info["mean_abs"])
+                    out["decoded"].append(True)
+                except Exception:
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+                    out["peak"].append(None)
+                    out["mean_abs"].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -154,9 +215,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp.
 
     The timestamp lattice is computed JVM-side (sequence over
-    duration_ms); only the per-frame decode would be Python. With the
-    codec stubbed, the output carries (media_id, frame_ts_ms) — the
-    exact partition/explode shape the real kernel plugs into.
+    duration_ms); only the per-frame decode would be Python. mp4 has no
+    stdlib parser (unlike PNG/WAV above), so the per-frame kernel is the
+    one REMAINING documented decode seam — the output carries
+    (media_id, frame_ts_ms), the exact partition/explode shape the real
+    kernel plugs into.
     """
     videos = media.filter(F.col("modality") == "video")
     return videos.select(
@@ -172,25 +235,44 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def image_features_query(spark, sf_dir: str) -> DataFrame:
-    """Driver-facing multimodal query: Arrow-batched feature extraction
-    over the deterministic synthetic media table (rows-only check — the
-    media table is generated, not stored, so there is no SQL twin)."""
+    """Driver-facing multimodal query: Arrow-batched REAL PNG decode +
+    aHash over the deterministic synthetic media table (rows-only check
+    — the media table is generated, not stored, so there is no SQL
+    twin)."""
     return extract_image_features(synthetic_media(spark, n=96)).orderBy("media_id")
 
 
+def _synthetic_pixels(i: int, w: int, h: int) -> bytes:
+    """Deterministic RGB gradient + per-id phase (codec-exercising but
+    reproducible across runs/partitions)."""
+    px = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            base = (y * w + x) * 3
+            px[base] = (x * 7 + i) % 256
+            px[base + 1] = (y * 11 + i * 3) % 256
+            px[base + 2] = (x + y + i * 5) % 256
+    return bytes(px)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fixture media table (payload = repeated id bytes)."""
+    """Deterministic fixture media table with REAL payloads: PNG images
+    (encoded by codecs.encode_png), PCM WAV audio (sawtooth waveform),
+    and opaque stand-in bytes for video (every third row, exercising the
+    quarantine path of any kernel pointed at it)."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
-        payload = bytes([i % 256]) * (128 + i)
-        rows.append(
-            (
-                i,
-                modality,
-                {"image": "png", "audio": "wav", "video": "mp4"}[modality],
-                payload,
-                (64 + i, 48 + i, 1000 * (1 + i % 5)),
-            )
-        )
+        w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
+        dur = 1000 * (1 + i % 5)
+        if modality == "image":
+            payload = codecs.encode_png(w, h, _synthetic_pixels(i, w, h), 3)
+        elif modality == "audio":
+            rate = 8000
+            n_samples = rate * dur // 1000
+            samples = [((t * (13 + i)) % 2048) - 1024 for t in range(n_samples)]
+            payload = codecs.encode_wav(samples, rate)
+        else:
+            payload = bytes([i % 256]) * (128 + i)
+        rows.append((i, modality, {"image": "png", "audio": "wav", "video": "mp4"}[modality], payload, (w, h, dur)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

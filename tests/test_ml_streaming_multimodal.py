@@ -127,21 +127,44 @@ def test_stateful_user_activity(spark, sf_dir):
 
 def test_multimodal_feature_extraction(spark):
     media = mm.synthetic_media(spark, n=30)
-    feats = mm.extract_image_features(media).collect()
+    feats = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
     assert len(feats) == 10  # a third of rows are images
-    for r in feats:
+    # dimensions must be MEASURED from the PNG bytes and equal the
+    # dimensions the payload was encoded with (meta passthrough would
+    # also pass here, so cross-check against the generator formula)
+    for mid, r in feats.items():
         assert r["decoded"] is True
+        assert r["width"] == 16 + (mid % 5) * 4
+        assert r["height"] == 12 + (mid % 3) * 4
+        assert r["channels"] == 3
+        assert 0 <= r["mean_intensity"] <= 255
+        assert r["ahash"] is not None
         assert r["n_bytes"] > 0 and len(r["checksum"]) == 32
     stats = mm.attach_payload_stats(media)
     assert stats.filter(F.col("n_bytes") <= 0).count() == 0
 
 
+def test_multimodal_image_corrupt_payload_quarantined(spark):
+    rows = [
+        (1, "image", "png", b"not a png at all", (8, 8, 0)),
+        (2, "image", "png", None, (8, 8, 0)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert feats[1]["decoded"] is False and feats[1]["width"] is None
+    assert feats[2]["decoded"] is False and feats[2]["n_bytes"] == 0
+
+
 def test_multimodal_audio_features(spark):
     media = mm.synthetic_media(spark, n=30)
-    feats = mm.extract_audio_features(media).collect()
+    feats = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
     assert len(feats) == 10
-    for r in feats:
-        assert r["duration_ms"] > 0 and r["bytes_per_ms"] > 0
+    for mid, r in feats.items():
+        assert r["decoded"] is True
+        assert r["sample_rate"] == 8000
+        # duration measured from the RIFF frame count, not metadata
+        assert r["duration_ms"] == 1000 * (1 + mid % 5)
+        assert r["peak"] > 0 and r["mean_abs"] > 0
         assert len(r["checksum"]) == 32
 
 
