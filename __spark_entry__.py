@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_scd2": rel.user_state_scd2,
         "customer_order_quartiles": rel.customer_order_quartiles,
         "regional_revenue_sql": rel.regional_revenue_sql,
+        "mm_image_near_dups": _mm_near_dups,  # rows-only (generated input)
     }
 
 
@@ -325,6 +326,15 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.pipeline.multimodal import image_features_query
 
     return image_features_query(spark, sf_dir)
+
+
+def _mm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.pipeline.multimodal import (
+        image_near_dups,
+        synthetic_media,
+    )
+
+    return image_near_dups(synthetic_media(spark, n=96))
 
 
 def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -242,16 +242,30 @@ def image_features_query(spark, sf_dir: str) -> DataFrame:
     return extract_image_features(synthetic_media(spark, n=96)).orderBy("media_id")
 
 
-def _synthetic_pixels(i: int, w: int, h: int) -> bytes:
-    """Deterministic RGB gradient + per-id phase (codec-exercising but
-    reproducible across runs/partitions)."""
+def _synthetic_pixels(key: int, w: int, h: int) -> bytes:
+    """Deterministic RGB content addressed by NORMALIZED coordinates —
+    the same ``key`` rendered at two resolutions is a resize of the same
+    image (same perceptual content), which is what plants real aHash
+    near-duplicates in the fixture.
+
+    Content is an 8×8 BLOCK pattern from the key's mixed bits (sharp
+    dark/light cells, not a smooth gradient): every aHash cell sits far
+    from the threshold, so a re-render at another resolution lands
+    within a couple of Hamming bits — exactly how real near-dup images
+    behave — while different keys differ in ~32 random bits."""
+    bits = (key * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & ((1 << 64) - 1)
     px = bytearray(w * h * 3)
     for y in range(h):
+        cy = min(y * 8 // h, 7)
         for x in range(w):
+            cx = min(x * 8 // w, 7)
+            lum = 220 if (bits >> (cy * 8 + cx)) & 1 else 30
             base = (y * w + x) * 3
-            px[base] = (x * 7 + i) % 256
-            px[base + 1] = (y * 11 + i * 3) % 256
-            px[base + 2] = (x + y + i * 5) % 256
+            # small per-channel texture keeps the codec honest without
+            # moving any cell mean near the threshold
+            px[base] = (lum + (x + y) % 7) % 256
+            px[base + 1] = (lum + (x * 2 + y) % 5) % 256
+            px[base + 2] = (lum + (x + y * 2) % 3) % 256
     return bytes(px)
 
 
@@ -266,7 +280,11 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
         dur = 1000 * (1 + i % 5)
         if modality == "image":
-            payload = codecs.encode_png(w, h, _synthetic_pixels(i, w, h), 3)
+            # every 9th image re-renders the PREVIOUS image's content at
+            # its own (different) resolution — a planted perceptual
+            # near-duplicate for image_near_dups
+            key = i - 3 if (i // 3) % 9 == 8 else i
+            payload = codecs.encode_png(w, h, _synthetic_pixels(key, w, h), 3)
         elif modality == "audio":
             rate = 8000
             n_samples = rate * dur // 1000
@@ -276,3 +294,54 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             payload = bytes([i % 256]) * (128 + i)
         rows.append((i, modality, {"image": "png", "audio": "wav", "video": "mp4"}[modality], payload, (w, h, dur)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Perceptual image near-duplicate pairs via banded aHash — the
+    image-side twin of SimHash text dedup.
+
+    Decode once (extract_image_features), then split each 64-bit aHash
+    into 8 disjoint 8-bit bands: two hashes within Hamming distance 7
+    MUST agree on ≥1 band (pigeonhole — 7 flips cannot touch all 8
+    bands), so the band equi-join is a COMPLETE candidate generator for
+    d ≤ 7, no all-pairs scan. Verification is a JVM-side
+    bit_count(xor) — no second Python pass. At 100 TB the band join is
+    the only shuffle and its key space (band_idx × 256 values × content
+    diversity) spreads; colliding clusters ARE the near-dup output.
+    """
+    feats = extract_image_features(media).filter(F.col("decoded")).select(
+        "media_id", "ahash"
+    )
+    bands = feats.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "ahash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

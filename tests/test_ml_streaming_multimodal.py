@@ -265,3 +265,16 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
         tuple(r) for r in sev.hourly_rollup_replay(spark, sf_dir).collect()
     )
     assert first == expected
+
+
+def test_image_near_dups_finds_planted_rerenders(spark):
+    """Every 9th image re-renders the previous image's content at a
+    different resolution; banded-aHash join must find exactly those
+    pairs (and no unrelated ones) at tight hamming."""
+    media = mm.synthetic_media(spark, n=96)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.image_near_dups(media, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(21, 24), (48, 51), (75, 78)}
+    assert all(h <= 2 for h in pairs.values())
