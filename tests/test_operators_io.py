@@ -256,3 +256,25 @@ def test_zorder_layout_skips_on_both_dims(spark, sf_dir, tmp_path):
     # time-sorted: time clustered but user_id spans ~everything
     assert avg_span(tdir, "sec16") < 0.3
     assert avg_span(tdir, "user_id") > 0.9
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
+    """Source/sink matrix beyond parquet: ORC (columnar, zlib) and
+    JSON-lines round-trip the nation dim byte-exactly."""
+    from neo4j_database_spark.catalog import load_table
+
+    nation = load_table(spark, "nation", sf_dir)
+    want = sorted(tuple(r) for r in nation.collect())
+
+    orc_dir = str(tmp_path / "orc")
+    nation.write.mode("overwrite").option("compression", "zlib").orc(orc_dir)
+    got_orc = sorted(tuple(r) for r in spark.read.orc(orc_dir).collect())
+    assert got_orc == want
+
+    json_dir = str(tmp_path / "jsonl")
+    nation.write.mode("overwrite").json(json_dir)
+    got_json = sorted(
+        tuple(r)
+        for r in spark.read.schema(nation.schema).json(json_dir).collect()
+    )
+    assert got_json == want
