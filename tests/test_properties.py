@@ -109,3 +109,62 @@ def test_connected_components_match_union_find(spark, data):
     rows = alg.connected_components(g).collect()
     got = sorted((r["component"], r["size"]) for r in rows)
     assert got == expected
+
+
+merge_case = st.builds(
+    lambda tgt_keys, src_keys, deltas, purge_bits: (
+        sorted(set(tgt_keys)),
+        sorted(set(src_keys)),
+        deltas,
+        purge_bits,
+    ),
+    tgt_keys=st.lists(st.integers(0, 9), min_size=1, max_size=8),
+    src_keys=st.lists(st.integers(0, 12), min_size=1, max_size=8),
+    deltas=st.lists(st.integers(-5, 5), min_size=13, max_size=13),
+    purge_bits=st.integers(0, 2**13 - 1),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=merge_case)
+def test_merge_into_matches_reference(spark, case):
+    from neo4j_database_spark.operators.merge import merge_into
+
+    tgt_keys, src_keys, deltas, purge_bits = case
+    tgt = spark.createDataFrame(
+        [(k, float(k * 10)) for k in tgt_keys], "k long, bal double"
+    )
+    src = spark.createDataFrame(
+        [(k, float(deltas[k]), bool(purge_bits & (1 << k))) for k in src_keys],
+        "k long, delta double, purge boolean",
+    )
+    got = {
+        r.k: (r.bal, r.action)
+        for r in merge_into(
+            tgt,
+            src,
+            on="k",
+            update_set={"bal": F.col("tgt.bal") + F.col("src.delta")},
+            insert_values={"bal": F.col("src.delta")},
+            delete_condition=F.col("src.purge"),
+            action_col="action",
+        ).collect()
+    }
+    # Python reference of MERGE semantics
+    want = {}
+    srcd = {k: (float(deltas[k]), bool(purge_bits & (1 << k))) for k in src_keys}
+    for k in tgt_keys:
+        if k in srcd:
+            delta, purge = srcd[k]
+            if not purge:
+                want[k] = (k * 10 + delta, "updated")
+        else:
+            want[k] = (float(k * 10), "kept")
+    for k in src_keys:
+        if k not in tgt_keys:
+            want[k] = (srcd[k][0], "inserted")
+    assert got == want
