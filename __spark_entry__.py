@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "g_label_propagation": on_graph(
             lambda g: galg.label_propagation(g)
-        ),  # rows-only check (iterative mode-of-neighbors)
+        ),  # exact oracle: unrolled deterministic LPA rounds
         # -- corpus curation (decontamination / scrubbing / mixing / ranking) --
         "doc_decontaminate": curation.decontaminate,
         "doc_scrub_pii": curation.scrub_pii,
@@ -290,6 +290,34 @@ def _morton_sql(xe: str, ye: str, bits: int = 16) -> str:
         f"((({ye} >> {i}) & 1) << {2 * i + 1})"
         for i in range(bits)
     )
+
+
+def _lpa_rounds_sql(n_rounds: int = 5) -> str:
+    """Unrolled deterministic label-propagation rounds mirroring
+    graph/algorithms.py::label_propagation: per round, each node adopts
+    its neighbors' most frequent label (ties → smallest), isolated
+    nodes keep theirs. (n DESC, label ASC) is a total order per node,
+    so every round — and therefore the fixed-point after 5 — is
+    engine-exact."""
+    ctes = ["l0 AS (SELECT id, id AS label FROM persons)"]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"v{r} AS (SELECT e.src, l.label, COUNT(*) AS n "
+            f"FROM sym_edges e JOIN l{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT src AS id, label FROM ("
+            f"SELECT src, label, row_number() OVER "
+            f"(PARTITION BY src ORDER BY n DESC, label ASC) AS rn "
+            f"FROM v{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT a.id, COALESCE(b.label, a.label) AS label "
+            f"FROM l{p} a LEFT JOIN b{r} b ON a.id = b.id)"
+        )
+    return ", " + ",\n".join(ctes)
 
 
 def _sssp_rounds_sql(n_rounds: int = 8) -> str:
@@ -2094,6 +2122,11 @@ ORDER BY p.doc_id
         "g_sssp": f"""{GRAPH_CTES}{_sssp_rounds_sql(8)}
 SELECT p.name, CAST(d.d AS BIGINT) AS dist
 FROM d8 d JOIN persons p USING (id)
+ORDER BY p.name
+""",
+        "g_label_propagation": f"""{GRAPH_CTES}{_lpa_rounds_sql(5)}
+SELECT p.name, CAST(l.label AS BIGINT) AS community
+FROM l5 l JOIN persons p USING (id)
 ORDER BY p.name
 """,
         # Pearson correlation from exact decimal co-moments; the final

@@ -306,8 +306,9 @@ def label_propagation(
     aggregate counts (node, label) votes, one window picks the winner.
     At scale the labels frame is co-partitioned with edges on the join
     key; ``localCheckpoint`` truncates lineage per superstep. Fixed
-    ``max_iter`` keeps the result reproducible (rows-only driver check —
-    iterative mode-of-neighbors is not SQL-expressible)."""
+    ``max_iter`` + the deterministic (count DESC, label ASC) tie-break
+    make every round engine-exact, so the whole loop has an unrolled
+    SQL oracle (__spark_entry__._lpa_rounds_sql)."""
     from pyspark.sql.window import Window as W
 
     # static edge table co-partitioned on the per-superstep join key so

@@ -33,7 +33,6 @@ def test_entry_contract(spark):
 # iterative / floating-point algorithms with no closed-form SQL twin —
 # the driver records a weaker rows-only check for these by design
 ROWS_ONLY = {
-    "g_label_propagation",
     "mm_image_features",
     "emb_kmeans",
     "events_approx_users",  # HLL sketch — engine-specific estimate
