@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_quartiles": rel.customer_order_quartiles,
         "regional_revenue_sql": rel.regional_revenue_sql,
         "mm_image_near_dups": _mm_near_dups,  # rows-only (generated input)
+        "events_hourly_anomalies": rel.events_hourly_anomalies,
+        "g_kcore": on_graph(lambda g: galg.kcore_members(g, k=70)),
     }
 
 
@@ -299,7 +301,7 @@ def _lpa_rounds_sql(n_rounds: int = 5) -> str:
     nodes keep theirs. (n DESC, label ASC) is a total order per node,
     so every round — and therefore the fixed-point after 5 — is
     engine-exact."""
-    ctes = ["l0 AS (SELECT id, id AS label FROM persons)"]
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM persons)"]
     for r in range(1, n_rounds + 1):
         p = r - 1
         ctes.append(
@@ -314,8 +316,35 @@ def _lpa_rounds_sql(n_rounds: int = 5) -> str:
             f"FROM v{r}) WHERE rn = 1)"
         )
         ctes.append(
-            f"l{r} AS (SELECT a.id, COALESCE(b.label, a.label) AS label "
+            f"l{r} AS MATERIALIZED (SELECT a.id, "
+            f"COALESCE(b.label, a.label) AS label "
             f"FROM l{p} a LEFT JOIN b{r} b ON a.id = b.id)"
+        )
+    return ", " + ",\n".join(ctes)
+
+
+def _kcore_rounds_sql(k: int, n_rounds: int = 10) -> str:
+    """Unrolled k-core peeling mirroring graph/algorithms.kcore_members:
+    per round, recompute degrees on the surviving subgraph and drop
+    nodes under k. Pure integer logic → engine-exact at a fixed round
+    budget."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous alive-set twice -> without
+    # materialization the expansion is 2^rounds copies of the whole
+    # edge pipeline (observed: file-handle exhaustion at 10 rounds).
+    ctes = [
+        "we AS MATERIALIZED (SELECT src, dst FROM sym_edges)",
+        "a0 AS MATERIALIZED (SELECT id FROM persons)",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS (SELECT e.src, COUNT(*) AS n FROM we e "
+            f"JOIN a{p} s ON e.src = s.id "
+            f"JOIN a{p} t ON e.dst = t.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT src AS id FROM d{r} WHERE n >= {k})"
         )
     return ", " + ",\n".join(ctes)
 
@@ -327,12 +356,12 @@ def _sssp_rounds_sql(n_rounds: int = 8) -> str:
     ctes = [
         "we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w "
         "FROM sym_edges WHERE type = 'FRIEND_OF')",
-        f"d0 AS (SELECT id, CAST(0 AS BIGINT) AS d FROM persons "
-        f"WHERE name = '{EGO_NAME}')",
+        f"d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS d "
+        f"FROM persons WHERE name = '{EGO_NAME}')",
     ]
     for r in range(1, n_rounds + 1):
         ctes.append(
-            f"d{r} AS (SELECT id, MIN(d) AS d FROM ("
+            f"d{r} AS MATERIALIZED (SELECT id, MIN(d) AS d FROM ("
             f"SELECT id, d FROM d{r - 1} "
             f"UNION ALL "
             f"SELECT e.dst AS id, p.d + e.w AS d "
@@ -2129,6 +2158,11 @@ SELECT p.name, CAST(l.label AS BIGINT) AS community
 FROM l5 l JOIN persons p USING (id)
 ORDER BY p.name
 """,
+        "g_kcore": f"""{GRAPH_CTES}{_kcore_rounds_sql(70, 10)}
+SELECT p.name
+FROM persons p JOIN a10 USING (id)
+ORDER BY p.name
+""",
         # Pearson correlation from exact decimal co-moments; the final
         # closed form runs in IEEE doubles (every op correctly rounded →
         # identical bits when the expression shape matches).
@@ -2254,5 +2288,41 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
 GROUP BY r.r_name
 ORDER BY r.r_name
+""",
+        # Trailing-24h z-score anomalies; integer window co-moments →
+        # correctly-rounded double closed form (corollary 3).
+        "events_hourly_anomalies": """
+WITH hourly AS (
+  SELECT event_type,
+    epoch_us(ts) // 1000000 // 3600 AS hidx,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hidx, n,
+    SUM(n) OVER w AS s1,
+    SUM(n * n) OVER w AS s2,
+    COUNT(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+vstats AS (
+  SELECT event_type, hidx, n,
+    CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+    CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+      - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) AS var
+  FROM stats WHERE cnt >= 8
+),
+scored AS (
+  SELECT event_type, hidx, n,
+    (CAST(n AS DOUBLE) - mean) / sqrt(var) AS z
+  FROM vstats WHERE var > 0
+)
+SELECT event_type, hidx * 3600 AS hour_sec, n, z
+FROM scored
+WHERE z * z > 4.0
+ORDER BY event_type, hour_sec
 """,
     }

@@ -399,3 +399,55 @@ def sssp_distances(
         .select("name", F.col("d").cast("long").alias("dist"))
         .orderBy("name")
     )
+
+
+def kcore_members(
+    g: GraphModel,
+    k: int = 55,
+    types: tuple[str, ...] | None = None,
+    max_iter: int = 10,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """k-core membership by iterative peeling: repeatedly delete nodes
+    whose degree in the SURVIVING subgraph is < k; what remains is the
+    k-core (the standard cohesion/influence subgraph, and the peeling
+    loop is the first stage of full core decomposition).
+
+    Each round: two semi-joins restrict edges to surviving endpoints,
+    one count aggregate recomputes degrees, one filter peels. All
+    integer — with a FIXED round budget the result is deterministic and
+    the whole loop has an unrolled SQL oracle (g_kcore). Peeling
+    cascades (removing a node can doom its neighbors next round), which
+    is why it must iterate; 10 rounds far exceeds the cascade depth on
+    these graphs. Same broadcast/co-partition scale switch as the other
+    supersteps: the alive set is node-sized, the edge table static.
+    """
+    small = g.persons.count() <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
+    edges = edges.localCheckpoint() if small else _copartition(edges, "src")
+    alive = g.persons.select("id").localCheckpoint()
+    for it in range(max_iter):
+        alive_side = F.broadcast(alive) if small else alive
+        surviving = edges.join(
+            alive_side, edges.src == alive.id, "left_semi"
+        ).join(
+            F.broadcast(alive.withColumnRenamed("id", "dst_id"))
+            if small
+            else alive.withColumnRenamed("id", "dst_id"),
+            F.col("dst") == F.col("dst_id"),
+            "left_semi",
+        )
+        alive = (
+            surviving.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        if it % 2 == 1 or it == max_iter - 1:
+            alive = alive.localCheckpoint()
+    return (
+        g.persons.select("id", "name")
+        .join(alive, "id", "left_semi")
+        .select("name")
+        .orderBy("name")
+    )

@@ -1116,3 +1116,61 @@ def regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+def events_hourly_anomalies(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 2.0
+) -> DataFrame:
+    """Windowed z-score anomaly detection over the hourly event-count
+    series: flag hours whose count deviates > z_threshold standard
+    deviations from the trailing-24h distribution, per event type.
+
+    The determinism trick is the same as lineitem_correlations: the
+    trailing-window statistics (s1=Σn, s2=Σn², cnt) are EXACT integer
+    sums computed by a RANGE-frame window over the integer hour index
+    (gap-robust — frame bounds are hours, not rows), and the z closed
+    form evaluates in doubles where every op is correctly rounded →
+    cross-engine bit-identical flags, no tolerance. One shuffle on
+    event_type for both the aggregation and the window.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 3600)).alias("hidx"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hidx",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("cnt") >= 8)
+    cnt = F.col("cnt").cast("double")
+    mean = F.col("s1").cast("double") / cnt
+    var = F.col("s2").cast("double") / cnt - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(F.col("var"))
+    return (
+        stats.withColumn("var", var)
+        # var == 0 (constant trailing series) has no meaningful z —
+        # and ANSI mode turns the division into an error, not a NULL
+        .filter(F.col("var") > 0)
+        .withColumn("z", z)
+        .filter(F.col("z") * F.col("z") > z_threshold * z_threshold)
+        .select(
+            "event_type",
+            (F.col("hidx") * 3600).alias("hour_sec"),
+            "n",
+            "z",
+        )
+        .orderBy("event_type", "hour_sec")
+    )

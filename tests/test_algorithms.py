@@ -156,3 +156,24 @@ def test_sssp_copartitioned_mode_matches_broadcast(tiny):
          ).collect()}
     assert a == b
     assert ("Alice A", 0) in a and len(a) == 4
+
+
+def test_kcore_peeling_cascades(spark):
+    """Triangle with a tail: removing the leaf must doom its parent the
+    NEXT round (2-core = the triangle alone) — the cascade that makes
+    peeling iterative."""
+    persons = spark.createDataFrame(
+        [(i, f"N{i}", "NATION_5", "SEG", 1.0) for i in range(1, 6)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "FRIEND_OF"), (1, 3, "FRIEND_OF"), (2, 3, "FRIEND_OF"),
+         (3, 4, "FRIEND_OF"), (4, 5, "FRIEND_OF")],
+        "src long, dst long, type string",
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    g = GraphModel(persons=persons, houses=houses, edges=edges)
+    core = {r["name"] for r in alg.kcore_members(g, k=2).collect()}
+    assert core == {"N1", "N2", "N3"}
+    # k above max degree → empty core
+    assert alg.kcore_members(g, k=5).count() == 0

@@ -141,3 +141,33 @@ def test_user_state_scd2_hand_case(spark, monkeypatch):
         for a, b in zip(seq, seq[1:]):
             assert a.valid_to == b.valid_from
         assert seq[-1].valid_to is None
+
+
+def test_events_hourly_anomalies_hand_case(spark, monkeypatch):
+    """A flat series with one spike: only the spike hour is flagged."""
+    from datetime import datetime, timedelta
+
+    from neo4j_database_spark.queries import relational as rel
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    for h in range(40):
+        n = 50 if h != 30 else 500  # spike at hour 30
+        # vary counts slightly so trailing variance is nonzero
+        n += h % 3
+        for i in range(n):
+            rows.append((1, "view", base + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = rel.events_hourly_anomalies(spark, "unused").collect()
+    spike_sec = int((base + timedelta(hours=30)).timestamp())
+    flagged = {r.hour_sec: r.z for r in out}
+    assert spike_sec in flagged and flagged[spike_sec] > 2
+    # hour 31's trailing window absorbs the spike → huge variance; no
+    # other *positive* spike may be flagged
+    assert all(
+        sec == spike_sec or z < 0 or z <= 2.0 for sec, z in flagged.items()
+    )
