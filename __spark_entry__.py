@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_near_dups": _mm_near_dups,  # rows-only (generated input)
         "events_hourly_anomalies": rel.events_hourly_anomalies,
         "g_kcore": on_graph(lambda g: galg.kcore_members(g, k=70)),
+        "events_twap_daily": rel.events_twap_daily,
     }
 
 
@@ -2324,5 +2325,33 @@ SELECT event_type, hidx * 3600 AS hour_sec, n, z
 FROM scored
 WHERE z * z > 4.0
 ORDER BY event_type, hour_sec
+""",
+        # Interval-weighted average (TWAP): integer-micro co-moments,
+        # one correctly-rounded conversion per closed-form term.
+        "events_twap_daily": """
+WITH ev AS (
+  SELECT user_id,
+    CAST(ts AS DATE) AS day,
+    epoch_us(ts) // 1000000 AS sec,
+    CAST(round(value * 1e6) AS HUGEINT) AS vmicro,
+    event_id
+  FROM events
+),
+with_dt AS (
+  SELECT user_id, day, vmicro,
+    COALESCE(
+      lead(sec) OVER (PARTITION BY user_id, day ORDER BY sec, event_id),
+      epoch(CAST(day + 1 AS TIMESTAMP))
+    ) - sec AS dt
+  FROM ev
+)
+SELECT user_id, day,
+  COUNT(*) AS n_obs,
+  CAST(SUM(dt) AS BIGINT) AS held_sec,
+  CAST(SUM(vmicro * dt) AS DOUBLE)
+    / (CAST(SUM(dt) AS DOUBLE) * 1e6) AS twap
+FROM with_dt
+GROUP BY user_id, day
+ORDER BY user_id, day
 """,
     }

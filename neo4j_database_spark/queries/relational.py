@@ -1174,3 +1174,49 @@ def events_hourly_anomalies(
         )
         .orderBy("event_type", "hour_sec")
     )
+
+
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the TWAP/interval-
+    weighted aggregate (financial tick data, sensor readings, state
+    metering): each observation holds until the next one, so its weight
+    is its holding duration, not 1.
+
+    Plan: one lead window per user-day computes each observation's
+    holding interval (last observation holds to end-of-day); the
+    aggregate is Σ(value·dt)/Σ(dt). Both window and aggregate hash on
+    the same (user, day) keys — one exchange. Determinism via the
+    integer-co-moment rule (ARCHITECTURE corollary 3): value becomes
+    exact integer MICROS, Σ(micros·dt) is an exact integer sum, and the
+    closed form crosses to double in one correctly-rounded conversion
+    per term.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1e6).cast("decimal(18,0)").alias("vmicro"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("sec", "event_id")
+    day_end = (
+        F.unix_timestamp(F.date_add(F.col("day"), 1).cast("timestamp"))
+    )
+    with_dt = ev.withColumn(
+        "dt",
+        F.coalesce(F.lead("sec").over(w), day_end) - F.col("sec"),
+    )
+    num = F.sum(F.col("vmicro") * F.col("dt")).cast("decimal(38,0)")
+    den = F.sum("dt")
+    return (
+        with_dt.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            den.alias("held_sec"),
+            (
+                num.cast("double")
+                / (den.cast("double") * F.lit(1e6))
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )

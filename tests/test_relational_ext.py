@@ -171,3 +171,29 @@ def test_events_hourly_anomalies_hand_case(spark, monkeypatch):
     assert all(
         sec == spike_sec or z < 0 or z <= 2.0 for sec, z in flagged.items()
     )
+
+
+def test_events_twap_daily_hand_case(spark, monkeypatch):
+    """Two observations: 10.0 held for 6h, then 20.0 held to midnight
+    (18h) → TWAP = (10*6 + 20*18)/24 = 17.5."""
+    from datetime import datetime
+
+    from neo4j_database_spark.queries import relational as rel
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10.0, 100),
+        (1, datetime(2024, 1, 1, 6, 0, 0), 20.0, 101),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = rel.events_twap_daily(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_obs == 2
+    assert r.held_sec == 86400
+    assert r.twap == (10.0 * 6 + 20.0 * 18) / 24
