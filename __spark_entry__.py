@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomalies": rel.events_hourly_anomalies,
         "g_kcore": on_graph(lambda g: galg.kcore_members(g, k=70)),
         "events_twap_daily": rel.events_twap_daily,
+        "orders_quality_checks": _orders_quality,
     }
 
 
@@ -265,6 +266,26 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import enrich_replay
 
     return enrich_replay(spark, sf_dir)
+
+
+def _orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.quality import check_rules
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    return check_rules(
+        orders,
+        {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": (F.col("o_orderdate") >= F.lit("1990-01-01"))
+            & (F.col("o_orderdate") < F.lit("2005-01-01")),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+            "price_under_cap": F.col("o_totalprice") < 100000.0,
+        },
+    )
 
 
 def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,5 +2374,34 @@ SELECT user_id, day,
 FROM with_dt
 GROUP BY user_id, day
 ORDER BY user_id, day
+""",
+        # One-pass constraint suite; CASE WHEN pred THEN 0 ELSE 1 counts
+        # NULL predicate results as violations, mirroring check_rules.
+        "orders_quality_checks": """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v3,
+    SUM(CASE WHEN o_orderdate >= '1990-01-01'
+              AND o_orderdate < '2005-01-01' THEN 0 ELSE 1 END) AS v4,
+    SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 0 ELSE 1 END) AS v5,
+    SUM(CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END) AS v6
+  FROM orders
+),
+longf AS (
+  SELECT 'key_not_null' AS rule, n, CAST(v1 AS BIGINT) AS v FROM agg
+  UNION ALL SELECT 'price_positive', n, CAST(v2 AS BIGINT) FROM agg
+  UNION ALL SELECT 'status_known', n, CAST(v3 AS BIGINT) FROM agg
+  UNION ALL SELECT 'date_in_range', n, CAST(v4 AS BIGINT) FROM agg
+  UNION ALL SELECT 'priority_format', n, CAST(v5 AS BIGINT) FROM agg
+  UNION ALL SELECT 'price_under_cap', n, CAST(v6 AS BIGINT) FROM agg
+)
+SELECT rule, n AS n_rows, v AS n_violations,
+  CAST(n - v AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate,
+  v = 0 AS ok
+FROM longf
+ORDER BY rule
 """,
     }

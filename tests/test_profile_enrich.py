@@ -184,3 +184,19 @@ def test_duplicated_spans_hand_case(spark, monkeypatch):
     assert out[2] == (3, 1, 1 / 3)
     assert out[3] == (2, 0, 0.0)
     assert 4 not in out
+
+
+def test_check_rules_null_counts_as_violation(spark):
+    from neo4j_database_spark.operators.quality import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "k long, x double"
+    )
+    out = {r.rule: r for r in check_rules(
+        df, {"x_positive": F.col("x") > 0, "k_small": F.col("k") < 10}
+    ).collect()}
+    # -1.0 fails, NULL is unknown → violation; 5.0 passes
+    assert out["x_positive"].n_violations == 2
+    assert out["x_positive"].ok is False
+    assert out["x_positive"].pass_rate == 1 / 3
+    assert out["k_small"].n_violations == 0 and out["k_small"].ok is True
