@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_kcore": on_graph(lambda g: galg.kcore_members(g, k=70)),
         "events_twap_daily": rel.events_twap_daily,
         "orders_quality_checks": _orders_quality,
+        "doc_token_heavy_hitters": _token_heavy_hitters,  # rows-only (MG sketch)
     }
 
 
@@ -266,6 +267,17 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import enrich_replay
 
     return enrich_replay(spark, sf_dir)
+
+
+def _token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.sketch import misra_gries_topk
+    from neo4j_database_spark.pipeline.text import _tokens
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return misra_gries_topk(toks, "tok", k=15, capacity=256)
 
 
 def _orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

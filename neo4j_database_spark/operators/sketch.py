@@ -1,0 +1,105 @@
+"""Custom mergeable sketches beyond Spark's built-ins (HLL, GK):
+Misra-Gries heavy hitters.
+
+The pattern this demonstrates is the one every custom distributed
+sketch follows on Spark: an Arrow-batched per-partition summarizer
+(mapInPandas) producing bounded-size partials, then a standard
+aggregation merging them — the sketch's merge must be expressible as
+(or bounded by) a sum for the shuffle to stay a plain hash aggregate.
+
+Misra-Gries guarantee: a summary with ``capacity`` m counters
+undercounts any item by at most n_p/(m+1) on a partition of n_p rows;
+summing partial counts per item keeps the total undercount ≤ n/(m+1).
+Therefore every item with true frequency > n/(m+1) SURVIVES into the
+merged summary, and estimates are always lower bounds within n/(m+1)
+of truth. Output is top-k by merged lower bound plus the data-derived
+error bound — the caller can verify candidates exactly with one
+filtered COUNT if needed (two-phase heavy hitters).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_part", T.LongType()),
+    ]
+)
+
+
+def _mg_summary(values, capacity: int) -> dict[str, int]:
+    counters: dict[str, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            # decrement-all step (amortized via dict rebuild)
+            counters = {k: c - 1 for k, c in counters.items() if c > 1}
+    return counters
+
+
+def misra_gries_topk(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """Approximate top-k heavy hitters of ``col``:
+    (item, est_count, n_total, max_underestimate).
+
+    est_count is a LOWER bound on the true count; true − est ≤
+    max_underestimate = n_total // (capacity + 1). Any item whose true
+    count exceeds that bound is guaranteed present.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            vals = pdf[col]
+            n += len(vals)
+            # fold this batch into the running partition summary
+            for v, c in _mg_summary(vals, capacity).items():
+                counters[v] = counters.get(v, 0) + c
+            if len(counters) > capacity:
+                # re-compress the merged counters to capacity: subtract
+                # the (capacity+1)-th largest count (classic MG merge)
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    kk: c - cut for kk, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()),
+                "cnt": list(counters.values()),
+                "n_part": [n] * len(counters),
+            }
+        )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema=_PARTIAL_SCHEMA
+    )
+    # n for the error bound comes from an exact count — cheap (scan
+    # count, no shuffle) and the caller usually has it already
+    n_total = df.count()
+    merged = (
+        partials.groupBy("item")
+        .agg(F.sum("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("item"))
+        .limit(k)
+    )
+    return merged.select(
+        "item",
+        "est_count",
+        F.lit(n_total).alias("n_total"),
+        F.lit(n_total // (capacity + 1)).alias("max_underestimate"),
+    )

@@ -200,3 +200,35 @@ def test_check_rules_null_counts_as_violation(spark):
     assert out["x_positive"].ok is False
     assert out["x_positive"].pass_rate == 1 / 3
     assert out["k_small"].n_violations == 0 and out["k_small"].ok is True
+
+
+def test_misra_gries_heavy_hitters_bounds(spark, sf_dir):
+    """Sketch guarantees: every true heavy hitter present; estimates are
+    lower bounds within n/(capacity+1) of exact counts."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.sketch import misra_gries_topk
+    from neo4j_database_spark.pipeline.text import _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    cap = 64
+    out = misra_gries_topk(toks, "tok", k=15, capacity=cap).collect()
+    assert len(out) == 15
+    bound = n // (cap + 1)
+    for r in out:
+        assert r.max_underestimate == bound
+        true = exact[r.item]
+        assert r.est_count <= true <= r.est_count + bound, (r.item, true, r.est_count)
+    # completeness: every item with true count > bound must be in the
+    # sketch's top-k IF k is large enough to hold them all
+    heavy = {t for t, c in exact.items() if c > bound}
+    got = {r.item for r in out}
+    if len(heavy) <= 15:
+        assert heavy <= got

@@ -38,6 +38,7 @@ ROWS_ONLY = {
     "events_approx_users",  # HLL sketch — engine-specific estimate
     "events_value_percentiles_approx",  # GK sketch — engine-specific
     "mm_image_near_dups",  # generated media input — no SQL twin
+    "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
 }
 
 
