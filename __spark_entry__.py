@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap_daily": rel.events_twap_daily,
         "orders_quality_checks": _orders_quality,
         "doc_token_heavy_hitters": _token_heavy_hitters,  # rows-only (MG sketch)
+        "urgent_lineitem_bloom": rel.urgent_lineitem_bloom,
+        "events_state_transitions": rel.events_state_transitions,
     }
 
 
@@ -2415,5 +2417,65 @@ SELECT rule, n AS n_rows, v AS n_violations,
   v = 0 AS ok
 FROM longf
 ORDER BY rule
+""",
+        # Bloom runtime filter is transparent (exact semi-join finishes
+        # the plan), so the oracle is the plain semi-join rollup.
+        "urgent_lineitem_bloom": """
+SELECT l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6))
+       AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+       AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+        # Temporal join: SCD2 interval containing (event time - 1h) per
+        # user; the SCD2 CTEs mirror the user_state_scd2 oracle.
+        "events_state_transitions": """
+WITH ev0 AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec, event_id
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, sec, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS is_change
+  FROM ev0
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+ver AS (
+  SELECT user_id, event_type, sec,
+    SUM(is_change) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS UNBOUNDED PRECEDING) AS version
+  FROM chg
+),
+iv AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+    MIN(sec) AS valid_from
+  FROM ver GROUP BY user_id, version
+),
+ivl AS (
+  SELECT user_id, state AS prev_state, valid_from,
+    COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+             CAST(4611686018427387904 AS BIGINT)) AS valid_to_c
+  FROM iv
+),
+pts AS (
+  SELECT user_id, event_type,
+    epoch_us(ts) // 1000000 - 3600 AS lookback
+  FROM events
+)
+SELECT i.prev_state, p.event_type, COUNT(*) AS n
+FROM pts p
+JOIN ivl i ON p.user_id = i.user_id
+  AND p.lookback >= i.valid_from AND p.lookback < i.valid_to_c
+GROUP BY i.prev_state, p.event_type
+ORDER BY i.prev_state, p.event_type
 """,
     }

@@ -1220,3 +1220,72 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+def urgent_lineitem_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-key fact filtering through a Bloom runtime filter.
+
+    Keys = orderkeys of '1-URGENT' orders (~20% of orders); fact =
+    lineitem. ``bloom_semi_join`` builds a 2^20-bit filter from the key
+    side, probes lineitem MAP-SIDE (no fact shuffle reaches the probe),
+    and finishes with the exact left-semi join, so the result — and the
+    oracle — is a plain semi-join despite the accelerated plan. At
+    100 TB the bloom probe drops ~80% of the fact scan before any
+    exchange; the filter itself is ~128 KB broadcast regardless of key
+    count. Output: per-returnflag rollup of surviving lineitems.
+    """
+    from neo4j_database_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    hits = bloom_semi_join(li, urgent, on="l_orderkey")
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec(F.col("l_quantity"))).cast(MONEY_SUM).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast(MONEY_SUM).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def events_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-interval) join: for each event, the SCD2 state
+    the SAME user was in ONE HOUR EARLIER, rolled up into a transition
+    matrix (prev_state × event_type). The canonical "dimension version
+    valid at event time" lookup, with a lookback offset so the answer
+    isn't trivially the event's own run.
+
+    Plan: ``point_in_interval_join`` with ``equi_keys=['user_id']`` —
+    the range predicate rides as a residual on the user_id hash join,
+    so both sides partition on user_id and nothing non-equi reaches the
+    join strategy choice. Open (current) intervals are closed with a
+    +inf sentinel, keeping containment total. Events whose lookback
+    precedes the user's first interval drop out (inner join) — there is
+    no state to report.
+    """
+    from neo4j_database_spark.operators.interval import point_in_interval_join
+
+    ivl = user_state_scd2(spark, sf_dir).select(
+        "user_id",
+        F.col("state").alias("prev_state"),
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(1 << 62)).alias("valid_to_c"),
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("long") - 3600).alias("lookback"),
+    )
+    joined = point_in_interval_join(
+        ev, ivl, "lookback", "valid_from", "valid_to_c", equi_keys=["user_id"]
+    )
+    return (
+        joined.groupBy("prev_state", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_state", "event_type")
+    )

@@ -1,0 +1,151 @@
+"""Tests for the Bloom semi-join runtime filter (operators/bloom.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.operators.bloom import (
+    bloom_probe,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+def _frames(spark):
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("payload")
+    )
+    # every 10th key is "in" — selective dim
+    keys = spark.range(0, 5000, 10).select(F.col("id").alias("k"))
+    return fact, keys
+
+
+def test_probe_has_no_false_negatives(spark):
+    fact, keys = _frames(spark)
+    bloom = build_bloom(keys, "k")
+    candidates = {
+        r.k for r in bloom_probe(fact, bloom, "k").select("k").collect()
+    }
+    true_keys = {r.k for r in keys.collect()}
+    assert true_keys <= candidates  # Bloom never drops a present key
+
+
+def test_probe_fpr_bounded(spark):
+    fact, keys = _frames(spark)
+    bloom = build_bloom(keys, "k", m_bits=1 << 16, n_hashes=3)
+    n_cand = bloom_probe(fact, bloom, "k").count()
+    n_true = keys.count()
+    n_absent = fact.count() - n_true
+    fpr = (n_cand - n_true) / n_absent
+    # 500 keys in 2^16 bits with k=3: theoretical fpr ~ (1-e^(-3*500/65536))^3
+    # ~ 1e-5; allow two orders of magnitude slack for hash imperfection
+    assert fpr < 0.01
+
+
+def test_semi_join_exactness(spark):
+    fact, keys = _frames(spark)
+    got = bloom_semi_join(fact, keys, "k").orderBy("k").collect()
+    want = fact.join(keys, "k", "left_semi").orderBy("k").collect()
+    assert got == want
+
+
+def test_semi_join_tiny_filter_still_exact(spark):
+    # Deliberately undersized filter => high FPR; exact join must still
+    # remove every false positive.
+    fact, keys = _frames(spark)
+    got = bloom_semi_join(fact, keys, "k", m_bits=256, n_hashes=2)
+    want = fact.join(keys, "k", "left_semi")
+    assert got.orderBy("k").collect() == want.orderBy("k").collect()
+
+
+def test_probe_is_map_side_only(spark):
+    # Probing against a MATERIALIZED bitmap (the cross-job-reuse shape)
+    # must shuffle nothing: broadcast of the one-row bitmap only.
+    fact, keys = _frames(spark)
+    bitmap_rows = build_bloom(keys, "k").collect()
+    bloom = spark.createDataFrame(bitmap_rows)
+    plan = bloom_probe(fact, bloom, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------- point_in_interval_join (operators/interval.py) ----------------
+
+from neo4j_database_spark.operators.interval import point_in_interval_join
+
+
+def _interval_frames(spark):
+    import random
+
+    rnd = random.Random(7)
+    ivls = [
+        (i, s, s + rnd.randint(1, 500))
+        for i, s in ((i, rnd.randint(0, 5000)) for i in range(80))
+    ]
+    pts = [(j, rnd.randint(-100, 6000)) for j in range(400)]
+    intervals = spark.createDataFrame(ivls, "ivl_id long, s long, e long")
+    points = spark.createDataFrame(pts, "pt_id long, t long")
+    return points, intervals
+
+
+def _brute(points, intervals):
+    return (
+        points.crossJoin(intervals)
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .select("pt_id", "ivl_id")
+        .orderBy("pt_id", "ivl_id")
+        .collect()
+    )
+
+
+def test_bucketed_matches_bruteforce(spark):
+    points, intervals = _interval_frames(spark)
+    want = _brute(points, intervals)
+    for width in (64, 100, 1000):
+        got = (
+            point_in_interval_join(points, intervals, "t", "s", "e",
+                                   bucket_width=width)
+            .select("pt_id", "ivl_id")
+            .orderBy("pt_id", "ivl_id")
+            .collect()
+        )
+        assert got == want, f"width={width}"
+
+
+def test_bucketed_no_duplicate_pairs(spark):
+    points, intervals = _interval_frames(spark)
+    res = point_in_interval_join(points, intervals, "t", "s", "e",
+                                 bucket_width=50)
+    n = res.count()
+    n_distinct = res.select("pt_id", "ivl_id").distinct().count()
+    assert n == n_distinct
+
+
+def test_half_open_boundaries(spark):
+    points = spark.createDataFrame([(1, 10), (2, 20), (3, 9)], "pt_id long, t long")
+    intervals = spark.createDataFrame([(100, 10, 20)], "ivl_id long, s long, e long")
+    got = {
+        r.pt_id
+        for r in point_in_interval_join(
+            points, intervals, "t", "s", "e", bucket_width=16
+        ).collect()
+    }
+    assert got == {1}  # start inclusive, end exclusive
+
+
+def test_equi_key_path_matches_bruteforce(spark):
+    points, intervals = _interval_frames(spark)
+    points = points.withColumn("k", F.col("pt_id") % 5)
+    intervals = intervals.withColumn("k", F.col("ivl_id") % 5)
+    want = (
+        points.crossJoin(intervals.select(F.col("k").alias("k2"), "ivl_id", "s", "e"))
+        .filter((F.col("k") == F.col("k2"))
+                & (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .select("pt_id", "ivl_id").orderBy("pt_id", "ivl_id").collect()
+    )
+    got = (
+        point_in_interval_join(points, intervals.select("k", "ivl_id", "s", "e"),
+                               "t", "s", "e", equi_keys=["k"])
+        .select("pt_id", "ivl_id").orderBy("pt_id", "ivl_id").collect()
+    )
+    assert got == want
