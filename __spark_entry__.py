@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_heavy_hitters": _token_heavy_hitters,  # rows-only (MG sketch)
         "urgent_lineitem_bloom": rel.urgent_lineitem_bloom,
         "events_state_transitions": rel.events_state_transitions,
+        "emb_semantic_dedup": similarity.semantic_dedup,
     }
 
 
@@ -2477,5 +2478,55 @@ JOIN ivl i ON p.user_id = i.user_id
   AND p.lookback >= i.valid_from AND p.lookback < i.valid_to_c
 GROUP BY i.prev_state, p.event_type
 ORDER BY i.prev_state, p.event_type
+""",
+        # SemDedup: IVF coarse assignment (same CTEs as emb_ivf_knn) then
+        # intra-cluster pair prune, keep-lowest-id; τ=0.4 → τ²=0.16.
+        "emb_semantic_dedup": """
+WITH comp AS (
+  SELECT e.vec_id, t.j,
+         CAST(e.embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e
+  CROSS JOIN UNNEST(generate_series(0, len(e.embedding) - 1)) AS t(j)
+),
+cass AS (
+  SELECT v.vec_id, c.vec_id AS cent_id,
+    SUM(CAST(v.x * c.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(v.x * v.x AS DECIMAL(20,9))) AS n2v,
+    SUM(CAST(c.x * c.x AS DECIMAL(20,9))) AS n2c
+  FROM comp v
+  JOIN comp c ON v.j = c.j
+  WHERE c.vec_id < 8
+  GROUP BY 1, 2
+),
+ranked_c AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+               / (CAST(n2v AS DOUBLE) * CAST(n2c AS DOUBLE)) DESC,
+               cent_id ASC) AS rn
+  FROM cass
+),
+assigned AS (SELECT vec_id, cent_id FROM ranked_c WHERE rn = 1),
+pairs AS (
+  SELECT aa.vec_id AS id_a, ab.vec_id AS id_b,
+    SUM(CAST(ca.x * cb.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(ca.x * ca.x AS DECIMAL(20,9))) AS n2a,
+    SUM(CAST(cb.x * cb.x AS DECIMAL(20,9))) AS n2b
+  FROM assigned aa
+  JOIN assigned ab ON aa.cent_id = ab.cent_id AND aa.vec_id < ab.vec_id
+  JOIN comp ca ON ca.vec_id = aa.vec_id
+  JOIN comp cb ON cb.vec_id = ab.vec_id AND cb.j = ca.j
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs
+  WHERE CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+        / (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))
+        >= 0.16000000000000003
+)
+SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS is_kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
 """,
     }

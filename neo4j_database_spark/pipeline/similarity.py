@@ -208,24 +208,16 @@ def cosine_dup_pairs(
     )
 
 
-def ivf_knn(
-    spark: SparkSession,
-    sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_lists: int = 8,
+def _ivf_assign(
+    spark: SparkSession, sf_dir: str, n_lists: int
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize every vector to its
-    nearest of ``n_lists`` fixed centroids, then score only the query's
-    list.
+    """Coarse-quantize every vector to its nearest deterministic centroid.
 
-    Deterministic coarse quantizer: the centroids are the first
-    ``n_lists`` stored vectors (vec_id 0..n_lists-1) — a seedable,
-    oracle-reproducible stand-in for a trained k-means codebook; swap in
-    trained centroids at deployment without touching the plan. Assignment
-    maximizes the exact-decimal cosine rank (ties → lowest centroid id).
-    At 100 TB the assignment is write-time (a partition column) and a
-    query touches 1/n_lists of the corpus.
+    Shared by ``ivf_knn`` and ``semantic_dedup``: centroids are the first
+    ``n_lists`` stored vectors (a seedable, oracle-reproducible stand-in
+    for a trained k-means codebook); assignment maximizes the
+    exact-decimal cosine rank (ties → lowest centroid id). Returns
+    (vec_id, vec, cent_id).
     """
     emb = load_table(spark, "embeddings", sf_dir)
     cents = emb.filter(F.col("vec_id") < n_lists).select(
@@ -248,11 +240,92 @@ def ivf_knn(
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.desc("crank"), F.asc("cent_id"))
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", "cent_id")
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic near-duplicate pruning with
+    the pair search BOUNDED BY COARSE CLUSTERS — all-pairs cosine runs
+    only within a cluster, never across the corpus.
+
+    A vector is pruned when a LOWER-id vector in the same cluster has
+    cosine ≥ threshold (keep-lowest-id is the deterministic stand-in for
+    SemDedup's keep-one-per-group choice). Exactness: cosine compare is
+    the cross-multiplied decimal rank (dot·|dot| ≥ τ²·n2a·n2b — no
+    sqrt, no float accumulation).
+
+    100 TB shape: assignment is one broadcast of n_lists centroids +
+    map-side argmax (write-time partition column in a deployed store);
+    the quadratic stage is per-cluster, so fan-out is Σ|cluster|² —
+    controlled by n_lists, exactly the knob the SemDedup paper scales.
+
+    Output: one row per vector (vec_id, cent_id, is_kept).
+    """
+    assigned = _ivf_assign(spark, sf_dir, n_lists).localCheckpoint()
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    dot = _dot_dec(F.col("vec_a"), F.col("vec_b"))
+    n2a = _dot_dec(F.col("vec_a"), F.col("vec_a"))
+    n2b = _dot_dec(F.col("vec_b"), F.col("vec_b"))
+    dot_d = dot.cast("double")
+    rank = dot_d * F.abs(dot_d) / (n2a.cast("double") * n2b.cast("double"))
+    dups = (
+        a.join(b, on="cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", rank.alias("rank_score"))
+        .filter(F.col("rank_score") >= threshold * threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dups.withColumn("__dup", F.lit(True)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def ivf_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest of ``n_lists`` fixed centroids, then score only the query's
+    list.
+
+    Deterministic coarse quantizer: the centroids are the first
+    ``n_lists`` stored vectors (vec_id 0..n_lists-1) — a seedable,
+    oracle-reproducible stand-in for a trained k-means codebook; swap in
+    trained centroids at deployment without touching the plan. Assignment
+    maximizes the exact-decimal cosine rank (ties → lowest centroid id).
+    At 100 TB the assignment is write-time (a partition column) and a
+    query touches 1/n_lists of the corpus.
+    """
+    assigned = _ivf_assign(spark, sf_dir, n_lists)
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vec").alias("q_vec"), F.col("cent_id").alias("q_cent")
     )

@@ -252,3 +252,40 @@ def test_repetition_stats_hand_case(spark, monkeypatch):
         rows[1]["max_gram_count"],
     ) == (7, 3, 4, 3)
     assert rows[2]["n_dup_grams"] == 0 and rows[2]["n_grams"] == 2
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark, monkeypatch, tmp_path):
+    # 8 well-separated "centroid" vectors (ids 0-7), then planted members:
+    #  - id 8: duplicate of centroid 0's direction  -> pruned (0 < 8, cos=1)
+    #  - id 9: near-dup of id 8's cluster direction -> pruned
+    #  - id 10: orthogonal-ish direction in cluster 1's list -> kept
+    import math
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [(i, unit(i), 0) for i in range(8)]
+    rows.append((8, [1.0, 0.05] + [0.0] * 6, 0))   # ~ centroid 0
+    rows.append((9, [0.99, 0.06] + [0.0] * 6, 0))  # ~ id 8
+    rows.append((10, [0.7, 0.7, 0.1] + [0.0] * 5, 0)) # cluster 0 or 1, distinct
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.write.parquet(path)
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.similarity.load_table",
+        lambda spark, name, sf_dir: spark.read.parquet(path),
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        spark, "ignored", n_lists=8, threshold=0.9
+    ).collect()}
+    assert len(out) == 11                      # one row per vector
+    assert all(out[i].is_kept for i in range(8))  # centroids are lowest ids
+    assert not out[8].is_kept                  # dup of centroid 0 (cos≈1 ≥ .9)
+    assert not out[9].is_kept                  # dup of id 8 in same list
+    assert out[10].is_kept                     # cos(10, others) < 0.9
+    # cluster-bounded: members assigned to centroid 0's list
+    assert out[8].cent_id == 0 and out[9].cent_id == 0
