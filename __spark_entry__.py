@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urgent_lineitem_bloom": rel.urgent_lineitem_bloom,
         "events_state_transitions": rel.events_state_transitions,
         "emb_semantic_dedup": similarity.semantic_dedup,
+        "events_ohlc_daily": rel.events_ohlc_daily,
+        "orders_price_histogram": rel.orders_price_histogram,
     }
 
 
@@ -2528,5 +2530,42 @@ dups AS (
 SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS is_kept
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id
+""",
+        # OHLC bars: open/close are argmin/argmax selections under the
+        # (sec, event_id) total order — no value arithmetic.
+        "events_ohlc_daily": """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    epoch_us(ts) // 1000000 AS sec, event_id, value
+  FROM events
+),
+framed AS (
+  SELECT event_type, day, value,
+    first_value(value) OVER w AS open,
+    last_value(value) OVER w AS close
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+  MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+  MIN(close) AS close, COUNT(*) AS n_ticks
+FROM framed
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+        # Fixed-width histogram; clamped integer bin from identical IEEE
+        # division on both engines.
+        "orders_price_histogram": """
+WITH binned AS (
+  SELECT LEAST(19, GREATEST(0,
+    CAST(FLOOR(o_totalprice / 30000.0) AS INT))) AS bin
+  FROM orders
+)
+SELECT bin, CAST(bin AS DOUBLE) * 30000.0 AS lo,
+  CAST(bin + 1 AS DOUBLE) * 30000.0 AS hi, COUNT(*) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
 """,
     }

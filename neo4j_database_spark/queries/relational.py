@@ -1289,3 +1289,74 @@ def events_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_state", "event_type")
     )
+
+
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into daily OHLC bars per event_type —
+    the tick→candle resample every market-data / sensor pipeline runs.
+
+    open/close are first/last VALUE under the total order (sec,
+    event_id); high/low are plain min/max. One window pass ordered by
+    that total order plus one aggregate, both hashing on (event_type,
+    day) — a single exchange. No arithmetic on the values themselves
+    (selection, not accumulation), so doubles pass the exact hash
+    without decimal staging.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("ts").cast("long").alias("sec"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return (
+        framed.groupBy("event_type", "day")
+        .agg(
+            F.min("open").alias("open"),    # constant within group
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),  # constant within group
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 20 bins over [0, 600000),
+    out-of-range values clamped into the edge bins.
+
+    The profiling primitive behind every dashboard distribution plot.
+    Bin index is pure integer-from-double arithmetic (floor of a
+    division both engines execute identically in IEEE64), so the plan
+    is scan → map → one hash aggregate over ≤ 20 groups — map-side
+    partials collapse almost everything before the exchange.
+    """
+    width = 30000.0
+    n_bins = 20
+    orders = load_table(spark, "orders", sf_dir)
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / width).cast("int")),
+    )
+    return (
+        orders.select(bin_idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.col("bin").cast("double") * width)
+        .withColumn("hi", (F.col("bin") + 1).cast("double") * width)
+        .select("bin", "lo", "hi", "n")
+        .orderBy("bin")
+    )

@@ -197,3 +197,56 @@ def test_events_twap_daily_hand_case(spark, monkeypatch):
     assert r.n_obs == 2
     assert r.held_sec == 86400
     assert r.twap == (10.0 * 6 + 20.0 * 18) / 24
+
+
+def test_events_ohlc_daily_hand_case(spark, monkeypatch):
+    from datetime import datetime
+
+    from neo4j_database_spark.queries import relational as rel
+
+    rows = [
+        # same-second open tie broken by event_id: 10 before 11
+        (1, "tick", datetime(2024, 1, 1, 0, 0, 0), 10, 5.0),
+        (2, "tick", datetime(2024, 1, 1, 0, 0, 0), 11, 9.0),
+        (3, "tick", datetime(2024, 1, 1, 12, 0, 0), 12, 1.0),
+        (4, "tick", datetime(2024, 1, 1, 23, 0, 0), 13, 7.0),
+        (5, "tick", datetime(2024, 1, 2, 0, 0, 0), 14, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, "
+        "user_id long, value double",
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = [
+        (str(r.day), r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in rel.events_ohlc_daily(spark, "unused").collect()
+    ]
+    assert out == [
+        ("2024-01-01", 5.0, 9.0, 1.0, 7.0, 4),
+        ("2024-01-02", 2.0, 2.0, 2.0, 2.0, 1),
+    ]
+
+
+def test_orders_price_histogram_clamps(spark, monkeypatch):
+    from datetime import datetime
+
+    from neo4j_database_spark.queries import relational as rel
+
+    rows = [
+        (1, -50.0),          # below range -> bin 0
+        (2, 0.0),            # bin 0
+        (3, 29999.99),       # bin 0 (upper edge exclusive)
+        (4, 30000.0),        # bin 1 (lower edge inclusive)
+        (5, 1e7),            # above range -> bin 19
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = {r.bin: r.n for r in rel.orders_price_histogram(spark, "unused").collect()}
+    assert out == {0: 3, 1: 1, 19: 1}
