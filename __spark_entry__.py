@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": similarity.semantic_dedup,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
+        "g_random_walks": on_graph(lambda g: galg.deterministic_walks(g)),
     }
 
 
@@ -359,6 +360,39 @@ def _lpa_rounds_sql(n_rounds: int = 5) -> str:
             f"COALESCE(b.label, a.label) AS label "
             f"FROM l{p} a LEFT JOIN b{r} b ON a.id = b.id)"
         )
+    return ", " + ",\n".join(ctes)
+
+
+def _walks_rounds_sql(walk_len: int = 3, walks_per_node: int = 2) -> str:
+    """Unrolled derandomized random-walk steps mirroring
+    graph/algorithms.py::deterministic_walks: step t moves each walk to
+    the neighbor minimizing md5(start|walk_no|t|neighbor) (ties → min
+    dst; dead ends go NULL and stay NULL via the left join). md5 hex
+    strings compare identically under both engines' binary collation,
+    so every step is engine-exact."""
+    ctes = [
+        "wf AS MATERIALIZED (SELECT src, dst FROM sym_edges "
+        "WHERE type = 'FRIEND_OF')",
+        f"w0 AS MATERIALIZED (SELECT p.id AS start, "
+        f"CAST(t.walk_no AS INT) AS walk_no, p.id AS cur FROM persons p "
+        f"CROSS JOIN UNNEST(generate_series(0, {walks_per_node - 1})) "
+        f"AS t(walk_no))",
+    ]
+    prev_steps = ""
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f"c{t} AS (SELECT s.*, e.dst, row_number() OVER ("
+            f"PARTITION BY s.start, s.walk_no ORDER BY "
+            f"md5(concat_ws('|', CAST(s.start AS VARCHAR), "
+            f"CAST(s.walk_no AS VARCHAR), '{t}', "
+            f"CAST(e.dst AS VARCHAR))) ASC, e.dst ASC) AS rn "
+            f"FROM w{t - 1} s LEFT JOIN wf e ON e.src = s.cur)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT start, walk_no{prev_steps}, "
+            f"dst AS step_{t}, dst AS cur FROM c{t} WHERE rn = 1)"
+        )
+        prev_steps += f", step_{t}"
     return ", " + ",\n".join(ctes)
 
 
@@ -2567,5 +2601,11 @@ SELECT bin, CAST(bin AS DOUBLE) * 30000.0 AS lo,
 FROM binned
 GROUP BY bin
 ORDER BY bin
+""",
+        # Derandomized random-walk sampler: unrolled hash-argmin steps.
+        "g_random_walks": f"""{GRAPH_CTES}{_walks_rounds_sql()}
+SELECT start, walk_no, step_1, step_2, step_3
+FROM w3
+ORDER BY start, walk_no
 """,
     }

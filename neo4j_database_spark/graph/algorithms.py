@@ -451,3 +451,65 @@ def kcore_members(
         .select("name")
         .orderBy("name")
     )
+
+
+def deterministic_walks(
+    g: GraphModel,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+) -> DataFrame:
+    """Random-walk sampling (the DeepWalk/node2vec corpus generator),
+    DERANDOMIZED: at step t the walk (start, walk_no) moves to the
+    neighbor minimizing ``md5(start|walk_no|t|neighbor)`` — a hash in
+    place of an RNG draw, so the "random" walks are reproducible
+    across runs, partitionings, and engines, and the whole sampler has
+    an exact unrolled-SQL oracle. Different walk_nos hash differently,
+    giving independent walks per start node.
+
+    Plan shape per step: one join of the walk state (one row per walk)
+    against the static co-partitioned edge table + one window argmin
+    over the walk key. Walk state is O(nodes × walks_per_node)
+    regardless of graph size, and steps are a fixed small count — the
+    same superstep discipline as pagerank, with localCheckpoint
+    truncating lineage. Dead ends (isolated nodes) carry NULL steps
+    from there on (left join), matching the "walk ends early" semantics.
+    """
+    edges = _copartition(g.sym_edges(types).select("src", "dst"), "src")
+    from pyspark.sql.window import Window as W
+
+    state = (
+        g.persons.select(F.col("id").alias("start"))
+        .withColumn(
+            "walk_no",
+            F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])),
+        )
+        .withColumn("cur", F.col("start"))
+        .localCheckpoint()
+    )
+    step_cols: list[str] = []
+    for t in range(1, walk_len + 1):
+        cand = state.join(edges, state.cur == edges.src, "left")
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("start"),
+                F.col("walk_no"),
+                F.lit(str(t)),
+                F.col("dst"),
+            )
+        )
+        w = W.partitionBy("start", "walk_no").orderBy(h.asc(), F.col("dst").asc())
+        col = f"step_{t}"
+        state = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .withColumn(col, F.col("dst"))
+            .drop("rn", "src", "dst")
+            .withColumn("cur", F.col(col))
+            .localCheckpoint()
+        )
+        step_cols.append(col)
+    return state.select("start", "walk_no", *step_cols).orderBy(
+        "start", "walk_no"
+    )

@@ -177,3 +177,37 @@ def test_kcore_peeling_cascades(spark):
     assert core == {"N1", "N2", "N3"}
     # k above max degree → empty core
     assert alg.kcore_members(g, k=5).count() == 0
+
+
+def test_deterministic_walks_choice_and_dead_ends(tiny):
+    import hashlib
+
+    out = alg.deterministic_walks(tiny, walk_len=2, walks_per_node=2)
+    rows = {(r.start, r.walk_no): r for r in out.collect()}
+    # one row per (node, walk_no)
+    assert len(rows) == 7 * 2
+    # isolated node 7: all steps NULL
+    assert rows[(7, 0)].step_1 is None and rows[(7, 0)].step_2 is None
+    # walks are reproducible
+    again = {
+        (r.start, r.walk_no): r
+        for r in alg.deterministic_walks(tiny, walk_len=2, walks_per_node=2).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+    # step 1 from node 1 must be the argmin-md5 neighbor among {2,3,4}
+    def pick(start, walk_no, t, neighbors):
+        return min(
+            neighbors,
+            key=lambda d: (
+                hashlib.md5(f"{start}|{walk_no}|{t}|{d}".encode()).hexdigest(),
+                d,
+            ),
+        )
+
+    assert rows[(1, 0)].step_1 == pick(1, 0, 1, [2, 3, 4])
+    assert rows[(1, 1)].step_1 == pick(1, 1, 1, [2, 3, 4])
+    # node 5's only neighbor is 6, then 6's only neighbor is back to 5
+    assert rows[(5, 0)].step_1 == 6 and rows[(5, 0)].step_2 == 5
