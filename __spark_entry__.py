@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "g_random_walks": on_graph(lambda g: galg.deterministic_walks(g)),
+        "doc_bpe_pair_counts": text.bpe_pair_counts,
+        "doc_training_shuffle": curation.training_shuffle,
     }
 
 
@@ -2607,5 +2609,39 @@ ORDER BY bin
 SELECT start, walk_no, step_1, step_2, step_3
 FROM w3
 ORDER BY start, walk_no
+""",
+        # BPE round-0 merge statistics: adjacent char pairs inside words.
+        "doc_bpe_pair_counts": """
+WITH words AS (
+  SELECT w AS word
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(w)
+  WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair
+  FROM words,
+       UNNEST(generate_series(1, length(word) - 1)) AS s(i)
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 30
+""",
+        # Deterministic training shuffle: md5 rank within md5-mod shard.
+        "doc_training_shuffle": """
+WITH d AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5))
+              AS BIGINT) % 16 AS INT) AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS digest
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY digest, doc_id)
+       AS BIGINT) AS pos
+FROM d
+ORDER BY shard, pos
 """,
     }

@@ -20,7 +20,7 @@ extensions mandated by BASELINE.json, designed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neo4j_database_spark.catalog import load_table
@@ -340,4 +340,41 @@ def decontaminate_fuzzy(
             F.min("eval_id").alias("first_eval_id"),
         )
         .orderBy("doc_id")
+    )
+
+
+def training_shuffle(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Global deterministic shuffle into training shards — the "shuffle
+    the corpus before the dataloader sees it" step every pretraining run
+    needs, without a global sort.
+
+    Each document's (shard, position) is a pure function of its id:
+    shard = md5-bucket mod n_shards, position = rank of the md5 hex
+    digest within the shard. Properties that matter at 100 TB:
+
+    - the only shuffle is the per-shard rank (disjoint partitions,
+      n_shards-way parallel window, no global total order);
+    - reproducible: re-running yields byte-identical shard files, and
+      any engine with md5 agrees (oracle-checkable);
+    - well-mixed: md5 ordering decorrelates adjacent source documents,
+      which is the entire point of the pre-training shuffle;
+    - a different epoch seed is one string concat away
+      (md5(id || epoch)).
+
+    Returns (doc_id, shard, pos) — in production the frame is written
+    ``partitionBy(shard)`` with ``sortWithinPartitions(pos)``.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(_md5_bucket5(F.col("doc_id")), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("digest", "doc_id")
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), digest.alias("digest")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     )

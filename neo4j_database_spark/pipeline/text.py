@@ -496,3 +496,46 @@ def bigram_collocations(
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """One BPE vocabulary-induction round: count adjacent SYMBOL PAIRS
+    inside words across the corpus and rank the merge candidates — the
+    statistic the byte-pair-encoding trainer computes every merge
+    (Sennrich et al. 2016). Symbols here are characters (round 0 of
+    BPE, before any merges exist).
+
+    All JVM-side: lowercase alnum word split, then a higher-order
+    ``transform`` over word positions emits each 2-char window —
+    explode → count → top-k. Per-word fan-out is len-1 pairs, linear in
+    corpus bytes; the aggregate is classic word-count (map-side partial
+    on the pair key). At 100 TB the only care is the final top-k, which
+    is TakeOrderedAndProject (no global sort).
+
+    Ties (equal counts) break on the pair string so the top-k slice is
+    total-ordered and engine-exact.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    # substring with a COLUMN start needs the SQL form (the Python
+    # wrapper takes literal ints only)
+    exploded = (
+        docs.select(F.explode(words).alias("word"))
+        .filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        exploded.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

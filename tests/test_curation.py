@@ -150,3 +150,23 @@ def test_decontaminate_fuzzy_flags_near_dup_of_eval(spark, monkeypatch):
     assert 1 in out and out[1] >= 1
     assert 2 not in out
     assert 0 not in out  # eval docs themselves are not reported
+
+
+def test_training_shuffle_invariants(spark, sf_dir):
+    from neo4j_database_spark.pipeline import curation
+
+    out = curation.training_shuffle(spark, sf_dir, n_shards=8)
+    rows = out.collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) == n_docs                       # every doc exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():              # dense 1..n per shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # stability: append-only corpora keep existing (shard) assignments —
+    # shard is a pure function of doc_id
+    again = {r.doc_id: r.shard for r in
+             curation.training_shuffle(spark, sf_dir, n_shards=8).collect()}
+    assert all(again[r.doc_id] == r.shard for r in rows)

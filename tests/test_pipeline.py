@@ -289,3 +289,19 @@ def test_semantic_dedup_prunes_planted_duplicates(spark, monkeypatch, tmp_path):
     assert out[10].is_kept                     # cos(10, others) < 0.9
     # cluster-bounded: members assigned to centroid 0's list
     assert out[8].cent_id == 0 and out[9].cent_id == 0
+
+
+def test_bpe_pair_counts_hand_case(spark, monkeypatch):
+    from neo4j_database_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "aba ab", "en", "s", 6), (2, "ba!", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.pipeline.text.load_table",
+        lambda s, n, d: df,
+    )
+    out = {r.pair: r.n for r in tx.bpe_pair_counts(spark, "unused", k=10).collect()}
+    # words: aba, ab, ba -> pairs: ab, ba (from aba), ab, ba
+    assert out == {"ab": 2, "ba": 2}
