@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_walks": on_graph(lambda g: galg.deterministic_walks(g)),
         "doc_bpe_pair_counts": text.bpe_pair_counts,
         "doc_training_shuffle": curation.training_shuffle,
+        "events_cm_user_counts": _events_cm_user_counts,
     }
 
 
@@ -275,6 +276,30 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import enrich_replay
 
     return enrich_replay(spark, sf_dir)
+
+
+def _events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts for user_ids
+    < 20 — est ≥ true always, collision overcount bounded by the d×w
+    sketch geometry. md5 hash family makes the sketch contents (and so
+    the estimates) exactly reproducible in the oracle."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    sketch = count_min_sketch(ev, "user_id", d=4, w=1024)
+    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = count_min_estimate(sketch, probes, "user_id", d=4, w=1024)
+    true_n = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(true_n, "user_id").orderBy("user_id")
 
 
 def _token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2643,5 +2668,38 @@ SELECT doc_id, shard,
        AS BIGINT) AS pos
 FROM d
 ORDER BY shard, pos
+""",
+        # Count-Min point queries, exactly reproduced: same md5 hash
+        # family, same d×w geometry, min over per-seed bucket counts.
+        "events_cm_user_counts": """
+WITH seeds AS (SELECT CAST(s AS INT) AS seed
+               FROM UNNEST(generate_series(0, 3)) t(s)),
+sk AS (
+  SELECT se.seed,
+    CAST(('0x' || substring(md5(CAST(se.seed AS VARCHAR) || ':'
+          || CAST(e.user_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1024 AS bucket,
+    COUNT(*) AS cnt
+  FROM events e CROSS JOIN seeds se
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+pb AS (
+  SELECT p.user_id, se.seed,
+    CAST(('0x' || substring(md5(CAST(se.seed AS VARCHAR) || ':'
+          || CAST(p.user_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1024 AS bucket
+  FROM probes p CROSS JOIN seeds se
+),
+est AS (
+  SELECT pb.user_id, MIN(COALESCE(sk.cnt, 0)) AS est_n
+  FROM pb LEFT JOIN sk ON pb.seed = sk.seed AND pb.bucket = sk.bucket
+  GROUP BY pb.user_id
+),
+tru AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events
+  WHERE user_id < 20 GROUP BY user_id
+)
+SELECT e.user_id, e.est_n, t.true_n
+FROM est e JOIN tru t ON e.user_id = t.user_id
+ORDER BY e.user_id
 """,
     }

@@ -103,3 +103,79 @@ def misra_gries_topk(
         F.lit(n_total).alias("n_total"),
         F.lit(n_total // (capacity + 1)).alias("max_underestimate"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Build a Count-Min sketch of a key column as a (seed, bucket, cnt)
+    frame — d×w counters (Cormode & Muthukrishnan 2005).
+
+    Merge IS a sum: partial sketches from any partitioning combine by
+    adding per-(seed, bucket) counts, so the build is one explode (×d)
+    and one hash aggregate with map-side combining — sketching a 100 TB
+    stream shuffles at most d·w counter rows per partition regardless
+    of key cardinality.
+
+    Hash family: bucket_i(x) = int(md5("i:" || x)[:5 hex]) mod w.
+    md5 rather than xxhash64 keeps the sketch contents engine-portable
+    (exactly reproducible in the DuckDB oracle); swap in xxhash64 for
+    raw throughput where cross-engine parity isn't needed.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("seed"), F.col(key_col).cast("string"))
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        df.select(F.col(key_col), seeds)
+        .select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-query the sketch: estimate(x) = min over seeds of the
+    counter at bucket_i(x). Never undercounts; overcounts by collision
+    mass ≤ e·n/w with probability ≥ 1 - e^-d.
+
+    The probe side is exploded ×d, joined to the sketch on (seed,
+    bucket) — broadcastable when the sketch is its bounded d·w size —
+    then min-aggregated per key. Missing buckets are true zeros.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("seed"), F.col(key_col).cast("string"))
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    probed = probes.select(F.col(key_col), seeds).select(
+        key_col, "seed", bucket.alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+    )

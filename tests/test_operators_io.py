@@ -278,3 +278,36 @@ def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
         for r in spark.read.schema(nation.schema).json(json_dir).collect()
     )
     assert got_json == want
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    from neo4j_database_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.range(0, 3000).select((F.col("id") % 37).alias("k"))
+    probes = spark.range(0, 37).select(F.col("id").alias("k"))
+    sketch = count_min_sketch(df, "k", d=4, w=256)
+    est = {r.k: r.est_n for r in count_min_estimate(
+        sketch, probes, "k", d=4, w=256).collect()}
+    true = {r.k: r.n for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)          # never undercounts
+    # CM error bound: overcount ≤ e·n/w with prob ≥ 1-e^-d; data here is
+    # uniform so actual collisions are far under the bound
+    import math
+    bound = math.e * 3000 / 256
+    assert all(est[k] - true[k] <= bound for k in true)
+    # mergeability: sketch(A ∪ B) == sketch(A) + sketch(B) per (seed, bucket)
+    a, b = df.filter(F.col("k") < 20), df.filter(F.col("k") >= 20)
+    merged = (
+        count_min_sketch(a, "k", d=4, w=256)
+        .unionByName(count_min_sketch(b, "k", d=4, w=256))
+        .groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(df, "k", d=4, w=256)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
