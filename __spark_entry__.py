@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_pair_counts": text.bpe_pair_counts,
         "doc_training_shuffle": curation.training_shuffle,
         "events_cm_user_counts": _events_cm_user_counts,
+        "mm_video_features": _mm_video_features,  # rows-only (generated input)
     }
 
 
@@ -483,6 +484,15 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.pipeline.multimodal import image_features_query
 
     return image_features_query(spark, sf_dir)
+
+
+def _mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.pipeline.multimodal import (
+        extract_video_features,
+        synthetic_media,
+    )
+
+    return extract_video_features(synthetic_media(spark, n=96)).orderBy("media_id")
 
 
 def _mm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,9 +9,10 @@ genuine pixel/sample work. A production deployment would swap these for
 SIMD codecs for throughput, not for correctness.
 
 Supported: PNG 8-bit greyscale / RGB / RGBA, non-interlaced (the
-overwhelmingly common case); PCM WAV via the stdlib ``wave`` reader.
-Video containers (mp4) have no stdlib parser — the frame-sample plan in
-multimodal.py stays metadata-driven and is documented as such.
+overwhelmingly common case); PCM WAV via the stdlib ``wave`` reader;
+ISO-BMFF (mp4) container metadata via the box parser below — real
+header parsing (dimensions, timescale/duration, sample table), with
+only per-frame H.264 pixel decode out of scope.
 """
 
 from __future__ import annotations
@@ -202,3 +203,149 @@ def decode_wav(data: bytes) -> dict:
         "peak": peak,
         "mean_abs": mean_abs,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12): box-structured container. The box grammar
+# ([size:4 BE][type:4][payload], containers nest) needs no codec library —
+# track metadata (dimensions, timescale, duration, sample timing) lives in
+# plain packed integers. This parser reads real mp4 metadata from any
+# conforming file; the muxer emits a structurally valid skeleton (ftyp/
+# moov/mdat with correct mvhd/tkhd/mdhd/hdlr/stts) whose mdat payload is
+# synthetic — fixture-grade CONTAINERS with honest header parsing, while
+# per-frame pixel decode (H.264 entropy decoding) remains out of scope
+# and raises cleanly.
+# ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    fps: int = 25,
+    timescale: int = 1000,
+) -> bytes:
+    """Mux a minimal valid ISO-BMFF file: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr'vide', minf(stbl(stsd, stts))))) + mdat.
+
+    stts carries the real frame lattice: n_frames samples of delta
+    timescale/fps; header fields round-trip exactly through parse_mp4.
+    """
+    dur = duration_ms * timescale // 1000
+    n_frames = max(duration_ms * fps // 1000, 1)
+    delta = max(timescale // fps, 1)
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, dur)  # flags: enabled|in-movie
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"spark\x00"
+    )
+    stts = _box(b"stts", struct.pack(">III I", 0, 1, n_frames, delta))
+    stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 sample descriptions
+    stbl = _box(b"stbl", stsd + stts)
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", bytes((i * 7) % 256 for i in range(64)))
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [start, end)."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack(">I", data[off : off + 4])[0]
+        tag = data[off + 4 : off + 8]
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = struct.unpack(">Q", data[off + 8 : off + 16])[0]
+            body = off + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+            body = off + 8
+        else:
+            body = off + 8
+        if size < 8 or off + size > end:
+            raise ValueError(f"bad box size {size} at {off}")
+        yield tag, body, off + size
+        off += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Parse real track metadata out of an ISO-BMFF container: movie
+    timescale/duration, first video track's pixel dimensions, handler
+    type, and the stts sample count (frame count). Raises ValueError on
+    anything that isn't box-structured mp4 — the kernels' quarantine
+    path."""
+    if len(data) < 16:
+        raise ValueError("too short for ISO-BMFF")
+    top = {tag: (s, e) for tag, s, e in _walk_boxes(data, 0, len(data))}
+    if b"moov" not in top:
+        raise ValueError("no moov box")
+    out: dict = {"n_frames": None, "width": None, "height": None, "handler": None}
+
+    def visit(start: int, end: int) -> None:
+        for tag, s, e in _walk_boxes(data, start, end):
+            if tag == b"mvhd":
+                ver = data[s]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", data[s + 20 : s + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[s + 12 : s + 20])
+                out["timescale"], out["duration"] = ts, dur
+                out["duration_ms"] = dur * 1000 // max(ts, 1)
+            elif tag == b"tkhd":
+                ver = data[s]
+                w_off = e - 8  # width/height are the last 8 payload bytes
+                w16, h16 = struct.unpack(">II", data[w_off:e])
+                out["width"], out["height"] = w16 >> 16, h16 >> 16
+            elif tag == b"hdlr" and out["handler"] is None:
+                out["handler"] = data[s + 8 : s + 12].decode("ascii", "replace")
+            elif tag == b"stts":
+                n_entries = struct.unpack(">I", data[s + 4 : s + 8])[0]
+                total = 0
+                for i in range(n_entries):
+                    cnt, _delta = struct.unpack(
+                        ">II", data[s + 8 + i * 8 : s + 16 + i * 8]
+                    )
+                    total += cnt
+                out["n_frames"] = total
+            elif tag in _MP4_CONTAINERS:
+                visit(s, e)
+
+    moov_s, moov_e = top[b"moov"]
+    visit(moov_s, moov_e)
+    if "timescale" not in out:
+        raise ValueError("no mvhd in moov")
+    return out

@@ -7,13 +7,14 @@ structs, decoded / feature-extracted / fingerprinted via Arrow-batched
 Pandas UDFs (``mapInPandas``) so the Python stage streams batches
 instead of rows.
 
-The image and audio decode kernels are REAL: pipeline/codecs.py decodes
-PNG (zlib inflate + all five scanline filters) and PCM WAV with the
-stdlib only — measured width/height/channels/pixel stats and an aHash
+All three decode kernels are REAL: pipeline/codecs.py decodes PNG
+(zlib inflate + all five scanline filters), PCM WAV, and ISO-BMFF mp4
+containers (box walking: mvhd/tkhd/stts) with the stdlib only —
+measured width/height/duration/frame-count/pixel stats and an aHash
 perceptual fingerprint come from the payload BYTES, never from trusted
-metadata (metadata lies in real corpora; kernels must measure). Only
-video stays plan-level: no stdlib mp4 parser exists, so frame sampling
-computes the timestamp lattice JVM-side and documents the decode seam.
+metadata (metadata lies in real corpora; kernels must measure). The
+one remaining seam is per-frame PIXEL decode of compressed video
+(H.264 entropy coding — a codec library, not a container format).
 
 Scale notes: modality/format filters run JVM-side BEFORE the Python
 stage so only relevant payload bytes cross the Arrow boundary; at
@@ -211,15 +212,74 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Video container parsing: REAL ISO-BMFF box walking
+    (codecs.parse_mp4) — pixel dimensions from tkhd (16.16 fixed),
+    duration from mvhd timescale arithmetic, frame count from the stts
+    sample table; nothing is taken from the untrusted meta column.
+    Per-frame PIXEL decode (H.264 entropy coding) stays out of scope —
+    that is a codec library, not a container format — and lands in the
+    same quarantine contract: unparseable → decoded=False row."""
+
+    videos = media.filter(F.col("modality") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "duration_ms": [],
+                "n_frames": [],
+                "handler": [],
+                "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                payload = b"" if payload is None else payload
+                out["n_bytes"].append(len(payload))
+                try:
+                    info = codecs.parse_mp4(bytes(payload))
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["duration_ms"].append(info["duration_ms"])
+                    out["n_frames"].append(info["n_frames"])
+                    out["handler"].append(info["handler"])
+                    out["decoded"].append(True)
+                except Exception:
+                    for c in ("width", "height", "duration_ms", "n_frames",
+                              "handler"):
+                        out[c].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp.
 
     The timestamp lattice is computed JVM-side (sequence over
-    duration_ms); only the per-frame decode would be Python. mp4 has no
-    stdlib parser (unlike PNG/WAV above), so the per-frame kernel is the
-    one REMAINING documented decode seam — the output carries
-    (media_id, frame_ts_ms), the exact partition/explode shape the real
-    kernel plugs into.
+    duration_ms) so the explode never touches payload bytes; pair with
+    ``extract_video_features`` when the lattice should come from the
+    MEASURED container duration/stts instead of the declared metadata.
+    The output carries (media_id, frame_ts_ms) — the exact
+    partition/explode shape a per-frame pixel kernel plugs into.
     """
     videos = media.filter(F.col("modality") == "video")
     return videos.select(
@@ -271,9 +331,9 @@ def _synthetic_pixels(key: int, w: int, h: int) -> bytes:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture media table with REAL payloads: PNG images
-    (encoded by codecs.encode_png), PCM WAV audio (sawtooth waveform),
-    and opaque stand-in bytes for video (every third row, exercising the
-    quarantine path of any kernel pointed at it)."""
+    (codecs.encode_png), PCM WAV audio (sawtooth waveform), and ISO-BMFF
+    mp4 containers (codecs.encode_mp4) — except every third video, which
+    is opaque garbage bytes exercising the quarantine path."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -290,8 +350,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             n_samples = rate * dur // 1000
             samples = [((t * (13 + i)) % 2048) - 1024 for t in range(n_samples)]
             payload = codecs.encode_wav(samples, rate)
-        else:
+        elif (i // 3) % 3 == 2:  # planted corrupt container
             payload = bytes([i % 256]) * (128 + i)
+        else:
+            payload = codecs.encode_mp4(w * 10, h * 10, dur, fps=10)
         rows.append((i, modality, {"image": "png", "audio": "wav", "video": "mp4"}[modality], payload, (w, h, dur)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -111,3 +111,26 @@ def test_ahash_resize_invariance_and_discrimination():
     b1 = codecs.ahash64(32, 32, 1, render(32, 32, diagonal))
     assert hamming(a1, a2) <= 4  # same content, different resolution
     assert hamming(a1, b1) >= 16  # different content
+
+
+def test_mp4_roundtrip_metadata():
+    from neo4j_database_spark.pipeline import codecs
+
+    b = codecs.encode_mp4(320, 240, 2000, fps=25)
+    info = codecs.parse_mp4(b)
+    assert info["width"] == 320 and info["height"] == 240
+    assert info["duration_ms"] == 2000
+    assert info["n_frames"] == 50          # 2 s at 25 fps, from stts
+    assert info["handler"] == "vide"
+    assert info["timescale"] == 1000
+
+
+def test_mp4_rejects_non_bmff():
+    import pytest
+
+    from neo4j_database_spark.pipeline import codecs
+
+    for junk in (b"", b"\x00" * 40, b"RIFF" + b"\x00" * 60,
+                 codecs.encode_mp4(8, 8, 100)[:20]):  # truncated
+        with pytest.raises(ValueError):
+            codecs.parse_mp4(junk)

@@ -278,3 +278,21 @@ def test_image_near_dups_finds_planted_rerenders(spark):
     }
     assert set(pairs) == {(21, 24), (48, 51), (75, 78)}
     assert all(h <= 2 for h in pairs.values())
+
+
+def test_multimodal_video_features(spark):
+    media = mm.synthetic_media(spark, n=30)
+    feats = {r["media_id"]: r for r in mm.extract_video_features(media).collect()}
+    assert len(feats) == 10
+    for mid, r in feats.items():
+        if (mid // 3) % 3 == 2:
+            assert r["decoded"] is False       # planted corrupt container
+            assert r["width"] is None
+        else:
+            assert r["decoded"] is True
+            # dimensions/duration measured from tkhd/mvhd, not metadata
+            w, h = 16 + (mid % 5) * 4, 12 + (mid % 3) * 4
+            assert r["width"] == w * 10 and r["height"] == h * 10
+            assert r["duration_ms"] == 1000 * (1 + mid % 5)
+            assert r["n_frames"] == r["duration_ms"] * 10 // 1000
+            assert r["handler"] == "vide"
