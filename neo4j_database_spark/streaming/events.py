@@ -429,3 +429,80 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def user_span_tws_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (StatefulProcessor): per-user lifetime span — event count,
+    first/last event time — carried in a typed ValueState across
+    micro-batches.
+
+    This is the successor API to ``applyInPandasWithState`` (above,
+    kept as the 3.x-compatible template): state is declared through a
+    handle (value/list/map primitives, TTL support, initial-state
+    seeding) instead of one opaque tuple, and the processor is a class
+    the runtime drives per grouping key. Emits one updated row per user
+    per micro-batch (update mode), exactly like a streaming upsert sink
+    expects.
+
+    Environment gate: the transformWithState runtime speaks protobuf to
+    its Python state server; where ``google.protobuf`` is absent (this
+    container) the query would crash at worker init, so we raise a
+    clear ImportError up front. ``user_activity_state_stream`` is the
+    protobuf-free equivalent.
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires the protobuf runtime "
+            "(google.protobuf) for its state-server protocol; use "
+            "user_activity_state_stream (applyInPandasWithState) here"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    class SpanProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._span = handle.getValueState("span", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, first, last = (
+                self._span.get() if self._span.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                us = pdf["ts"].astype("int64") // 1000
+                n += len(pdf)
+                lo, hi = int(us.min()), int(us.max())
+                first = lo if first is None else min(first, lo)
+                last = hi if last is None else max(last, hi)
+            self._span.update((n, first, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first],
+                    "last_us": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SpanProcessor(),
+        outputStructType=(
+            "user_id long, n_events long, first_us long, last_us long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -296,3 +296,47 @@ def test_multimodal_video_features(spark):
             assert r["duration_ms"] == 1000 * (1 + mid % 5)
             assert r["n_frames"] == r["duration_ms"] * 10 // 1000
             assert r["handler"] == "vide"
+
+
+def test_tws_user_span_equals_batch(spark, sf_dir):
+    """transformWithState (Spark 4 StatefulProcessor): final per-user
+    span equals the batch aggregate. Skips where the protobuf runtime
+    (required by the TWS state-server protocol) is absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            sev.user_span_tws_stream(
+                sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+            )
+        pytest.skip("google.protobuf absent: TWS state server cannot start")
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = sev.user_span_tws_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT * FROM tws_test").toPandas()
+    final = emitted.groupby("user_id").last()
+    from neo4j_database_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min(F.col("ts").cast("long")) * 1_000_000).alias("first_us"),
+            (F.max(F.col("ts").cast("long")) * 1_000_000).alias("last_us"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert final["n_events"].to_dict() == batch["n_events"].to_dict()
+    assert final["first_us"].to_dict() == batch["first_us"].to_dict()
+    assert final["last_us"].to_dict() == batch["last_us"].to_dict()
