@@ -393,14 +393,13 @@ def _lpa_rounds_sql(n_rounds: int = 5) -> str:
 
 def _walks_rounds_sql(walk_len: int = 3, walks_per_node: int = 2) -> str:
     """Unrolled derandomized random-walk steps mirroring
-    graph/algorithms.py::deterministic_walks: step t moves each walk to
-    the neighbor minimizing md5(start|walk_no|t|neighbor) (ties → min
-    dst; dead ends go NULL and stay NULL via the left join). md5 hex
-    strings compare identically under both engines' binary collation,
-    so every step is engine-exact."""
+    graph/algorithms.py::deterministic_walks: step t indexes cur's
+    SORTED neighbor list at md5(start|walk_no|t) mod degree (dead ends
+    go NULL and stay NULL via the left join). The md5-prefix integer
+    and the sorted-list indexing are engine-exact."""
     ctes = [
-        "wf AS MATERIALIZED (SELECT src, dst FROM sym_edges "
-        "WHERE type = 'FRIEND_OF')",
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs "
+        "FROM sym_edges WHERE type = 'FRIEND_OF' GROUP BY src)",
         f"w0 AS MATERIALIZED (SELECT p.id AS start, "
         f"CAST(t.walk_no AS INT) AS walk_no, p.id AS cur FROM persons p "
         f"CROSS JOIN UNNEST(generate_series(0, {walks_per_node - 1})) "
@@ -408,17 +407,16 @@ def _walks_rounds_sql(walk_len: int = 3, walks_per_node: int = 2) -> str:
     ]
     prev_steps = ""
     for t in range(1, walk_len + 1):
-        ctes.append(
-            f"c{t} AS (SELECT s.*, e.dst, row_number() OVER ("
-            f"PARTITION BY s.start, s.walk_no ORDER BY "
-            f"md5(concat_ws('|', CAST(s.start AS VARCHAR), "
-            f"CAST(s.walk_no AS VARCHAR), '{t}', "
-            f"CAST(e.dst AS VARCHAR))) ASC, e.dst ASC) AS rn "
-            f"FROM w{t - 1} s LEFT JOIN wf e ON e.src = s.cur)"
+        draw = (
+            f"CAST(('0x' || substring(md5(concat_ws('|', "
+            f"CAST(s.start AS VARCHAR), CAST(s.walk_no AS VARCHAR), "
+            f"'{t}')), 1, 5)) AS BIGINT)"
         )
         ctes.append(
-            f"w{t} AS MATERIALIZED (SELECT start, walk_no{prev_steps}, "
-            f"dst AS step_{t}, dst AS cur FROM c{t} WHERE rn = 1)"
+            f"w{t} AS MATERIALIZED (SELECT s.start, s.walk_no{prev_steps}, "
+            f"a.nbrs[CAST({draw} % len(a.nbrs) + 1 AS INT)] AS step_{t}, "
+            f"a.nbrs[CAST({draw} % len(a.nbrs) + 1 AS INT)] AS cur "
+            f"FROM w{t - 1} s LEFT JOIN adj a ON a.src = s.cur)"
         )
         prev_steps += f", step_{t}"
     return ", " + ",\n".join(ctes)

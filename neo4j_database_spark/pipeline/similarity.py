@@ -286,10 +286,25 @@ def semantic_dedup(
     n2b = _dot_dec(F.col("vec_b"), F.col("vec_b"))
     dot_d = dot.cast("double")
     rank = dot_d * F.abs(dot_d) / (n2a.cast("double") * n2b.cast("double"))
-    dups = (
+    # The cluster join keys on cent_id (n_lists distinct values), so the
+    # PAIRING lands on ≤ n_lists tasks — fine for emitting (cheap) pair
+    # rows, catastrophic if the O(dim) decimal cosine evaluated there.
+    # Repartition the pair stream on the pair identity and CHECKPOINT:
+    # a bare repartition is not enough — the optimizer pushes the
+    # score-filter back through a RepartitionByExpression, re-collapsing
+    # the arithmetic onto the skewed join tasks; the checkpoint is a
+    # hard barrier, so scoring runs at full cluster width (≈20× at
+    # sf0.1). At real scale n_lists is O(√n) and the skew fades; the
+    # barrier keeps the small-n_lists regime honest too.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = (
         a.join(b, on="cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", rank.alias("rank_score"))
+        .repartition(n_parts, "id_a", "id_b")
+        .localCheckpoint()
+    )
+    dups = (
+        pairs.select("id_b", rank.alias("rank_score"))
         .filter(F.col("rank_score") >= threshold * threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

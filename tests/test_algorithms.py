@@ -197,15 +197,12 @@ def test_deterministic_walks_choice_and_dead_ends(tiny):
         k: tuple(v) for k, v in again.items()
     }
 
-    # step 1 from node 1 must be the argmin-md5 neighbor among {2,3,4}
+    # step 1 from node 1 must be the hash-indexed sorted neighbor of {2,3,4}
     def pick(start, walk_no, t, neighbors):
-        return min(
-            neighbors,
-            key=lambda d: (
-                hashlib.md5(f"{start}|{walk_no}|{t}|{d}".encode()).hexdigest(),
-                d,
-            ),
+        draw = int(
+            hashlib.md5(f"{start}|{walk_no}|{t}".encode()).hexdigest()[:5], 16
         )
+        return sorted(neighbors)[draw % len(neighbors)]
 
     assert rows[(1, 0)].step_1 == pick(1, 0, 1, [2, 3, 4])
     assert rows[(1, 1)].step_1 == pick(1, 1, 1, [2, 3, 4])
