@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_shuffle": curation.training_shuffle,
         "events_cm_user_counts": _events_cm_user_counts,
         "mm_video_features": _mm_video_features,  # rows-only (generated input)
+        "emb_pq_adc_knn": similarity.pq_adc_knn,
     }
 
 
@@ -2709,5 +2710,49 @@ tru AS (
 SELECT e.user_id, e.est_n, t.true_n
 FROM est e JOIN tru t ON e.user_id = t.user_id
 ORDER BY e.user_id
+""",
+        # PQ-ADC scan: lut[s][c] = ||q_s - c_s||^2 (exact decimal), codes
+        # CTE identical to emb_pq_codes, adc = per-vector lut sum.
+        "emb_pq_adc_knn": """
+WITH comp AS (
+  SELECT e.vec_id, t.j,
+         CAST(e.embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e
+  CROSS JOIN UNNEST(generate_series(0, len(e.embedding) - 1)) AS t(j)
+),
+cents AS (
+  SELECT vec_id AS cid, j, x FROM comp WHERE vec_id IN (1, 2, 3, 4)
+),
+dists AS (
+  SELECT c.vec_id, CAST(c.j // 16 AS INT) AS subspace, ct.cid,
+         SUM(CAST((c.x - ct.x) * (c.x - ct.x) AS DECIMAL(20,9))) AS d2
+  FROM comp c JOIN cents ct ON ct.j = c.j
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, subspace, cid,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, cid) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, subspace, CAST(cid - 1 AS INT) AS code
+  FROM ranked WHERE rn = 1
+),
+lut AS (
+  SELECT CAST(q.j // 16 AS INT) AS subspace, ct.cid,
+         SUM(CAST((q.x - ct.x) * (q.x - ct.x) AS DECIMAL(20,9))) AS d2
+  FROM comp q JOIN cents ct ON ct.j = q.j
+  WHERE q.vec_id = 0
+  GROUP BY 1, 2
+)
+SELECT c.vec_id,
+  CAST(CAST(SUM(l.d2) AS DECIMAL(30,9)) AS DOUBLE) AS adc_d2
+FROM codes c
+JOIN lut l ON l.subspace = c.subspace AND l.cid = c.code + 1
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY adc_d2 ASC, c.vec_id ASC
+LIMIT 10
 """,
     }

@@ -454,6 +454,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no join, no Python. The orderBy exists for the oracle; a
     production index build writes codes partition-local at ingest.
     """
+    return _pq_assign(spark, sf_dir)[0].orderBy("vec_id", "subspace")
+
+
+def _pq_assign(spark: SparkSession, sf_dir: str):
+    """Shared PQ assignment: returns (codes_df, codebook, subspace_width)
+    where codes_df is the unsorted (vec_id, subspace, code) frame and
+    codebook maps centroid id → full vector (driver-side, m·k rows)."""
     emb = load_table(spark, "embeddings", sf_dir)
     dim = len(
         emb.select("embedding").first()["embedding"]
@@ -488,8 +495,63 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_sub.append(
             F.struct(F.lit(s).cast("int").alias("subspace"), code.alias("code"))
         )
+    codes = emb.select(
+        "vec_id", F.explode(F.array(*per_sub)).alias("sc")
+    ).select("vec_id", F.col("sc.subspace"), F.col("sc.code"))
+    return codes, cb_rows, sub
+
+
+def pq_adc_knn(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC scan of Jégou et al. 2011)
+    — the query half of IVF-PQ, completing ivf_knn (coarse lists) +
+    pq_codes (compression): the FULL-precision query scores against
+    8-bit codes through an m×k lookup table, never touching stored
+    vectors.
+
+    adc(q, x) = Σ_s lut[s][code_s(x)], lut[s][c] = ‖q_s − c_s‖² — here
+    both the query subvectors and the codebook are plan literals, so
+    the lut folds into a CASE expression and the scan is: codes frame →
+    16-way CASE per row → per-vector sum → TakeOrderedAndProject. No
+    join, no Python, and the shuffled payload per vector is one decimal
+    — the compression is what makes 100 TB ANN serving memory-feasible
+    (codes are 32× smaller than the float vectors). Exact decimal lut
+    arithmetic keeps it oracle-checkable.
+    """
+    codes, cb_rows, sub = _pq_assign(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+
+    def lut(s: int, cid: int) -> Column:
+        qslice = q[s * sub : (s + 1) * sub]
+        cslice = cb_rows[cid][s * sub : (s + 1) * sub]
+        return F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(x) for x in qslice]),
+                F.array(*[F.lit(c) for c in cslice]),
+                lambda x, c: ((x - c) * (x - c)).cast(ACC),
+            ),
+            F.lit(0).cast(ACC),
+            lambda acc, v: (acc + v).cast(ACC),
+        )
+
+    dval = F.lit(None).cast(ACC)
+    for s in range(PQ_SUBSPACES):
+        for ci in range(len(PQ_CENTROID_IDS)):
+            dval = F.when(
+                (F.col("subspace") == s) & (F.col("code") == ci), lut(s, PQ_CENTROID_IDS[ci])
+            ).otherwise(dval)
     return (
-        emb.select("vec_id", F.explode(F.array(*per_sub)).alias("sc"))
-        .select("vec_id", F.col("sc.subspace"), F.col("sc.code"))
-        .orderBy("vec_id", "subspace")
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", dval.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("decimal(30,9)").cast("double").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
     )

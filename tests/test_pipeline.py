@@ -305,3 +305,40 @@ def test_bpe_pair_counts_hand_case(spark, monkeypatch):
     out = {r.pair: r.n for r in tx.bpe_pair_counts(spark, "unused", k=10).collect()}
     # words: aba, ab, ba -> pairs: ab, ba (from aba), ab, ba
     assert out == {"ab": 2, "ba": 2}
+
+
+def test_pq_adc_matches_python_reference(spark, sf_dir):
+    out = similarity.pq_adc_knn(spark, sf_dir, query_vec_id=0, k=5).collect()
+    assert len(out) == 5
+    d2s = [r.adc_d2 for r in out]
+    assert d2s == sorted(d2s) and all(d >= 0 for d in d2s)
+
+    # Python reference: same codebook/query, float arithmetic ~ the
+    # decimal plan within 1e-6
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.pipeline.similarity import (
+        PQ_CENTROID_IDS,
+        PQ_SUBSPACES,
+        _pq_assign,
+    )
+
+    emb = {r.vec_id: list(map(float, r.embedding))
+           for r in load_table(spark, "embeddings", sf_dir).collect()}
+    codes_df, cb, sub = _pq_assign(spark, sf_dir)
+    codes = {}
+    for r in codes_df.collect():
+        codes.setdefault(r.vec_id, {})[r.subspace] = r.code
+    q = emb[0]
+
+    def lut(s, cid):
+        return sum(
+            (q[j] - cb[cid][j]) ** 2
+            for j in range(s * sub, (s + 1) * sub)
+        )
+
+    for r in out:
+        want = sum(
+            lut(s, PQ_CENTROID_IDS[codes[r.vec_id][s]])
+            for s in range(PQ_SUBSPACES)
+        )
+        assert abs(r.adc_d2 - want) < 1e-6
