@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cm_user_counts": _events_cm_user_counts,
         "mm_video_features": _mm_video_features,  # rows-only (generated input)
         "emb_pq_adc_knn": similarity.pq_adc_knn,
+        "g_personalized_pagerank": on_graph(
+            lambda g: galg.personalized_pagerank(g, EGO_NAME)
+        ),
     }
 
 
@@ -644,6 +647,53 @@ def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
 {body}
 SELECT p.name, r.rank
 FROM persons p JOIN pr_r{max_iter} r ON r.id = p.id
+ORDER BY r.rank DESC, p.name ASC
+"""
+
+
+def _ppr_sql(
+    seed_name: str, max_iter: int = 10, damping: float = 0.85
+) -> str:
+    """Exact oracle for galg.personalized_pagerank: unrolled restart
+    recurrence r_{t+1} = (1-d)·e_seed + d·inflow_t, r_0 = e_seed, with
+    the same nano-quantized contribution contract as _pagerank_sql.
+    Zero-rank rows contribute round(0)=0, so summing over all nodes is
+    identical to the engine's live-row filter. The final SELECT drops
+    exact zeros exactly like the engine does."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    seed = seed_name.replace("'", "''")
+    ctes = [
+        "pp_deg AS (SELECT src, COUNT(*) AS deg FROM sym_edges GROUP BY src)",
+        f"pp_r0 AS (SELECT id, CASE WHEN name = '{seed}' THEN {one} "
+        f"ELSE CAST(0.0 AS DOUBLE) END AS rank FROM persons)",
+    ]
+    for k in range(max_iter):
+        ctes.append(
+            f"""pp_r{k + 1} AS (
+  SELECT p.id,
+         (CASE WHEN p.name = '{seed}' THEN {one} - {d}
+               ELSE CAST(0.0 AS DOUBLE) END)
+         + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM persons p
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           CAST(SUM(CAST(round((r.rank / CAST(dg.deg AS DOUBLE))
+                               * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS inflow
+    FROM sym_edges e
+    JOIN pp_r{k} r ON e.src = r.id
+    JOIN pp_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) i ON i.id = p.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT p.name, r.rank
+FROM persons p JOIN pp_r{max_iter} r ON r.id = p.id
+WHERE r.rank <> CAST(0.0 AS DOUBLE)
 ORDER BY r.rank DESC, p.name ASC
 """
 
@@ -2755,4 +2805,6 @@ GROUP BY c.vec_id
 ORDER BY adc_d2 ASC, c.vec_id ASC
 LIMIT 10
 """,
+        # Personalized PageRank: unrolled restart recurrence, nano-exact.
+        "g_personalized_pagerank": _ppr_sql(EGO_NAME),
     }

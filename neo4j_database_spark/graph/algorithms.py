@@ -538,3 +538,90 @@ def deterministic_walks(
     return state.select("start", "walk_no", *step_cols).orderBy(
         "start", "walk_no"
     )
+
+
+def personalized_pagerank(
+    g: GraphModel,
+    seed_name: str,
+    types: tuple[str, ...] | None = None,
+    max_iter: int = 10,
+    damping: float = 0.85,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart at ONE seed node
+    — the "people you may know" / related-items ranking over the social
+    graph (the global-teleport twin of ``pagerank``).
+
+    r_{t+1}(v) = (1-d)·[v = seed] + d·inflow_t(v), r_0 = e_seed.
+    Dangling mass restarts at the seed; on the undirected view only
+    ISOLATED nodes are dangling, and with r_0 concentrated on a
+    non-isolated seed they hold rank 0 forever — the dangling term is
+    identically zero, so no scalar recurrence is needed (asserted, not
+    assumed: an isolated seed raises).
+
+    Same superstep plan and determinism contract as ``pagerank``
+    (nano-quantized contributions, broadcast vs co-partitioned by node
+    count, lineage cut every other step) — and the same unrolled-CTE
+    exact oracle. The practical difference at scale favors PPR: rank
+    mass is concentrated near the seed, so most nodes carry exact
+    zeros; filtering them before the join makes each superstep's rank
+    frame O(reached), not O(nodes).
+    """
+    seed_rows = g.persons.filter(F.col("name") == seed_name).select("id").collect()
+    if len(seed_rows) != 1:
+        raise ValueError(f"seed {seed_name!r} matched {len(seed_rows)} nodes")
+    seed_id = seed_rows[0][0]
+
+    nodes = g.persons.select("id").localCheckpoint()
+    n = nodes.count()
+    small = n <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if out_deg.filter(F.col("src") == seed_id).count() == 0:
+        raise ValueError(f"seed {seed_name!r} is isolated — PPR is e_seed")
+    edges_deg = edges.join(out_deg, "src")
+    edges_deg = (
+        edges_deg.localCheckpoint()
+        if small
+        else _copartition(edges_deg, "src")
+    )
+    seed_term = F.when(F.col("id") == seed_id, 1.0 - damping).otherwise(0.0)
+    ranks = nodes.select(
+        "id", F.when(F.col("id") == seed_id, 1.0).otherwise(0.0).alias("rank")
+    )
+
+    for it in range(max_iter):
+        # zero ranks contribute zero inflow — drop them before the join
+        live = ranks.filter(F.col("rank") != 0.0)
+        rank_side = F.broadcast(live) if small else live
+        contribs = (
+            edges_deg.join(rank_side, edges_deg.src == live.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.round((F.col("rank") / F.col("deg")) * CONTRIB_SCALE)
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(
+                (F.sum("c").cast("double") / F.lit(CONTRIB_SCALE)).alias(
+                    "inflow"
+                )
+            )
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                seed_term
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if it % 2 == 1 or it == max_iter - 1:
+            ranks = ranks.localCheckpoint()
+
+    return (
+        g.persons.select("id", "name")
+        .join(ranks.filter(F.col("rank") != 0.0), "id")
+        .select("name", "rank")
+        .orderBy(F.desc("rank"), F.asc("name"))
+    )

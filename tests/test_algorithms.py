@@ -208,3 +208,24 @@ def test_deterministic_walks_choice_and_dead_ends(tiny):
     assert rows[(1, 1)].step_1 == pick(1, 1, 1, [2, 3, 4])
     # node 5's only neighbor is 6, then 6's only neighbor is back to 5
     assert rows[(5, 0)].step_1 == 6 and rows[(5, 0)].step_2 == 5
+
+
+def test_personalized_pagerank_concentrates_near_seed(tiny):
+    out = {r.name: r.rank for r in alg.personalized_pagerank(tiny, "Alice A").collect()}
+    # isolated node 7 and the disconnected 5-6 pair are unreachable: rank 0,
+    # filtered from the output
+    assert "Gus G" not in out and "Eve E" not in out and "Fay F" not in out
+    # seed holds the most mass; all emitted ranks positive, total ≤ 1
+    assert max(out, key=out.get) == "Alice A"
+    assert all(v > 0 for v in out.values())
+    assert sum(out.values()) <= 1.0 + 1e-9
+    # neighbors of the seed outrank the non-neighbor reachable node? all
+    # of 2,3,4 are direct neighbors here; just pin reachability set
+    assert set(out) == {"Alice A", "Bob B", "Cara C", "Dan D"}
+
+
+def test_personalized_pagerank_isolated_seed_raises(tiny):
+    import pytest
+
+    with pytest.raises(ValueError, match="isolated"):
+        alg.personalized_pagerank(tiny, "Gus G")
