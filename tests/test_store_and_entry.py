@@ -39,6 +39,7 @@ ROWS_ONLY = {
     "events_value_percentiles_approx",  # GK sketch — engine-specific
     "mm_image_near_dups",  # generated media input — no SQL twin
     "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
+    "mm_video_features",  # generated media input — no SQL twin
 }
 
 
