@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search over embeddings --
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_ivf_knn": similarity.ivf_knn,
+        "emb_pq_adc_knn": similarity.pq_adc_knn,  # ADC scan
         "emb_centroids": similarity.centroids_by_label,
         # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
@@ -255,7 +256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_shuffle": curation.training_shuffle,
         "events_cm_user_counts": _events_cm_user_counts,
         "mm_video_features": _mm_video_features,  # rows-only (generated input)
-        "emb_pq_adc_knn": similarity.pq_adc_knn,
     }
 
 
@@ -287,6 +287,32 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import enrich_replay
 
     return enrich_replay(spark, sf_dir)
+
+
+def _customer_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff CDC over two deterministic simulated versions of
+    the customer dim: old drops custkey%10==3 (so those classify as
+    inserts), new drops custkey%17==5 (deletes) and bumps MACHINERY
+    balances by 100 (updates). Unchanged rows must not appear."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.sources.snapshots import snapshot_diff
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    old = cust.filter(F.col("c_custkey") % 10 != 3)
+    new = cust.filter(F.col("c_custkey") % 17 != 5).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "MACHINERY", F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return (
+        snapshot_diff(old, new, ["c_custkey"])
+        .select("c_custkey", "change_type")
+        .orderBy("c_custkey")
+    )
 
 
 def _events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2813,4 +2839,27 @@ LIMIT 10
 """,
         # Personalized PageRank: unrolled restart recurrence, nano-exact.
         "g_personalized_pagerank": _ppr_sql(EGO_NAME),
+        # snapshot_diff CDC over simulated dim versions: keys classify
+        # by membership; MACHINERY balance bump registers as update.
+        "customer_cdc_diff": """
+WITH old AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 3
+),
+new AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+    CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 100.0
+         ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 17 <> 5
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+       WHEN n.c_custkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR (o.c_name, o.c_mktsegment, o.c_acctbal)
+      IS DISTINCT FROM (n.c_name, n.c_mktsegment, n.c_acctbal)
+ORDER BY c_custkey
+""",
     }

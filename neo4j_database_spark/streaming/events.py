@@ -506,3 +506,66 @@ def user_span_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    on: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming UPSERT sink: each micro-batch MERGEs into the current
+    table snapshot and commits a new version — foreachBatch +
+    operators/merge.merge_into + sources/snapshots, composed into the
+    "streaming CDC apply" every warehouse needs (the foreachBatch body
+    Delta users write as ``MERGE INTO``, on the engine's own snapshot
+    layer).
+
+    Exactly-once reasoning: the checkpoint replays an epoch at most
+    once after a crash, and a replayed MERGE of the same batch against
+    the already-merged snapshot is a NO-OP row-wise (upsert to the
+    already-upserted values) — idempotent delivery without a
+    transaction log, at the cost of a possible duplicate version with
+    identical content. Batch keys are deduplicated last-writer-wins
+    (max event time) before the merge, since a micro-batch can carry
+    several rows per key.
+    """
+    from neo4j_database_spark.operators.merge import merge_into
+    from neo4j_database_spark.sources import snapshots
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        spark = batch_df.sparkSession
+        w = W.partitionBy(on).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if snapshots.latest_version(table_dir) is None:
+            snapshots.write_snapshot(batch, table_dir)
+            return
+        target = snapshots.read_snapshot(spark, table_dir)
+        merged = merge_into(
+            target,
+            batch,
+            on=on,
+            update_set={
+                c: F.col(f"src.{c}") for c in batch.columns if c != on
+            },
+            insert_values={c: F.col(f"src.{c}") for c in batch.columns},
+        )
+        snapshots.write_snapshot(merged, table_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,82 @@
+"""Snapshot/time-travel layer + version-diff CDC + streaming upsert sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.sources import snapshots as snap
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, name string, bal double")
+
+
+def test_snapshot_write_read_travel_rollback(spark, tmp_path):
+    t = str(tmp_path / "dim")
+    v1 = snap.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    v2 = snap.write_snapshot(_df(spark, [(1, "a", 9.0), (3, "c", 3.0)]), t)
+    assert (v1, v2) == (1, 2)
+    assert snap.history(t) == [1, 2]
+    assert snap.latest_version(t) == 2
+
+    latest = {r.k: r.bal for r in snap.read_snapshot(spark, t).collect()}
+    assert latest == {1: 9.0, 3: 3.0}
+    travel = {r.k: r.bal for r in snap.read_snapshot(spark, t, version=1).collect()}
+    assert travel == {1: 1.0, 2: 2.0}
+
+    snap.rollback(t, 1)
+    assert snap.latest_version(t) == 1
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == {1, 2}
+    # newer version still retained and readable
+    assert {r.k for r in snap.read_snapshot(spark, t, version=2).collect()} == {1, 3}
+    with pytest.raises(ValueError):
+        snap.rollback(t, 99)
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)])
+    new = _df(spark, [(1, "a", 1.0), (2, "b", 5.0), (4, "d", 4.0), (3, "c", 3.0)])
+    diff = {r.k: r.change_type
+            for r in snap.snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged → absent; k=2 value edit; k=3 NULL→value edit;
+    # k=4 insert; nothing deleted
+    assert diff == {2: "update", 3: "update", 4: "insert"}
+    rdiff = {r.k: r.change_type
+             for r in snap.snapshot_diff(new, old, ["k"]).collect()}
+    assert rdiff == {2: "update", 3: "update", 4: "delete"}
+
+
+def test_streaming_upsert_sink_builds_versions(spark, sf_dir, tmp_path):
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.streaming import events as sev
+
+    t = str(tmp_path / "user_last")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sev.run_foreach_batch_upsert(stream, t, ckpt, on="user_id")
+    assert snap.history(t)  # at least one committed version
+
+    # final snapshot = per-user last event (last-writer-wins on ts,
+    # event_id) over the whole input
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in snap.read_snapshot(spark, t).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+    # restart with the same checkpoint: no new input → no new version
+    n_before = len(snap.history(t))
+    stream2 = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sev.run_foreach_batch_upsert(stream2, t, ckpt, on="user_id")
+    assert len(snap.history(t)) == n_before
