@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_shuffle": curation.training_shuffle,
         "events_cm_user_counts": _events_cm_user_counts,
         "mm_video_features": _mm_video_features,  # rows-only (generated input)
+        "customer_cdc_diff": _customer_cdc_diff,
     }
 
 
