@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cm_user_counts": _events_cm_user_counts,
         "mm_video_features": _mm_video_features,  # rows-only (generated input)
         "customer_cdc_diff": _customer_cdc_diff,
+        "g_linkpred_training_set": on_graph(
+            lambda g: galg.link_prediction_training_set(g)
+        ),
     }
 
 
@@ -2840,6 +2843,33 @@ LIMIT 10
 """,
         # Personalized PageRank: unrolled restart recurrence, nano-exact.
         "g_personalized_pagerank": _ppr_sql(EGO_NAME),
+        # Link-prediction training set: positives + filtered-uniform
+        # hash-drawn negatives over the id-sorted node-position table.
+        "g_linkpred_training_set": f"""{GRAPH_CTES},
+nodes_pos AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS pos
+              FROM persons),
+pe AS (SELECT src, dst FROM edges WHERE type = 'FRIEND_OF'),
+draws AS (
+  SELECT e.src,
+    CAST(('0x' || substring(md5(concat_ws('|',
+         CAST(e.src AS VARCHAR), CAST(e.dst AS VARCHAR),
+         CAST(j.j AS VARCHAR))), 1, 10)) AS BIGINT)
+      % (SELECT COUNT(*) FROM persons) AS pos
+  FROM pe e CROSS JOIN UNNEST(generate_series(0, 0)) AS j(j)
+),
+cand AS (
+  SELECT d.src, np.id AS dst FROM draws d JOIN nodes_pos np USING (pos)
+),
+neg AS (
+  SELECT c.src, c.dst, 0 AS label FROM cand c
+  WHERE c.src <> c.dst AND NOT EXISTS (
+    SELECT 1 FROM sym_edges s
+    WHERE s.type = 'FRIEND_OF' AND s.src = c.src AND s.dst = c.dst)
+)
+SELECT src, dst, 1 AS label FROM pe
+UNION ALL SELECT src, dst, label FROM neg
+ORDER BY label, src, dst
+""",
         # snapshot_diff CDC over simulated dim versions: keys classify
         # by membership; MACHINERY balance bump registers as update.
         "customer_cdc_diff": """

@@ -625,3 +625,65 @@ def personalized_pagerank(
         .select("name", "rank")
         .orderBy(F.desc("rank"), F.asc("name"))
     )
+
+
+def link_prediction_training_set(
+    g: GraphModel,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    neg_per_pos: int = 1,
+) -> DataFrame:
+    """Training-set builder for link prediction: every stored edge as a
+    positive (label 1) plus ``neg_per_pos`` hash-drawn NEGATIVE samples
+    per edge (label 0) — the corpus any GNN / edge-classifier trains on
+    (and the supervised twin of the reference's common-neighbors
+    ranking).
+
+    Negative sampling, derandomized: draw j for positive (src, dst)
+    picks candidate node at position ``md5(src|dst|j) mod n`` in the
+    id-sorted node table; candidates that collide with a REAL neighbor
+    of src (or src itself) are dropped by an anti-join rather than
+    re-drawn — the standard "filtered uniform" sampler, deterministic
+    across runs/engines, so the whole training set has an exact SQL
+    oracle. Expect ~|E|·neg_per_pos·(1 − deg/n) surviving negatives.
+
+    Plan: node-position table = one row_number window over ids (built
+    once); draws join it on position (hash join on int), then one
+    anti-join against the undirected edge view. Everything is linear in
+    |E|·neg_per_pos; nothing quadratic, no Python.
+    """
+    from pyspark.sql.window import Window as W
+
+    nodes = g.persons.select("id")
+    n = nodes.count()
+    pos_tbl = nodes.withColumn(
+        "pos", F.row_number().over(W.orderBy("id")) - 1
+    ).localCheckpoint()
+    edges = g.edges.filter(F.col("type").isin(list(types))).select("src", "dst")
+    positives = edges.select("src", "dst", F.lit(1).alias("label"))
+
+    draws = edges.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(neg_per_pos)]))
+    ).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "src", "dst", "j")), 1, 10
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % n
+        ).alias("pos"),
+    )
+    candidates = draws.join(pos_tbl, "pos").select(
+        "src", F.col("id").alias("dst")
+    )
+    sym = g.sym_edges(types).select("src", "dst")
+    negatives = (
+        candidates.filter(F.col("src") != F.col("dst"))
+        .join(sym, ["src", "dst"], "left_anti")
+        .select("src", "dst", F.lit(0).alias("label"))
+    )
+    return positives.unionByName(negatives).orderBy("label", "src", "dst")

@@ -229,3 +229,17 @@ def test_personalized_pagerank_isolated_seed_raises(tiny):
 
     with pytest.raises(ValueError, match="isolated"):
         alg.personalized_pagerank(tiny, "Gus G")
+
+
+def test_linkpred_training_set_properties(tiny):
+    rows = alg.link_prediction_training_set(tiny, neg_per_pos=2).collect()
+    pos = [(r.src, r.dst) for r in rows if r.label == 1]
+    neg = [(r.src, r.dst) for r in rows if r.label == 0]
+    assert set(pos) == {(1, 2), (1, 3), (2, 3), (1, 4), (5, 6)}
+    # no negative is a real (undirected) edge or a self-loop
+    sym = set(pos) | {(b, a) for a, b in pos}
+    assert all(p not in sym and p[0] != p[1] for p in neg)
+    assert len(neg) <= 2 * len(pos)
+    # deterministic across runs
+    again = alg.link_prediction_training_set(tiny, neg_per_pos=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
