@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_linkpred_training_set": on_graph(
             lambda g: galg.link_prediction_training_set(g)
         ),
+        "g_closeness_landmarks": on_graph(
+            lambda g: galg.closeness_landmarks(g)
+        ),
     }
 
 
@@ -429,6 +432,36 @@ def _lpa_rounds_sql(n_rounds: int = 5) -> str:
             f"FROM l{p} a LEFT JOIN b{r} b ON a.id = b.id)"
         )
     return ", " + ",\n".join(ctes)
+
+
+def _closeness_rounds_sql(n_landmarks: int = 4, max_depth: int = 6) -> str:
+    """Unrolled multi-source BFS mirroring algorithms.closeness_landmarks:
+    per round, (landmark, node) distances relax by one hop (integer
+    min-plus, engine-exact)."""
+    ctes = [
+        "cl_e AS MATERIALIZED (SELECT src, dst FROM sym_edges "
+        "WHERE type = 'FRIEND_OF')",
+        f"cl_lm AS (SELECT id AS lm FROM persons ORDER BY id "
+        f"LIMIT {n_landmarks})",
+        "cl_d0 AS MATERIALIZED (SELECT lm, lm AS id, CAST(0 AS BIGINT) AS d "
+        "FROM cl_lm)",
+    ]
+    for t in range(1, max_depth + 1):
+        p = t - 1
+        ctes.append(
+            f"cl_d{t} AS MATERIALIZED (SELECT lm, id, MIN(d) AS d FROM ("
+            f"SELECT lm, id, d FROM cl_d{p} "
+            f"UNION ALL "
+            f"SELECT x.lm, e.dst AS id, x.d + 1 AS d "
+            f"FROM cl_d{p} x JOIN cl_e e ON e.src = x.id"
+            f") GROUP BY lm, id)"
+        )
+    return ", " + ",\n".join(ctes) + f""",
+cl_final AS (
+  SELECT p.name, COUNT(*) AS n_reached, CAST(SUM(x.d) AS HUGEINT) AS total_dist
+  FROM persons p JOIN cl_d{max_depth} x ON x.id = p.id
+  GROUP BY p.name
+)"""
 
 
 def _walks_rounds_sql(walk_len: int = 3, walks_per_node: int = 2) -> str:
@@ -2843,6 +2876,12 @@ LIMIT 10
 """,
         # Personalized PageRank: unrolled restart recurrence, nano-exact.
         "g_personalized_pagerank": _ppr_sql(EGO_NAME),
+        # Landmark closeness: unrolled multi-source BFS, integer-exact.
+        "g_closeness_landmarks": f"""{GRAPH_CTES}{_closeness_rounds_sql()}
+SELECT name, n_reached, CAST(total_dist AS BIGINT) AS total_dist
+FROM cl_final
+ORDER BY name
+""",
         # Link-prediction training set: positives + filtered-uniform
         # hash-drawn negatives over the id-sorted node-position table.
         "g_linkpred_training_set": f"""{GRAPH_CTES},

@@ -687,3 +687,69 @@ def link_prediction_training_set(
         .select("src", "dst", F.lit(0).alias("label"))
     )
     return positives.unionByName(negatives).orderBy("label", "src", "dst")
+
+
+def closeness_landmarks(
+    g: GraphModel,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    n_landmarks: int = 4,
+    max_depth: int = 6,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """Landmark-based closeness centrality (the Indyk/Potamias
+    approximation): exact closeness needs all-pairs BFS — O(V·E), dead
+    at scale — so estimate each node's centrality from its hop
+    distances to ``n_landmarks`` fixed landmark nodes. Landmarks are
+    the smallest person ids (deterministic stand-in for the random or
+    degree-biased pick; swap without touching the plan).
+
+    One multi-source BFS computes ALL landmark distances together: the
+    distance frame is keyed (landmark, node) and each round is one
+    min-plus superstep (join + min aggregate) — k landmarks cost one
+    joint loop, not k loops, and the frame is at most k·V rows. Fixed
+    ``max_depth`` rounds bound the plan AND give exact hop distances
+    for paths within that radius (integer min-plus → engine-exact, so
+    the whole estimator has an unrolled SQL oracle). Nodes beyond a
+    landmark's radius simply don't pair with it — reported via
+    n_reached.
+
+    Output: (name, n_reached, total_dist) — integer closeness raw
+    material; 1/total_dist or n_reached²/total_dist are one projection
+    away and engine-dependent float policy stays out of the contract.
+    """
+    small = g.persons.count() <= broadcast_node_limit
+    edges = g.sym_edges(types).select("src", "dst")
+    edges = edges.localCheckpoint() if small else _copartition(edges, "src")
+    from pyspark.sql.window import Window as W
+
+    landmarks = (
+        g.persons.select("id")
+        .withColumn("rn", F.row_number().over(W.orderBy("id")))
+        .filter(F.col("rn") <= n_landmarks)
+        .select(F.col("id").alias("lm"))
+    )
+    dist = landmarks.select(
+        "lm", F.col("lm").alias("id"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    for it in range(max_depth):
+        dist_side = F.broadcast(dist) if small else dist
+        relaxed = edges.join(dist_side, edges.src == dist.id).select(
+            "lm", F.col("dst").alias("id"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("lm", "id")
+            .agg(F.min("d").alias("d"))
+        )
+        if it % 2 == 1 or it == max_depth - 1:
+            dist = dist.localCheckpoint()
+    return (
+        g.persons.select("id", "name")
+        .join(dist, "id")
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("d").alias("total_dist"),
+        )
+        .orderBy("name")
+    )

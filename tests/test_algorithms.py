@@ -243,3 +243,26 @@ def test_linkpred_training_set_properties(tiny):
     # deterministic across runs
     again = alg.link_prediction_training_set(tiny, neg_per_pos=2).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_closeness_landmarks_path_graph(spark):
+    """Path A—B—C—D with landmarks {A, B} (2 smallest ids): hop sums
+    are exact within the depth budget."""
+    persons = spark.createDataFrame(
+        [(i, n, "H", "S", 0.0) for i, n in
+         enumerate(["A", "B", "C", "D"], start=1)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "FRIEND_OF"), (2, 3, "FRIEND_OF"), (3, 4, "FRIEND_OF")],
+        "src long, dst long, type string",
+    )
+    g = GraphModel(
+        persons=persons,
+        houses=persons.select(F.col("house").alias("name")).distinct(),
+        edges=edges,
+    )
+    out = {r.name: (r.n_reached, r.total_dist)
+           for r in alg.closeness_landmarks(g, n_landmarks=2).collect()}
+    # dists to A/B: A=(0,1) B=(1,0) C=(2,1) D=(3,2)
+    assert out == {"A": (2, 1), "B": (2, 1), "C": (2, 3), "D": (2, 5)}
