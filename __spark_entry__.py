@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_closeness_landmarks": on_graph(
             lambda g: galg.closeness_landmarks(g)
         ),
+        "events_daily_forecast": rel.events_daily_forecast,
     }
 
 
@@ -2908,6 +2909,48 @@ neg AS (
 SELECT src, dst, 1 AS label FROM pe
 UNION ALL SELECT src, dst, label FROM neg
 ORDER BY label, src, dst
+""",
+        # Seasonal-naive + trailing-MA forecasting baselines over the
+        # gap-filled daily count series.
+        "events_daily_forecast": """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN bounds b
+  CROSS JOIN UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS s(day)
+),
+daily AS (
+  SELECT sp.event_type, sp.day, COALESCE(c.n, 0) AS n
+  FROM spine sp LEFT JOIN (
+    SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2
+  ) c ON c.event_type = sp.event_type AND c.day = sp.day
+),
+hist AS (
+  SELECT event_type, day, n,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+last7 AS (SELECT * FROM hist WHERE rn > n_days - 7),
+ma AS (
+  SELECT event_type, MAX(day) AS last_day,
+    CAST(CAST(CAST(SUM(n) AS DECIMAL(18,6)) / COUNT(*) AS DECIMAL(28,6))
+         AS DOUBLE) AS ma
+  FROM last7 GROUP BY event_type
+),
+snv AS (
+  SELECT l.event_type, CAST(h.h AS INT) AS h, l.n AS seasonal_naive
+  FROM last7 l
+  CROSS JOIN UNNEST(generate_series(1, 3)) AS h(h)
+  WHERE l.n_days - l.rn = (7 - h.h) % 7
+)
+SELECT s.event_type, m.last_day + s.h AS day, s.h, s.seasonal_naive, m.ma
+FROM snv s JOIN ma m ON m.event_type = s.event_type
+ORDER BY s.event_type, s.h
 """,
         # snapshot_diff CDC over simulated dim versions: keys classify
         # by membership; MACHINERY balance bump registers as update.

@@ -1360,3 +1360,89 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "lo", "hi", "n")
         .orderBy("bin")
     )
+
+
+def events_daily_forecast(
+    spark: SparkSession, sf_dir: str, horizon_days: int = 3, season: int = 7
+) -> DataFrame:
+    """Grouped time-series forecasting baselines: for each event_type,
+    project the next ``horizon_days`` daily counts by seasonal-naive
+    (same weekday last week) and trailing moving average — the two
+    baselines every forecasting system must beat, and the capacity-
+    planning staple a warehouse serves directly.
+
+    Plan: the history collapses to (type, day, n) once (gap days count
+    0 via the dense date spine, or the seasonal lag would silently skip
+    missing days); forecasting is then a per-type window lookback —
+    one exchange on event_type for spine-join, window, and output
+    alike. Integer counts forecast as integers (seasonal naive) and an
+    exact-decimal mean emitted DOUBLE (ma) keep it oracle-exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    daily = (
+        spine.join(
+            ev.groupBy("event_type", "day").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            ["event_type", "day"],
+            "left",
+        )
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    hist = daily.withColumn("rn", F.row_number().over(w))
+    max_rn = Window.partitionBy("event_type")
+    hist = hist.withColumn("n_days", F.max("rn").over(max_rn))
+    # forecasts for horizon step h (1-based): seasonal naive looks back
+    # to the observation at offset season - h (cyclically within the
+    # last season); MA is the mean of the trailing `season` days.
+    last = hist.filter(F.col("rn") > F.col("n_days") - season)
+    ma = (
+        last.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("decimal(18,6)").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.max("day").alias("last_day"),
+        )
+        .select(
+            "event_type",
+            "last_day",
+            (F.col("s") / F.col("c")).cast("decimal(28,6)").cast("double").alias("ma"),
+        )
+    )
+    steps = spark.range(1, horizon_days + 1).select(
+        F.col("id").cast("int").alias("h")
+    )
+    snv = (
+        last.withColumn("back", F.col("n_days") - F.col("rn"))
+        .crossJoin(F.broadcast(steps))
+        .filter(F.col("back") == (season - F.col("h")) % season)
+        .select("event_type", "h", F.col("n").alias("seasonal_naive"))
+    )
+    return (
+        snv.join(ma, "event_type")
+        .select(
+            "event_type",
+            F.date_add(F.col("last_day"), F.col("h")).alias("day"),
+            "h",
+            "seasonal_naive",
+            "ma",
+        )
+        .orderBy("event_type", "h")
+    )

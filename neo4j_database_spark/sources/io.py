@@ -233,3 +233,61 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(dst_dir)
     )
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max manifest for the given columns — the data-
+    skipping index table formats keep in their metadata layer, built
+    from plain parquet with one pass: group by ``input_file_name()``
+    and min/max each column. Persist the result next to the data and
+    incrementally append stats for new files; at 100 TB the manifest is
+    O(files), queried on the driver path in milliseconds while the data
+    itself is never touched.
+    """
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+        .withColumnRenamed("__file", "file")
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping read: consult the stats manifest, read ONLY files
+    whose [min, max] range for ``col`` intersects [lo, hi], and return
+    (df, files_read, files_total).
+
+    The residual filter still applies row-level (stats prune files, not
+    rows). This is what a format's scan planner does with its manifest;
+    here it is explicit and composable — e.g. over ``write_zordered``
+    output both dimensions prune. File lists are driver-side: the
+    manifest is O(files), never the data.
+    """
+    rows = stats.select("file", f"min_{col}", f"max_{col}").collect()
+    total = len(rows)
+    keep = [
+        r["file"]
+        for r in rows
+        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(keep), total

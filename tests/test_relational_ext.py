@@ -250,3 +250,34 @@ def test_orders_price_histogram_clamps(spark, monkeypatch):
     )
     out = {r.bin: r.n for r in rel.orders_price_histogram(spark, "unused").collect()}
     assert out == {0: 3, 1: 1, 19: 1}
+
+
+def test_events_daily_forecast_hand_case(spark, monkeypatch):
+    from datetime import datetime
+
+    from neo4j_database_spark.queries import relational as rel
+
+    # 14 days of a strict weekly pattern: count = weekday index (Mon=0..6)
+    rows = []
+    eid = 0
+    for d in range(1, 15):
+        dt = datetime(2024, 1, d)
+        for _ in range(dt.weekday()):
+            rows.append((eid, "tick", dt, 1, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, "
+        "user_id long, value double",
+    )
+    monkeypatch.setattr(
+        "neo4j_database_spark.queries.relational.load_table",
+        lambda s, n, d: df,
+    )
+    out = {r.h: (str(r.day), r.seasonal_naive, r.ma)
+           for r in rel.events_daily_forecast(spark, "unused").collect()}
+    # last observed day = Sun Jan 14 (weekday 6, count 6); forecasts
+    # repeat the weekly pattern exactly: Jan 15 Mon→0, 16 Tue→1, 17 Wed→2
+    assert out[1] == ("2024-01-15", 0, 3.0)
+    assert out[2] == ("2024-01-16", 1, 3.0)
+    assert out[3] == ("2024-01-17", 2, 3.0)

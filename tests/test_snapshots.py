@@ -80,3 +80,30 @@ def test_streaming_upsert_sink_builds_versions(spark, sf_dir, tmp_path):
     stream2 = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
     sev.run_foreach_batch_upsert(stream2, t, ckpt, on="user_id")
     assert len(snap.history(t)) == n_before
+
+
+# ---------------- file-stats manifest + data-skipping read ----------------
+
+
+def test_pruned_read_skips_files_and_keeps_rows(spark, tmp_path):
+    from neo4j_database_spark.sources.io import collect_file_stats, pruned_read
+
+    path = str(tmp_path / "facts")
+    # 8 files, each a distinct contiguous id range -> perfectly prunable
+    df = spark.range(0, 8000).select(
+        F.col("id"), (F.col("id") % 7).alias("payload")
+    )
+    df.repartitionByRange(8, "id").write.parquet(path)
+
+    stats = collect_file_stats(spark, path, ["id"])
+    assert stats.count() == 8
+
+    got, read, total = pruned_read(spark, path, stats, "id", 2500, 3499)
+    assert total == 8 and read <= 2            # 1-2 boundary-straddling files
+    want = {r.id for r in spark.read.parquet(path)
+            .filter((F.col("id") >= 2500) & (F.col("id") <= 3499)).collect()}
+    assert {r.id for r in got.collect()} == want
+
+    # empty intersection -> zero files, empty frame, schema intact
+    got0, read0, _ = pruned_read(spark, path, stats, "id", 10**9, 2 * 10**9)
+    assert read0 == 0 and got0.count() == 0 and got0.columns == ["id", "payload"]
