@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: galg.closeness_landmarks(g)
         ),
         "events_daily_forecast": rel.events_daily_forecast,
+        "late_sole_suppliers": rel.late_sole_suppliers,
+        "g_betweenness_landmarks": on_graph(
+            # all edge types: FRIEND_OF alone is per-house cliques, where
+            # every pair is adjacent and betweenness is identically zero
+            lambda g: galg.betweenness_landmarks(g, types=None)
+        ),  # rows-only (float path-ratio dependencies)
     }
 
 
@@ -2909,6 +2915,27 @@ neg AS (
 SELECT src, dst, 1 AS label FROM pe
 UNION ALL SELECT src, dst, label FROM neg
 ORDER BY label, src, dst
+""",
+        # Q21 shape decorrelated into one per-order aggregate.
+        "late_sole_suppliers": """
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp,
+    MAX(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+FROM per_order
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY late_supp
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
 """,
         # Seasonal-naive + trailing-MA forecasting baselines over the
         # gap-filled daily count series.

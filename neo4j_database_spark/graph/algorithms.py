@@ -753,3 +753,134 @@ def closeness_landmarks(
         )
         .orderBy("name")
     )
+
+
+def betweenness_landmarks(
+    g: GraphModel,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    n_landmarks: int = 4,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality (Brandes 2001 restricted
+    to ``n_landmarks`` sources — the standard estimator; exact
+    betweenness is all-sources Brandes, O(V·E), off the table at
+    scale).
+
+    Forward phase: one joint multi-source BFS keyed (landmark, node)
+    accumulating hop distance AND path counts σ (integer sums — exact).
+    Backward phase: dependencies sweep layer-by-layer from the deepest
+    hop level down, δ(v) += σ(v)/σ(w)·(1+δ(w)) over DAG edges
+    (dist(w) = dist(v)+1); each level is one join + one aggregate, and
+    δ contributions are nano-quantized (CONTRIB_SCALE) so sums are
+    partition-order-independent — the same determinism contract as
+    pagerank, making results reproducible run-to-run even though the
+    ratios are floats.
+
+    State is O(landmarks · V); both sweeps are bounded by ``max_depth``
+    supersteps. Output: (name, betweenness) for nodes with nonzero
+    score, descending.
+    """
+    edges = g.sym_edges(types).select("src", "dst").localCheckpoint()
+    from pyspark.sql.window import Window as W
+
+    landmarks = (
+        g.persons.select("id")
+        .withColumn("rn", F.row_number().over(W.orderBy("id")))
+        .filter(F.col("rn") <= n_landmarks)
+        .select(F.col("id").alias("lm"))
+    )
+    # forward: frontier BFS carrying sigma; visited keeps the final
+    # (dist, sigma) per (lm, node)
+    frontier = landmarks.select(
+        "lm",
+        F.col("lm").alias("id"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select("lm", F.col("dst").alias("id"), "sigma")
+            .join(
+                visited.select(
+                    F.col("lm").alias("vlm"), F.col("id").alias("vid")
+                ),
+                (F.col("lm") == F.col("vlm")) & (F.col("id") == F.col("vid")),
+                "left_anti",
+            )
+        )
+        frontier = (
+            nxt.groupBy("lm", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("lm", "id", F.lit(depth).alias("dist"), "sigma")
+            .localCheckpoint()
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+
+    # backward: delta per (lm, node), deepest level first
+    max_d = visited.agg(F.max("dist")).first()[0]
+    delta = visited.select(
+        "lm", "id", "dist", "sigma", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    for d in range(max_d, 0, -1):
+        wside = delta.filter(F.col("dist") == d).select(
+            "lm",
+            F.col("id").alias("w_id"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
+        )
+        vlevel = delta.filter(F.col("dist") == d - 1).select(
+            F.col("lm").alias("v_lm"),
+            F.col("id").alias("v_id"),
+            F.col("sigma").alias("sigma"),
+        )
+        contrib = (
+            vlevel.join(edges, vlevel.v_id == edges.src)
+            .join(
+                wside,
+                (F.col("v_lm") == wside.lm) & (F.col("dst") == F.col("w_id")),
+            )
+            .select(
+                F.col("v_lm").alias("lm"),
+                F.col("v_id").alias("id"),
+                F.round(
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("w_sigma").cast("double")
+                        * (1.0 + F.col("w_delta"))
+                    )
+                    * CONTRIB_SCALE
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("lm", "id")
+            .agg((F.sum("c").cast("double") / F.lit(CONTRIB_SCALE)).alias("dd"))
+        )
+        delta = (
+            delta.join(contrib, ["lm", "id"], "left")
+            .select(
+                "lm",
+                "id",
+                "dist",
+                "sigma",
+                F.when(
+                    F.col("dist") == d - 1,
+                    F.coalesce(F.col("dd"), F.lit(0.0)),
+                )
+                .otherwise(F.col("delta"))
+                .alias("delta"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        g.persons.select("id", "name")
+        .join(delta.filter(F.col("dist") > 0), "id")
+        .groupBy("name")
+        .agg(F.sum("delta").alias("betweenness"))
+        .filter(F.col("betweenness") > 0.0)
+        .orderBy(F.desc("betweenness"), F.asc("name"))
+    )

@@ -1446,3 +1446,52 @@ def events_daily_forecast(
         )
         .orderBy("event_type", "h")
     )
+
+
+def late_sole_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    multi-supplier orders where EXACTLY ONE supplier shipped late,
+    charge that supplier — the classic EXISTS / NOT-EXISTS double
+    correlation, decorrelated into one per-order aggregate.
+
+    Instead of two correlated subqueries per lineitem (the literal Q21
+    formulation, two extra joins of lineitem with itself), compute per
+    (order): distinct suppliers, distinct LATE suppliers, and the late
+    supplier when unique — one groupBy over a 3-column projection, then
+    a semi-join back to nothing (the aggregate already carries the
+    answer). Late = shipped > 90 days after order date. Counting per
+    supplier and top-k finishes JVM-side with TakeOrderedAndProject.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    flagged = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+            "is_late"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    return (
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(k)
+    )

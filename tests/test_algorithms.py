@@ -266,3 +266,59 @@ def test_closeness_landmarks_path_graph(spark):
            for r in alg.closeness_landmarks(g, n_landmarks=2).collect()}
     # dists to A/B: A=(0,1) B=(1,0) C=(2,1) D=(3,2)
     assert out == {"A": (2, 1), "B": (2, 1), "C": (2, 3), "D": (2, 5)}
+
+
+def test_betweenness_landmarks_matches_python_brandes(spark):
+    """Bowtie graph, landmarks {1, 2}: engine scores equal a Python
+    Brandes restricted to the same sources (within quantization)."""
+    ids = {1: "A", 2: "B", 3: "C", 4: "D", 5: "E", 6: "F"}
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    persons = spark.createDataFrame(
+        [(i, n, "H", "S", 0.0) for i, n in ids.items()],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in und], "src long, dst long, type string"
+    )
+    g = GraphModel(
+        persons=persons,
+        houses=persons.select(F.col("house").alias("name")).distinct(),
+        edges=edges,
+    )
+    got = {r.name: r.betweenness
+           for r in alg.betweenness_landmarks(g, n_landmarks=2).collect()}
+
+    # Python Brandes from the same sources
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    bet = defaultdict(float)
+    for s in (1, 2):
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if v != s:
+                bet[ids[v]] += delta[v]
+    want = {k: v for k, v in bet.items() if v > 0}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])

@@ -40,6 +40,7 @@ ROWS_ONLY = {
     "mm_image_near_dups",  # generated media input — no SQL twin
     "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
     "mm_video_features",  # generated media input — no SQL twin
+    "g_betweenness_landmarks",  # float path-ratio dependencies
 }
 
 
