@@ -97,6 +97,36 @@ class WinderEngine:
             for r in out
         ]
 
+    def suggest(self, name: str, k: int = 5) -> list[dict[str, Any]]:
+        """Beyond-reference endpoint: personalized-PageRank friend
+        suggestions from an ego node — the whole-graph upgrade of
+        ``winder``'s 1-hop common-neighbor score (multi-hop paths and
+        path multiplicity count too). Direct neighbors are excluded:
+        suggestions are people you are NOT yet connected to."""
+        from neo4j_database_spark.graph import algorithms as galg
+
+        ranks = galg.personalized_pagerank(self.graph, name)
+        nbr_ids = self.graph.sym_edges().join(
+            self.graph.persons.filter(F.col("name") == name).select(
+                F.col("id").alias("src")
+            ),
+            "src",
+        ).select(F.col("dst").alias("id"))
+        exclude = {name} | {
+            r["name"]
+            for r in self.graph.persons.join(nbr_ids, "id")
+            .select("name")
+            .collect()
+        }
+        out = []
+        for r in ranks.collect():
+            if r["name"] in exclude:
+                continue
+            out.append({"name": r["name"], "score": r["rank"]})
+            if len(out) == k:
+                break
+        return out
+
     # -- GET /graph/ego/<name> (app.py:247-285) --
     def ego_graph(self, name: str, limit: int = 500) -> dict[str, Any]:
         ego = gq.ego_network(self.graph, name, limit)

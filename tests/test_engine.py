@@ -114,3 +114,20 @@ def test_housemates_and_histogram(engine):
     assert 0 < len(mates) <= 100
     hist = engine.house_histogram([f"Customer#{i:09d}" for i in range(20)])
     assert sum(hist.values()) == 20
+
+
+def test_suggest_excludes_neighbors_and_self(engine):
+    name = "Customer#000000042"
+    out = engine.suggest(name, k=5)
+    assert 0 < len(out) <= 5
+    names = [o["name"] for o in out]
+    assert name not in names
+    # no direct neighbor may be suggested
+    ego = engine.ego_graph(name)
+    direct = {
+        n["data"].get("label") for n in ego["elements"]["nodes"]
+    }
+    assert not (set(names) & direct)
+    # scores descending
+    scores = [o["score"] for o in out]
+    assert scores == sorted(scores, reverse=True)
