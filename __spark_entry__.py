@@ -270,6 +270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # every pair is adjacent and betweenness is identically zero
             lambda g: galg.betweenness_landmarks(g, types=None)
         ),  # rows-only (float path-ratio dependencies)
+        # -- round-2 late additions: classic decorrelation shapes --
+        "small_qty_part_revenue": rel.small_qty_part_revenue,  # Q17
+        "big_volume_customers": rel.big_volume_customers,  # Q18
+        "disjunctive_part_revenue": rel.disjunctive_part_revenue,  # Q19
+        "idle_rich_customers": rel.idle_rich_customers,  # Q22
+        "nation_market_share": rel.nation_market_share,  # Q8
+        "cheapest_supplier_per_part": rel.cheapest_supplier_per_part,  # Q2
     }
 
 
@@ -3001,5 +3008,123 @@ WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
    OR (o.c_name, o.c_mktsegment, o.c_acctbal)
       IS DISTINCT FROM (n.c_name, n.c_mktsegment, n.c_acctbal)
 ORDER BY c_custkey
+""",
+        # Q17 shape: correlated AVG decorrelated to a per-part aggregate;
+        # threshold cross-multiplied to integers (qty is integral).
+        "small_qty_part_revenue": """
+WITH stats AS (
+  SELECT l_partkey, COUNT(*) AS n_li,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / 7.0
+    AS avg_yearly,
+  COUNT(*) AS n_small_qty_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN stats s ON s.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * s.n_li < s.sum_qty
+""",
+        # Q18 shape: HAVING-decorrelated per-order quantity aggregate.
+        "big_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_name AS name, c.c_custkey AS custkey,
+  o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+  CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) AS DOUBLE) AS totalprice,
+  b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, orderkey ASC
+""",
+        # Q19 shape: OR-of-ANDs join predicate over three bands.
+        "disjunctive_part_revenue": """
+SELECT
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE
+  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+   AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+   AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+   AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+""",
+        # Q22 shape: scalar-AVG cross-multiplied to exact decimals +
+        # anti-join against recent orders; code = custkey % 10.
+        "idle_rich_customers": """
+WITH pos AS (
+  SELECT COUNT(*) AS n_pos,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_pos
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c.c_custkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer c, pos
+  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
+),
+idle AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = r.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+)
+SELECT CAST(c_custkey % 10 AS INT) AS code,
+  COUNT(*) AS n_custs,
+  CAST(CAST(SUM(bal) AS DECIMAL(28,2)) AS DOUBLE) AS total_bal
+FROM idle GROUP BY 1 ORDER BY code
+""",
+        # Q8 shape: conditional-share aggregate; single double division
+        # of two exact decimal sums.
+        "nation_market_share": """
+WITH euro AS (
+  SELECT s.s_suppkey, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT year(o.o_orderdate) AS o_year,
+  COALESCE(CAST(CAST(SUM(CASE WHEN e.n_name = 'NATION_7'
+      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) END)
+    AS DECIMAL(28,6)) AS DOUBLE), 0.0)
+  / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS mkt_share,
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN euro e ON l.l_suppkey = e.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY o_year
+""",
+        # Q2 shape: correlated MIN decorrelated to a (key, min) join-back
+        # on the exact decimal price.
+        "cheapest_supplier_per_part": """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(l_extendedprice AS DECIMAL(18,6)) AS price
+  FROM lineitem
+),
+mins AS (
+  SELECT l_partkey, MIN(price) AS min_price FROM li GROUP BY l_partkey
+)
+SELECT DISTINCT p.p_partkey AS partkey, p.p_name AS part_name,
+  s.s_name AS supplier, CAST(m.min_price AS DOUBLE) AS min_price
+FROM li
+JOIN mins m ON li.l_partkey = m.l_partkey AND li.price = m.min_price
+JOIN part p ON li.l_partkey = p.p_partkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+WHERE p.p_type = 'PROMO'
+ORDER BY partkey ASC, supplier ASC
+LIMIT 25
 """,
     }

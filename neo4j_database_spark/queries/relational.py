@@ -1495,3 +1495,257 @@ def late_sole_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    no longer taken.
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg(l_quantity)
+    over the same part``) is decorrelated into one per-part aggregate of
+    lineitem computed BEFORE the brand filter joins in — the classic
+    magic-set rewrite. The threshold compare is cross-multiplied to
+    integers (``5 * qty * n < sum_qty``, quantities are integral) so no
+    division touches the predicate; the only float op is the final
+    exact-decimal-sum → double ÷ 7.0, correctly rounded identically in
+    both engines. Scale: per-part stats shuffle once on l_partkey (the
+    same key the probe join needs), the filtered part dim broadcasts.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(qty).alias("sum_qty"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(stats, "l_partkey")
+        .filter(5 * qty * F.col("n_li") < F.col("sum_qty"))
+        .agg(
+            (
+                F.sum(_dec(F.col("l_extendedprice")))
+                .cast(MONEY_SUM)
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_qty_items"),
+        )
+    )
+
+
+def big_volume_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds ``min_qty``, enriched with the customer.
+
+    The HAVING-subquery formulation decorrelates into one per-order
+    aggregate; the qualifying-order set (~1-2% of orders) then joins
+    orders and customer. Quantities are integral → BIGINT sums, exact in
+    both engines. Scale: the per-order aggregate is the only fact-sized
+    shuffle; the qualifying set is small enough that AQE converts the
+    enrich joins to broadcasts at any sf.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            _money_out(F.col("o_totalprice")).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("orderkey"))
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue from three brand/size/quantity bands OR-ed together.
+
+    The OR-of-ANDs sits ON the join so Catalyst can extract the common
+    ``l_partkey = p_partkey`` equi-condition and push the per-side
+    conjuncts (brand IN-list to the part scan, quantity range to the
+    lineitem scan) — the exact rewrite Q19 exists to test. Part is a
+    broadcast dim; one partial+final aggregate finishes.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            F.broadcast(part), (li.l_partkey == part.p_partkey) & band
+        )
+        .agg(
+            F.sum(revenue).cast(MONEY_SUM).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose
+    account balance beats the average positive balance but who placed
+    no RECENT order (>= 2000-01-01), grouped by a derived code.
+
+    Two decorrelations in one query: the scalar AVG subquery becomes a
+    1-row aggregate cross-joined in (with the compare cross-multiplied
+    to exact decimals — ``bal * n_pos > sum_pos`` — so no division sits
+    in the predicate), and NOT EXISTS becomes a left-anti join against
+    the date-filtered orders. Q22 derives its code from the phone
+    prefix; this schema has no phone, so code = custkey % 10 (same
+    shape: a computed grouping key). Scale: the anti-join is the only
+    fact shuffle; the 1-row aggregate broadcasts.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(bal).cast("decimal(28,2)").alias("sum_pos"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        bal * F.col("n_pos") > F.col("sum_pos")
+    )
+    idle = rich.join(
+        orders,
+        rich.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    return (
+        idle.groupBy(
+            (F.col("c_custkey") % 10).cast("int").alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(bal).cast("decimal(28,2)").cast("double").alias("total_bal"),
+        )
+        .orderBy("code")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): per order-year, the
+    share of EUROPE-supplied revenue contributed by one nation.
+
+    The share is a conditional-sum / total-sum ratio inside one
+    aggregate — no second pass over the fact. Both sums accumulate
+    exactly in decimal; the single division happens after casting both
+    to double (one correctly-rounded IEEE op, identical in both
+    engines). Scale: lineitem→orders is the one big shuffle join;
+    supplier/nation/region collapse to one broadcast dim with the
+    region filter applied before the join.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    euro_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    target = F.col("n_name") == "NATION_7"
+    joined = (
+        li.join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            revenue.alias("rev"),
+            target.alias("is_target"),
+        )
+    )
+    total = F.sum(F.col("rev")).cast(MONEY_SUM).cast("double")
+    nation_rev = (
+        F.sum(F.when(F.col("is_target"), F.col("rev")))
+        .cast(MONEY_SUM)
+        .cast("double")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (F.coalesce(nation_rev, F.lit(0.0)) / total).alias("mkt_share"),
+            total.alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each part of one
+    type, the supplier(s) whose lineitem hit the part's minimum
+    extended price.
+
+    The correlated MIN subquery decorrelates into a per-part aggregate
+    joined back on (partkey, price) — the standard rewrite; without a
+    partsupp table the part's observed lineitem prices play the
+    supplycost role. Price equality joins on the EXACT decimal form of
+    the double (no epsilon games). Scale: both sides of the join-back
+    partition on l_partkey, so the min frame and the probe co-locate;
+    supplier enrich broadcasts.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", _dec(F.col("l_extendedprice")).alias("price")
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    mins = (
+        li.groupBy(F.col("l_partkey").alias("mk"))
+        .agg(F.min("price").alias("min_price"))
+    )
+    return (
+        li.join(
+            mins,
+            (li.l_partkey == mins.mk) & (li.price == mins.min_price),
+        )
+        .drop("mk")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.asc("partkey"), F.asc("supplier"))
+        .limit(k)
+    )

@@ -281,3 +281,71 @@ def test_events_daily_forecast_hand_case(spark, monkeypatch):
     assert out[1] == ("2024-01-15", 0, 3.0)
     assert out[2] == ("2024-01-16", 1, 3.0)
     assert out[3] == ("2024-01-17", 2, 3.0)
+
+
+def test_small_qty_part_revenue_threshold_semantics(spark):
+    # Every surviving row is strictly below 20% of its part's average
+    # quantity; the single output row divides the exact sum by 7.
+    row = rel.small_qty_part_revenue(spark, SF).collect()[0]
+    assert row.n_small_qty_items >= 0
+    if row.n_small_qty_items:
+        assert row.avg_yearly > 0.0
+
+
+def test_big_volume_customers_all_exceed_threshold(spark):
+    rows = rel.big_volume_customers(spark, SF, min_qty=250).collect()
+    assert rows, "sf0.001 should have at least one >250-qty order"
+    assert all(r.total_qty > 250 for r in rows)
+    # descending by qty, orderkey tie-break ascending
+    qtys = [r.total_qty for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+
+
+def test_disjunctive_part_revenue_matches_union_of_bands(spark):
+    # The OR-of-ANDs result equals the sum of the three disjoint bands
+    # computed separately (bands are brand-disjoint by construction).
+    from neo4j_database_spark.catalog import load_table
+
+    total = rel.disjunctive_part_revenue(spark, SF).collect()[0]
+    li = load_table(spark, "lineitem", SF)
+    part = load_table(spark, "part", SF)
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity").cast("bigint")
+    bands = [
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11)),
+        ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20)),
+        ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30)),
+    ]
+    n = sum(j.filter(b).count() for b in bands)
+    assert total.n_items == n
+
+
+def test_idle_rich_customers_filters(spark):
+    # Every group only counts customers above the positive-balance
+    # average; codes are 0..9.
+    rows = rel.idle_rich_customers(spark, SF).collect()
+    assert all(0 <= r.code <= 9 for r in rows)
+    assert all(r.n_custs >= 1 for r in rows)
+
+
+def test_nation_market_share_bounds(spark):
+    rows = rel.nation_market_share(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_revenue > 0.0
+
+
+def test_cheapest_supplier_per_part_is_min(spark):
+    from neo4j_database_spark.catalog import load_table
+
+    rows = rel.cheapest_supplier_per_part(spark, SF, k=5).collect()
+    assert rows
+    li = load_table(spark, "lineitem", SF)
+    for r in rows[:3]:
+        true_min = (
+            li.filter(F.col("l_partkey") == r.partkey)
+            .agg(F.min(F.col("l_extendedprice").cast("decimal(18,6)")))
+            .collect()[0][0]
+        )
+        assert float(true_min) == r.min_price
