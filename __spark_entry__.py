@@ -277,6 +277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": rel.idle_rich_customers,  # Q22
         "nation_market_share": rel.nation_market_share,  # Q8
         "cheapest_supplier_per_part": rel.cheapest_supplier_per_part,  # Q2
+        "g_clustering_coefficient": on_graph(
+            lambda g: galg.clustering_coefficient(g)
+        ),
+        "g_jaccard_similarity": on_graph(
+            lambda g: galg.jaccard_similarity(g)
+        ),
     }
 
 
@@ -3126,5 +3132,60 @@ JOIN supplier s ON li.l_suppkey = s.s_suppkey
 WHERE p.p_type = 'PROMO'
 ORDER BY partkey ASC, supplier ASC
 LIMIT 25
+""",
+        # Local clustering coefficient over SAME_FAMILY: exact integer
+        # triangle/degree counts, one correctly-rounded double division.
+        "g_clustering_coefficient": f"""{GRAPH_CTES},
+fam AS (SELECT src, dst FROM edges WHERE type = 'SAME_FAMILY'),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM fam ab
+  JOIN fam bc ON ab.dst = bc.src
+  JOIN fam ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcount AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),
+deg AS (
+  SELECT src AS id, COUNT(*) AS degree
+  FROM sym_edges WHERE type = 'SAME_FAMILY' GROUP BY src
+)
+SELECT p.name,
+  CAST(d.degree AS BIGINT) AS degree,
+  CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.degree >= 2
+    THEN 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+    ELSE 0.0 END AS clustering_coeff
+FROM deg d
+LEFT JOIN tcount t ON t.id = d.id
+JOIN persons p ON p.id = d.id
+ORDER BY p.name
+""",
+        # Neighbor-set Jaccard top-k: wedge-join candidates (common
+        # neighbor), integer counts, one double division for the score.
+        "g_jaccard_similarity": f"""{GRAPH_CTES},
+adj AS (
+  SELECT DISTINCT src, dst FROM sym_edges
+  WHERE type IN ('SAME_FAMILY', 'ROMANTIC_WITH')
+),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM adj GROUP BY src),
+common AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS n_common
+  FROM adj l JOIN adj r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY l.src, r.src
+)
+SELECT pa.name AS name_a, pb.name AS name_b,
+  CAST(c.n_common AS BIGINT) AS common,
+  CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common) AS jaccard
+FROM common c
+JOIN deg da ON da.id = c.a
+JOIN deg db ON db.id = c.b
+JOIN persons pa ON pa.id = c.a
+JOIN persons pb ON pb.id = c.b
+ORDER BY jaccard DESC, name_a ASC, name_b ASC
+LIMIT 50
 """,
     }

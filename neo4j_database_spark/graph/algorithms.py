@@ -884,3 +884,117 @@ def betweenness_landmarks(
         .filter(F.col("betweenness") > 0.0)
         .orderBy(F.desc("betweenness"), F.asc("name"))
     )
+
+
+def clustering_coefficient(
+    g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)
+) -> DataFrame:
+    """Local clustering coefficient per node: the fraction of a node's
+    neighbor pairs that are themselves adjacent, ``2·T(v) / (deg(v) ·
+    (deg(v)-1))``.
+
+    Per-node triangle participation reuses the canonical-order wedge
+    join of ``triangle_count`` (each triangle found once as a<b<c, then
+    credited to all three corners via one explode — no per-corner
+    re-join). Degree comes from the symmetric view. All counting is
+    exact integer work; the one float op is the final correctly-rounded
+    double division, identical in DuckDB, so the query has an exact
+    oracle. Scale: wedge fan-out is bounded by per-key degree within
+    the chosen edge types — default SAME_FAMILY keeps keys at family
+    size; for denser types pre-filter hubs like ``jaccard_similarity``.
+    """
+    e = g.edges.filter(F.col("type").isin(list(types))).select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
+    )
+    tcount = corners.groupBy("id").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    deg = (
+        g.sym_edges(types)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcount, "id", "left")
+        .fillna(0, subset=["triangles"])
+        .join(g.persons.select("id", "name"), "id")
+        .select(
+            "name",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+        .orderBy("name")
+    )
+
+
+def jaccard_similarity(
+    g: GraphModel,
+    types: tuple[str, ...] = ("SAME_FAMILY", "ROMANTIC_WITH"),
+    k: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k node pairs by neighbor-set Jaccard, |N(a)∩N(b)| / |N(a)∪N(b)|.
+
+    Candidate pairs come from the wedge join (two nodes share a common
+    neighbor), so disjoint-neighborhood pairs are never materialized —
+    the inverted-index shape, not all-pairs. ``max_degree`` drops hub
+    nodes from the COMMON-NEIGHBOR role before the join (the same
+    high-df pruning as minhash banding: a degree-d hub alone emits
+    C(d,2) candidate pairs while contributing ~zero similarity signal);
+    at 100 TB set it to a few hundred. Counting is integer-exact; the
+    single double division makes the score, so the full query carries an
+    exact SQL oracle. Output order: (jaccard DESC, name_a, name_b) —
+    total, hence deterministic under ties.
+    """
+    adj = g.sym_edges(types).select("src", "dst").distinct()
+    deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    hub_ok = adj
+    if max_degree is not None:
+        small = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("id").alias("dst")
+        )
+        hub_ok = adj.join(F.broadcast(small), "dst", "left_semi")
+    left = hub_ok.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    right = hub_ok.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    common = (
+        left.join(right, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    deg_a = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    deg_b = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    names = g.persons.select("id", "name")
+    return (
+        common.join(deg_a, "a")
+        .join(deg_b, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .join(names.select(F.col("id").alias("a"), F.col("name").alias("name_a")), "a")
+        .join(names.select(F.col("id").alias("b"), F.col("name").alias("name_b")), "b")
+        .select("name_a", "name_b", F.col("common").cast("long").alias("common"), "jaccard")
+        .orderBy(F.desc("jaccard"), F.asc("name_a"), F.asc("name_b"))
+        .limit(k)
+    )

@@ -322,3 +322,54 @@ def test_betweenness_landmarks_matches_python_brandes(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_clustering_coefficient_tiny(tiny):
+    # FRIEND_OF fixture: triangle (1,2,3) + pendant 4 + pair 5-6.
+    rows = {
+        r["name"]: r
+        for r in alg.clustering_coefficient(
+            tiny, types=("FRIEND_OF",)
+        ).collect()
+    }
+    # Alice: neighbors {2,3,4}, 1 adjacent pair of 3 → 1/3
+    assert rows["Alice A"]["degree"] == 3
+    assert rows["Alice A"]["triangles"] == 1
+    assert rows["Alice A"]["clustering_coeff"] == pytest.approx(1 / 3)
+    # Bob and Cara: neighbors form one adjacent pair → 1.0
+    assert rows["Bob B"]["clustering_coeff"] == 1.0
+    assert rows["Cara C"]["clustering_coeff"] == 1.0
+    # Dan: degree 1 → defined as 0; Eve/Fay degree 1 → 0
+    assert rows["Dan D"]["clustering_coeff"] == 0.0
+    assert rows["Eve E"]["clustering_coeff"] == 0.0
+    assert "Gus G" not in rows  # isolated → no degree row
+
+
+def test_jaccard_similarity_tiny(tiny):
+    rows = alg.jaccard_similarity(tiny, types=("FRIEND_OF",), k=100).collect()
+    scores = {(r["name_a"], r["name_b"]): r for r in rows}
+    # Bob {1,3} vs Cara {1,2}: common {1} (not each other — open
+    # neighborhoods), union {1,2,3} → 1/3
+    bc = scores[("Bob B", "Cara C")]
+    assert bc["common"] == 1
+    assert bc["jaccard"] == pytest.approx(1 / 3)
+    # Dan {1} vs Bob {1,3}: common {1}, union {1,3} → 1/2
+    assert scores[("Bob B", "Dan D")]["jaccard"] == pytest.approx(1 / 2)
+    # Eve-Fay share no common neighbor (only each other) → absent
+    assert ("Eve E", "Fay F") not in scores
+    # ordering: jaccard descending
+    js = [r["jaccard"] for r in rows]
+    assert js == sorted(js, reverse=True)
+
+
+def test_jaccard_similarity_max_degree_prunes_hub(tiny):
+    # With max_degree=2 node 1 (degree 3) is excluded from the
+    # common-neighbor role, so pairs whose ONLY common neighbor is the
+    # hub disappear while degree values stay true.
+    rows = alg.jaccard_similarity(
+        tiny, types=("FRIEND_OF",), k=100, max_degree=2
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]) for r in rows}
+    assert ("Bob B", "Dan D") not in pairs  # only common neighbor was 1
+    # Alice-Bob still share Cara (degree 2 ≤ cap)
+    assert ("Alice A", "Bob B") in pairs
