@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_jaccard_similarity": on_graph(
             lambda g: galg.jaccard_similarity(g)
         ),
+        "brand_association_rules": rel.brand_association_rules,
     }
 
 
@@ -3187,5 +3188,35 @@ JOIN persons pa ON pa.id = c.a
 JOIN persons pb ON pb.id = c.b
 ORDER BY jaccard DESC, name_a ASC, name_b ASC
 LIMIT 50
+""",
+        # Market-basket 2-itemsets: exact integer counts, ratio scores
+        # as single correctly-rounded double divisions.
+        "brand_association_rules": """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+totals AS (
+  SELECT p_brand AS brand, COUNT(*) AS n_brand FROM baskets GROUP BY p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 20
+)
+SELECT p.brand_a, p.brand_b, p.n_both,
+  ta.n_brand AS n_a, tb.n_brand AS n_b,
+  CAST(p.n_both AS DOUBLE) / n.n_orders AS support,
+  CAST(p.n_both AS DOUBLE) / ta.n_brand AS confidence,
+  CAST(p.n_both * n.n_orders AS DOUBLE) / (ta.n_brand * tb.n_brand) AS lift
+FROM pairs p
+JOIN totals ta ON ta.brand = p.brand_a
+JOIN totals tb ON tb.brand = p.brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a ASC, brand_b ASC
+LIMIT 40
 """,
     }

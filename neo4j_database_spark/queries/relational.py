@@ -1749,3 +1749,66 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str, k: int = 25) ->
         .orderBy(F.asc("partkey"), F.asc("supplier"))
         .limit(k)
     )
+
+
+def brand_association_rules(
+    spark: SparkSession, sf_dir: str, min_both: int = 20, k: int = 40
+) -> DataFrame:
+    """Market-basket mining: frequent brand PAIRS with support /
+    confidence / lift, baskets = orders.
+
+    The A-priori 2-itemset pass as pure DataFrame ops: per-order
+    DISTINCT brand sets (one aggregate), a within-basket self-join
+    producing ordered pairs — fan-out bounded by C(items-per-basket, 2),
+    and TPC-H-style orders carry ≤7 lines, so the self-join is linear in
+    orders, NOT quadratic in items — then one pair aggregate. All
+    counting is exact integers; support/confidence/lift are ratios of
+    exact 64-bit products (n_both·N and n_a·n_b both ≪ 2^53), each one
+    correctly-rounded double division → exact SQL oracle. Scale: the
+    only fact-sized shuffles are the two groupBys on o_orderkey and on
+    the pair key; brand totals broadcast back.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )  # 1-row frame, broadcast-cross-joined below (no driver round-trip)
+    totals = baskets.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    ta = totals.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    tb = totals.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both") / F.col("n_orders")).alias("support"),
+            (F.col("n_both") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(k)
+    )

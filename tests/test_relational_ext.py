@@ -349,3 +349,17 @@ def test_cheapest_supplier_per_part_is_min(spark):
             .collect()[0][0]
         )
         assert float(true_min) == r.min_price
+
+
+def test_brand_association_rules_invariants(spark):
+    rows = rel.brand_association_rules(spark, SF, min_both=5, k=30).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b          # canonical pair order
+        assert r.n_both >= 5
+        assert r.n_both <= min(r.n_a, r.n_b)  # pair ⊆ each side
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
