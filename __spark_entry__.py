@@ -284,6 +284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: galg.jaccard_similarity(g)
         ),
         "brand_association_rules": rel.brand_association_rules,
+        # -- Cypher front end: reference query strings compiled to
+        #    DataFrame plans (cypher/compiler.py) --
+        "cypher_house_counts": _cypher_house_counts,
+        "cypher_search": _cypher_search,
+        "cypher_winder": _cypher_winder,
     }
 
 
@@ -315,6 +320,68 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_database_spark.streaming.events import enrich_replay
 
     return enrich_replay(spark, sf_dir)
+
+
+_CYPHER_HOUSE_COUNTS = """
+    MATCH (p:Person)
+    WHERE p.name IN $names
+    RETURN p.house as house, count(p) as c
+"""
+
+_CYPHER_SEARCH = """
+    MATCH (p:Person)
+    WHERE toLower(p.name) CONTAINS toLower($q)
+    RETURN p.name as name
+    LIMIT 10
+"""
+
+# app.py:217-231 minus the trailing LIMIT: the reference's LIMIT 3 under
+# tied scores selects an engine-arbitrary subset, which no cross-engine
+# hash can check; pytest pins the verbatim-with-LIMIT form instead.
+_CYPHER_WINDER = """
+    MATCH (f:Person)
+    WHERE f.name IN $friends
+    MATCH (f)-[:FRIEND_OF]-(candidate:Person)
+    WHERE NOT candidate.name IN $friends
+    WITH candidate, count(f) as common_friends, collect(f.name) as shared_with
+    RETURN candidate.name as name,
+           candidate.house as house,
+           candidate.image as image,
+           common_friends,
+           shared_with
+    ORDER BY common_friends DESC
+"""
+
+
+def _cypher_house_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference app.py:62-66 compiled from (aliased) Cypher text."""
+    from neo4j_database_spark.cypher import run_cypher
+
+    g = load_graph(spark, sf_dir)
+    return run_cypher(g, _CYPHER_HOUSE_COUNTS, {"names": HISTOGRAM_NAMES})
+
+
+def _cypher_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference app.py:440-445 compiled verbatim; the query string is
+    chosen to match < 10 names at every sf so LIMIT never selects an
+    arbitrary subset."""
+    from neo4j_database_spark.cypher import run_cypher
+
+    g = load_graph(spark, sf_dir)
+    return run_cypher(g, _CYPHER_SEARCH, {"q": "000001234"})
+
+
+def _cypher_winder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference app.py:217-231 compiled from Cypher; shared_with is
+    serialized to the comma-joined form at the result boundary (Spark
+    arrays and DuckDB lists stringify differently in the hash)."""
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.cypher import run_cypher
+
+    g = load_graph(spark, sf_dir)
+    out = run_cypher(g, _CYPHER_WINDER, {"friends": WINDER_SEEDS})
+    return out.withColumn("shared_with", F.array_join("shared_with", ","))
 
 
 def _customer_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3218,5 +3285,30 @@ JOIN totals tb ON tb.brand = p.brand_b
 CROSS JOIN n
 ORDER BY lift DESC, brand_a ASC, brand_b ASC
 LIMIT 40
+""",
+        # Cypher-compiled house histogram (app.py:62-66)
+        "cypher_house_counts": f"""{GRAPH_CTES}
+SELECT house, CAST(COUNT(*) AS BIGINT) AS c FROM persons
+WHERE name IN ({_sql_list(list(HISTOGRAM_NAMES))})
+GROUP BY house
+""",
+        # Cypher-compiled autocomplete (app.py:440-445); the parameter
+        # matches exactly one name per sf, so LIMIT 10 never truncates
+        "cypher_search": f"""{GRAPH_CTES}
+SELECT name FROM persons
+WHERE lower(name) LIKE '%' || lower('000001234') || '%'
+""",
+        # Cypher-compiled winder (app.py:217-231, LIMIT lifted)
+        "cypher_winder": f"""{GRAPH_CTES}
+SELECT p.name AS name, p.house AS house, p.image AS image,
+       CAST(COUNT(*) AS BIGINT) AS common_friends,
+       string_agg(s.name, ',' ORDER BY s.name) AS shared_with
+FROM sym_edges e
+JOIN persons s ON e.src = s.id
+JOIN persons p ON e.dst = p.id
+WHERE s.name IN ({_sql_list(list(WINDER_SEEDS))})
+  AND p.name NOT IN ({_sql_list(list(WINDER_SEEDS))})
+  AND e.type = 'FRIEND_OF'
+GROUP BY p.name, p.house, p.image
 """,
     }

@@ -1,0 +1,474 @@
+"""Lower the Cypher AST to DataFrame plans over ``GraphModel``.
+
+Design: every bound node variable is ONE struct column in the working
+DataFrame, in a unified node schema shared by Person and House nodes
+(``label`` discriminates; House rows carry nulls for person-only
+properties; ``id`` is a string — person ids stringified, house ids are
+the house name, mirroring the serving facade's hub-id convention).
+Relationship variables are (src, dst, type) structs in traversal
+order. This keeps the whole pipeline declarative: MATCH becomes joins,
+WHERE becomes filters, WITH/RETURN aggregation becomes
+groupBy-on-structs — Catalyst sees a normal plan (broadcast for the
+house side, shuffle hash for person joins) and optimizes it like any
+hand-written query.
+
+BELONGS_TO is virtual: the property graph normalizes house membership
+as ``persons.house`` (model.py:26), so `(p)-[:BELONGS_TO]->(h)`
+compiles to an equi-join ``p.house = h.name`` instead of an edge-table
+probe — same rows as the reference's materialized edges
+(get_insert.py:84-86), one join cheaper.
+
+Semantics pinned by tests against the hand-built serving queries:
+- undirected ``-[r]-`` = the symmetric view (each stored relationship
+  matched once per endpoint perspective, like Cypher);
+- OPTIONAL MATCH = left join; its WHERE is part of the pattern (filters
+  the right side BEFORE the join, exactly Cypher's semantics — not a
+  post-filter);
+- WITH/RETURN with any aggregate ⇒ implicit grouping on the
+  non-aggregate items (Cypher's grouping rule); count/collect skip
+  nulls from unmatched OPTIONAL rows;
+- multiple MATCH clauses join on shared variables (id-equality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neo4j_database_spark.cypher import parser as P
+from neo4j_database_spark.graph.model import GraphModel
+
+# Cypher property name -> unified struct field
+_PROP_MAP = {"isUser": "is_user"}
+
+_PERSON_FIELDS = (
+    "id", "name", "house", "segment", "acctbal",
+    "species", "gender", "alive", "image", "is_user",
+)
+
+
+def _person_nodes(g: GraphModel) -> DataFrame:
+    p = g.persons
+    cols = [
+        F.lit("Person").alias("label"),
+        F.col("id").cast("string").alias("id"),
+    ]
+    for f_ in _PERSON_FIELDS[1:]:
+        if f_ in p.columns:
+            cols.append(F.col(f_))
+        else:
+            cols.append(F.lit(None).alias(f_))
+    return p.select(F.struct(*cols).alias("__node"))
+
+
+def _house_nodes(g: GraphModel) -> DataFrame:
+    # same field order as _person_nodes so untyped expansions can union
+    null_types = {
+        "house": "string", "segment": "string", "acctbal": "double",
+        "species": "string", "gender": "string", "alive": "boolean",
+        "image": "string", "is_user": "boolean",
+    }
+    cols = [
+        F.lit("House").alias("label"),
+        F.col("name").alias("id"),
+        F.col("name").alias("name"),
+    ] + [F.lit(None).cast(t).alias(f_) for f_, t in null_types.items()]
+    return g.houses.select(F.struct(*cols).alias("__node"))
+
+
+def _rel_struct(src: Column, dst: Column, rtype: Column) -> Column:
+    return F.struct(src.alias("src"), dst.alias("dst"), rtype.alias("type"))
+
+
+@dataclass
+class Binding:
+    kind: str  # 'node' | 'rel' | 'value'
+    label: str | None = None  # for nodes, if known
+
+
+class Compiler:
+    def __init__(self, g: GraphModel, params: dict):
+        self.g = g
+        self.params = params or {}
+
+    # ---------------- edge sources (string endpoints) ----------------
+
+    def _person_edges(self, rtype, directed: bool) -> DataFrame:
+        e = self.g.sym_edges(None) if not directed else self.g.edges
+        if rtype is not None:
+            types = list(rtype) if isinstance(rtype, tuple) else [rtype]
+            e = e.filter(F.col("type").isin(types))
+        return e.select(
+            F.col("src").cast("string").alias("__src"),
+            F.col("dst").cast("string").alias("__dst"),
+            F.col("type").alias("__type"),
+        )
+
+    def _belongs_edges(self) -> DataFrame:
+        # virtual person -> house edges from the normalized property
+        return (
+            self.g.persons.filter(F.col("house").isNotNull())
+            .select(
+                F.col("id").cast("string").alias("__src"),
+                F.col("house").alias("__dst"),
+                F.lit("BELONGS_TO").alias("__type"),
+            )
+        )
+
+    # ---------------- pattern compilation ----------------
+
+    def compile_path(self, path: P.Path, env: dict[str, Binding]):
+        """Compile one path standalone: returns (df, local_env).
+
+        Vars already in `env` keep their names so the caller can join
+        on them; their per-source filters (labels, prop maps) are
+        re-applied harmlessly.
+        """
+        local: dict[str, Binding] = {}
+        n0 = path.nodes[0]
+        df = self._node_source(n0, env)
+        local[self._nvar(n0)] = Binding("node", n0.label)
+        prev = n0
+        rel_cols: list[str] = []
+        for i, (rel, node) in enumerate(zip(path.rels, path.nodes[1:])):
+            if rel.var is None:
+                rel.var = f"__rel{i}_{id(path) % 100000}"
+                hidden = True
+            else:
+                hidden = False
+            df = self._hop(df, prev, rel, node, env, local)
+            rel_cols.append((rel.var, hidden))
+            prev = node
+        # Cypher relationship-uniqueness: one MATCH pattern never binds
+        # the same relationship twice (e.g. the housemates 2-hop
+        # (p)-[:B]->(h)<-[:B]-(mate) excludes mate = p). Identity is the
+        # stored edge = (unordered endpoints, type).
+        for i in range(len(rel_cols)):
+            for j in range(i + 1, len(rel_cols)):
+                a, b = rel_cols[i][0], rel_cols[j][0]
+                same = (
+                    (F.col(f"{a}.type") == F.col(f"{b}.type"))
+                    & (
+                        F.least(F.col(f"{a}.src"), F.col(f"{a}.dst"))
+                        == F.least(F.col(f"{b}.src"), F.col(f"{b}.dst"))
+                    )
+                    & (
+                        F.greatest(F.col(f"{a}.src"), F.col(f"{a}.dst"))
+                        == F.greatest(F.col(f"{b}.src"), F.col(f"{b}.dst"))
+                    )
+                )
+                df = df.filter(~same)
+        df = df.drop(*[v for v, hidden in rel_cols if hidden])
+        for v, hidden in rel_cols:
+            if hidden:
+                local.pop(v, None)
+        return df, local
+
+    def _nvar(self, n: P.NodePat) -> str:
+        if n.var is None:
+            n.var = f"__anon{id(n) % 100000}"
+        return n.var
+
+    def _node_source(self, n: P.NodePat, env) -> DataFrame:
+        var = self._nvar(n)
+        label = n.label or (env[var].label if var in env else None)
+        if label == "House":
+            src = _house_nodes(self.g)
+        else:
+            src = _person_nodes(self.g)  # Person or unlabeled ⇒ person set
+        df = src.select(F.col("__node").alias(var))
+        return self._apply_props(df, var, n.props)
+
+    def _apply_props(self, df: DataFrame, var: str, props) -> DataFrame:
+        for key, expr in props.items():
+            field = _PROP_MAP.get(key, key)
+            df = df.filter(
+                F.col(f"{var}.{field}") == self._scalar(expr, {})
+            )
+        return df
+
+    def _hop(self, df, prev: P.NodePat, rel: P.RelPat, node: P.NodePat,
+             env, local) -> DataFrame:
+        pvar = self._nvar(prev)
+        nvar = self._nvar(node)
+        nlabel = node.label or (env[nvar].label if nvar in env else None)
+        plabel = prev.label or local.get(pvar, Binding("node")).label \
+            or (env[pvar].label if pvar in env else None)
+
+        def _swap(e: DataFrame) -> DataFrame:
+            return e.select(
+                F.col("__dst").alias("__src"),
+                F.col("__src").alias("__dst"),
+                "__type",
+            )
+
+        # Each branch is (edge frame oriented prev->node, target nodes).
+        branches: list[tuple[DataFrame, DataFrame]] = []
+        if plabel == "House":
+            # only BELONGS_TO can touch a house; traverse house -> person
+            branches.append((_swap(self._belongs_edges()), _person_nodes(self.g)))
+        else:
+            person_target = nlabel in (None, "Person")
+            house_target = nlabel in (None, "House")
+            rtypes = (
+                None if rel.rtype is None
+                else (rel.rtype if isinstance(rel.rtype, tuple) else (rel.rtype,))
+            )
+            if rtypes is not None:
+                person_types = tuple(t for t in rtypes if t != "BELONGS_TO")
+                person_person = person_target and bool(person_types)
+                belongs = house_target and "BELONGS_TO" in rtypes
+                ptype_arg = person_types if len(person_types) != 1 else person_types[0]
+            else:
+                person_person, belongs = person_target, house_target
+                ptype_arg = None
+            if person_person:
+                e = self._person_edges(
+                    ptype_arg, directed=rel.direction != "any"
+                )
+                if rel.direction == "in":
+                    e = _swap(e)
+                branches.append((e, _person_nodes(self.g)))
+            if belongs and rel.direction != "in":
+                # person -> house; a person is never BELONGS_TO's dst
+                branches.append((self._belongs_edges(), _house_nodes(self.g)))
+        if not branches:
+            raise ValueError(
+                f"cypher: unsatisfiable hop {plabel} -[{rel.rtype}]- {nlabel}"
+            )
+
+        outs = []
+        for e, target in branches:
+            j = df.join(e, F.col(f"{pvar}.id") == F.col("__src"))
+            t = target.select(F.col("__node").alias(nvar))
+            t = self._apply_props(t, nvar, node.props)
+            j = j.join(t, F.col("__dst") == F.col(f"{nvar}.id"))
+            if rel.var:
+                j = j.withColumn(
+                    rel.var,
+                    _rel_struct(F.col("__src"), F.col("__dst"), F.col("__type")),
+                )
+            outs.append(j.drop("__src", "__dst", "__type"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        local[nvar] = Binding("node", nlabel)
+        if rel.var:
+            local[rel.var] = Binding("rel")
+        return out
+
+    # ---------------- clause pipeline ----------------
+
+    def run(self, q: P.Query) -> DataFrame:
+        df: DataFrame | None = None
+        env: dict[str, Binding] = {}
+        for cl in q.clauses:
+            if isinstance(cl, P.MatchClause):
+                df, env = self._match(df, env, cl)
+            elif isinstance(cl, P.WithClause):
+                df, env = self._project(df, env, cl.items)
+                if cl.where is not None:
+                    df = df.filter(self._expr(cl.where, env))
+            elif isinstance(cl, P.ReturnClause):
+                df = self._return(df, env, cl)
+        return df
+
+    def _match(self, df, env, cl: P.MatchClause):
+        for path in cl.paths:
+            sub, local = self.compile_path(path, env)
+            if cl.optional and cl.where is not None:
+                sub = sub.filter(self._expr(cl.where, {**env, **local}))
+            shared = [v for v in local if v in env]
+            if df is None:
+                df = sub
+            elif shared:
+                cond = None
+                for v in shared:
+                    # equality on node identity; drop sub's copy after
+                    c = F.col(f"{v}.id") == F.col(f"__r_{v}.id")
+                    cond = c if cond is None else (cond & c)
+                renamed = sub
+                for v in shared:
+                    renamed = renamed.withColumnRenamed(v, f"__r_{v}")
+                how = "left" if cl.optional else "inner"
+                df = df.join(renamed, cond, how)
+                df = df.drop(*[f"__r_{v}" for v in shared])
+            else:
+                df = df.crossJoin(sub)
+            env = {**env, **local}
+        if not cl.optional and cl.where is not None:
+            df = df.filter(self._expr(cl.where, env))
+        return df, env
+
+    def _is_agg(self, e) -> bool:
+        return isinstance(e, P.Func) and e.name in P.AGG_FUNCS
+
+    def _item_name(self, it: P.Item) -> str:
+        if it.alias:
+            return it.alias
+        e = it.expr
+        if isinstance(e, P.Var):
+            return e.name
+        if isinstance(e, P.Prop):
+            return f"{e.var}.{e.name}"
+        raise ValueError("cypher: complex projection items need AS aliases")
+
+    def _project(self, df, env, items: list[P.Item]):
+        has_agg = any(self._is_agg(it.expr) for it in items)
+        new_env: dict[str, Binding] = {}
+        if not has_agg:
+            cols = []
+            for it in items:
+                name = self._item_name(it)
+                cols.append(self._expr_or_var(it.expr, env).alias(name))
+                new_env[name] = self._binding_of(it.expr, env)
+            return df.select(*cols), new_env
+        keys, aggs = [], []
+        for it in items:
+            name = self._item_name(it)
+            if self._is_agg(it.expr):
+                aggs.append(self._agg(it.expr, env).alias(name))
+                new_env[name] = Binding("value")
+            else:
+                keys.append(self._expr_or_var(it.expr, env).alias(name))
+                new_env[name] = self._binding_of(it.expr, env)
+        grouped = df.groupBy(*keys) if keys else df.groupBy()
+        return grouped.agg(*aggs), new_env
+
+    def _binding_of(self, e, env) -> Binding:
+        if isinstance(e, P.Var) and e.name in env:
+            return env[e.name]
+        return Binding("value")
+
+    def _agg(self, e: P.Func, env) -> Column:
+        arg = self._expr_or_var(e.args[0], env) if e.args else None
+        if e.name == "count":
+            c = F.count(arg) if arg is not None else F.count(F.lit(1))
+            return c.cast("long")
+        if e.name == "collect":
+            # Cypher collect() order is unspecified; sort for determinism
+            return F.sort_array(F.collect_list(arg))
+        fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[e.name]
+        return fn(arg)
+
+    def _return(self, df, env, cl: P.ReturnClause) -> DataFrame:
+        has_agg = any(self._is_agg(it.expr) for it in cl.items)
+        if cl.order_by and not has_agg:
+            # order while source vars are still in scope
+            df = df.orderBy(*[
+                self._expr_or_var(o.expr, env).asc() if o.asc
+                else self._expr_or_var(o.expr, env).desc()
+                for o in cl.order_by
+            ])
+            df, env = self._project(df, env, cl.items)
+        else:
+            df, env = self._project(df, env, cl.items)
+            if cl.order_by:
+                df = df.orderBy(*[
+                    self._post_order_col(o.expr).asc() if o.asc
+                    else self._post_order_col(o.expr).desc()
+                    for o in cl.order_by
+                ])
+        if cl.distinct:
+            df = df.distinct()
+        if cl.limit is not None:
+            df = df.limit(cl.limit)
+        return df
+
+    def _post_order_col(self, e) -> Column:
+        # after aggregation, ORDER BY refers to output columns by name
+        if isinstance(e, P.Var):
+            return F.col(e.name)
+        if isinstance(e, P.Prop):
+            return F.col(f"`{e.var}.{e.name}`")
+        raise ValueError("cypher: ORDER BY after aggregation must use aliases")
+
+    # ---------------- expressions ----------------
+
+    def _expr_or_var(self, e, env) -> Column:
+        if isinstance(e, P.Var):
+            return F.col(e.name)
+        return self._expr(e, env)
+
+    def _expr(self, e, env) -> Column:
+        if isinstance(e, P.Lit):
+            return F.lit(e.value)
+        if isinstance(e, P.Param):
+            if e.name not in self.params:
+                raise KeyError(f"cypher: missing parameter ${e.name}")
+            return e  # handled by IN / scalar contexts below
+        if isinstance(e, P.ListLit):
+            return e  # only valid on the right of IN
+        if isinstance(e, P.Var):
+            return F.col(e.name)
+        if isinstance(e, P.Prop):
+            field = _PROP_MAP.get(e.name, e.name)
+            return F.col(f"{e.var}.{field}")
+        if isinstance(e, P.Func):
+            if e.name == "tolower":
+                return F.lower(self._scalar(e.args[0], env))
+            if e.name == "toupper":
+                return F.upper(self._scalar(e.args[0], env))
+            if e.name == "id":
+                v = e.args[0]
+                return F.col(f"{v.name}.id")
+            if e.name in P.AGG_FUNCS:
+                raise ValueError(
+                    f"cypher: aggregate {e.name}() only valid in WITH/RETURN"
+                )
+            raise ValueError(f"cypher: unknown function {e.name}")
+        if isinstance(e, P.Not):
+            return ~self._scalar(e.expr, env)
+        if isinstance(e, P.CaseWhen):
+            col = None
+            for cond, val in e.whens:
+                c = self._scalar(cond, env)
+                v = self._scalar(val, env)
+                col = F.when(c, v) if col is None else col.when(c, v)
+            return col.otherwise(self._scalar(e.default, env))
+        if isinstance(e, P.BinOp):
+            if e.op == "IN":
+                left = self._scalar(e.left, env)
+                right = e.right
+                if isinstance(right, P.Param):
+                    vals = self.params[right.name]
+                elif isinstance(right, P.ListLit):
+                    vals = [li.value for li in right.items]
+                else:
+                    raise ValueError("cypher: IN needs a list or $param")
+                if not vals:
+                    return F.lit(False)
+                return left.isin(list(vals))
+            left = self._scalar(e.left, env)
+            right = self._scalar(e.right, env)
+            ops = {
+                "=": lambda a, b: a == b,
+                "<>": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b,
+                ">=": lambda a, b: a >= b,
+                "AND": lambda a, b: a & b,
+                "OR": lambda a, b: a | b,
+                "CONTAINS": lambda a, b: a.contains(b),
+            }
+            return ops[e.op](left, right)
+        raise ValueError(f"cypher: cannot compile {e!r}")
+
+    def _scalar(self, e, env) -> Column:
+        c = self._expr(e, env)
+        if isinstance(c, P.Param):
+            return F.lit(self.params[c.name])
+        if isinstance(c, P.ListLit):
+            raise ValueError("cypher: list literal in scalar position")
+        return c
+
+
+def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFrame:
+    """Parse + compile + return the DataFrame for a read-only Cypher
+    statement (the subset exercised by the reference's serving and
+    training queries). The result is lazy — callers .collect() / write
+    like any DataFrame."""
+    ast = P.parse(query)
+    return Compiler(g, params or {}).run(ast)

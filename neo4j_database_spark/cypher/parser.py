@@ -1,0 +1,475 @@
+"""Recursive-descent parser for the Cypher subset the reference uses.
+
+Covers every construct in the reference's read statements
+(app.py:62-66, 189-193, 217-231, 257-260, 272-276, 288-292, 375-381,
+411-415, 440-445; train_fix.py:18-60): MATCH / OPTIONAL MATCH with
+node-and-relationship path patterns (labels, property maps, types,
+all three directions), WHERE with AND/OR/NOT, IN, CONTAINS,
+comparisons, WITH chaining with implicit-grouping aggregation
+(count/collect/sum), CASE WHEN, RETURN with aliases, ORDER BY
+ASC/DESC, LIMIT, ``$parameters``, string/number/bool/null/list
+literals and ``//`` comments. Nothing engine-specific lives here —
+the output is a plain AST; compiler.py lowers it to DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+    props: dict[str, "Expr"] = field(default_factory=dict)
+
+
+@dataclass
+class RelPat:
+    var: str | None
+    rtype: str | None
+    direction: str  # 'out' | 'in' | 'any'
+
+
+@dataclass
+class Path:
+    # nodes[0], then (rels[i], nodes[i+1]) hops
+    nodes: list[NodePat]
+    rels: list[RelPat]
+
+
+@dataclass
+class MatchClause:
+    paths: list[Path]
+    optional: bool = False
+    where: "Expr | None" = None
+
+
+@dataclass
+class Item:
+    expr: "Expr"
+    alias: str | None
+
+
+@dataclass
+class WithClause:
+    items: list[Item]
+    where: "Expr | None" = None
+
+
+@dataclass
+class OrderItem:
+    expr: "Expr"
+    asc: bool = True
+
+
+@dataclass
+class ReturnClause:
+    items: list[Item]
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+    distinct: bool = False
+
+
+@dataclass
+class Query:
+    clauses: list
+
+
+# Expressions
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Prop:
+    var: str
+    name: str
+
+
+@dataclass
+class Param:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
+class Func:
+    name: str
+    args: list
+    distinct: bool = False
+
+
+@dataclass
+class BinOp:
+    op: str  # '=', '<>', '<', '>', '<=', '>=', 'IN', 'CONTAINS', 'AND', 'OR'
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    expr: object
+
+
+@dataclass
+class CaseWhen:
+    whens: list  # [(cond, value)]
+    default: object
+
+
+Expr = object  # documentation alias
+
+
+# --------------------------------------------------------------------------
+# Lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+  | (?P<arrow_in><-)
+  | (?P<arrow_out>->)
+  | (?P<ne><>)
+  | (?P<le><=)
+  | (?P<ge>>=)
+  | (?P<num>\d+(\.\d+)?)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct>[()\[\]{},.:=<>|-])
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "MATCH", "OPTIONAL", "WHERE", "WITH", "RETURN", "ORDER", "BY",
+    "LIMIT", "AS", "AND", "OR", "NOT", "IN", "CONTAINS", "CASE",
+    "WHEN", "THEN", "ELSE", "END", "ASC", "DESC", "DISTINCT",
+    "TRUE", "FALSE", "NULL",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'kw' | 'name' | 'num' | 'str' | 'param' | punct literal
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"cypher: cannot tokenize at {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "name":
+            up = text.upper()
+            if up in KEYWORDS:
+                toks.append(Tok("kw", up))
+            else:
+                toks.append(Tok("name", text))
+        elif kind in ("arrow_in", "arrow_out", "ne", "le", "ge", "punct"):
+            toks.append(Tok(text, text))
+        elif kind == "num":
+            toks.append(Tok("num", text))
+        elif kind == "str":
+            toks.append(Tok("str", text[1:-1]))
+        elif kind == "param":
+            toks.append(Tok("param", text[1:]))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+AGG_FUNCS = {"count", "collect", "sum", "min", "max", "avg"}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers --
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, kind: str, text: str | None = None) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == kind and (text is None or t.text == text)
+
+    def eat(self, kind: str, text: str | None = None) -> Tok:
+        if not self.at(kind, text):
+            t = self.peek()
+            raise SyntaxError(
+                f"cypher: expected {text or kind}, got "
+                f"{(t.kind, t.text) if t else 'EOF'}"
+            )
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def opt(self, kind: str, text: str | None = None) -> bool:
+        if self.at(kind, text):
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar --
+    def parse(self) -> Query:
+        clauses = []
+        while self.peek() is not None:
+            t = self.peek()
+            if t.kind == "kw" and t.text in ("MATCH", "OPTIONAL"):
+                clauses.append(self.match_clause())
+            elif t.kind == "kw" and t.text == "WITH":
+                clauses.append(self.with_clause())
+            elif t.kind == "kw" and t.text == "RETURN":
+                clauses.append(self.return_clause())
+            else:
+                raise SyntaxError(f"cypher: unexpected {t.text!r}")
+        if not clauses or not isinstance(clauses[-1], ReturnClause):
+            raise SyntaxError("cypher: query must end with RETURN")
+        return Query(clauses)
+
+    def match_clause(self) -> MatchClause:
+        optional = self.opt("kw", "OPTIONAL")
+        self.eat("kw", "MATCH")
+        paths = [self.path()]
+        while self.opt(",", ","):
+            paths.append(self.path())
+        where = self.expr() if self.opt("kw", "WHERE") else None
+        return MatchClause(paths, optional, where)
+
+    def path(self) -> Path:
+        nodes = [self.node_pat()]
+        rels: list[RelPat] = []
+        while self.at("<-") or self.at("-", "-"):
+            rels.append(self.rel_pat())
+            nodes.append(self.node_pat())
+        return Path(nodes, rels)
+
+    def node_pat(self) -> NodePat:
+        self.eat("(", "(")
+        var = None
+        label = None
+        props: dict[str, object] = {}
+        if self.at("name"):
+            var = self.eat("name").text
+        if self.opt(":", ":"):
+            label = self.eat("name").text
+        if self.at("{", "{"):
+            props = self.prop_map()
+        self.eat(")", ")")
+        return NodePat(var, label, props)
+
+    def prop_map(self) -> dict[str, object]:
+        self.eat("{", "{")
+        out = {}
+        while True:
+            key = self.eat("name").text
+            self.eat(":", ":")
+            out[key] = self.expr()
+            if not self.opt(",", ","):
+                break
+        self.eat("}", "}")
+        return out
+
+    def rel_pat(self) -> RelPat:
+        # '<-[...]-'  |  '-[...]->'  |  '-[...]-'
+        direction = "any"
+        if self.opt("<-"):
+            direction = "in"
+        else:
+            self.eat("-", "-")
+        var = None
+        rtype = None
+        if self.opt("[", "["):
+            if self.at("name"):
+                var = self.eat("name").text
+            if self.opt(":", ":"):
+                types = [self.eat("name").text]
+                while self.opt("|", "|"):
+                    self.opt(":", ":")  # Cypher allows both :A|B and :A|:B
+                    types.append(self.eat("name").text)
+                rtype = types[0] if len(types) == 1 else tuple(types)
+            self.eat("]", "]")
+        if self.opt("->"):
+            if direction == "in":
+                raise SyntaxError("cypher: <-[..]-> is invalid")
+            direction = "out"
+        else:
+            self.eat("-", "-")
+        return RelPat(var, rtype, direction)
+
+    def items(self) -> list[Item]:
+        out = [self.item()]
+        while self.opt(",", ","):
+            out.append(self.item())
+        return out
+
+    def item(self) -> Item:
+        e = self.expr()
+        alias = self.eat("name").text if self.opt("kw", "AS") else None
+        return Item(e, alias)
+
+    def with_clause(self) -> WithClause:
+        self.eat("kw", "WITH")
+        items = self.items()
+        where = self.expr() if self.opt("kw", "WHERE") else None
+        return WithClause(items, where)
+
+    def return_clause(self) -> ReturnClause:
+        self.eat("kw", "RETURN")
+        distinct = self.opt("kw", "DISTINCT")
+        items = self.items()
+        order = []
+        if self.opt("kw", "ORDER"):
+            self.eat("kw", "BY")
+            while True:
+                e = self.expr()
+                asc = True
+                if self.opt("kw", "DESC"):
+                    asc = False
+                else:
+                    self.opt("kw", "ASC")
+                order.append(OrderItem(e, asc))
+                if not self.opt(",", ","):
+                    break
+        limit = None
+        if self.opt("kw", "LIMIT"):
+            limit = int(self.eat("num").text)
+        return ReturnClause(items, order, limit, distinct)
+
+    # -- expressions --
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.opt("kw", "OR"):
+            left = BinOp("OR", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.opt("kw", "AND"):
+            left = BinOp("AND", left, self.not_expr())
+        return left
+
+    def not_expr(self):
+        if self.opt("kw", "NOT"):
+            return Not(self.not_expr())
+        return self.cmp_expr()
+
+    _CMP = {"=": "=", "<>": "<>", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+
+    def cmp_expr(self):
+        left = self.primary()
+        t = self.peek()
+        if t is None:
+            return left
+        if t.kind in self._CMP:
+            self.i += 1
+            return BinOp(self._CMP[t.kind], left, self.primary())
+        if t.kind == "kw" and t.text in ("IN", "CONTAINS"):
+            self.i += 1
+            return BinOp(t.text, left, self.primary())
+        return left
+
+    def case_expr(self):
+        self.eat("kw", "CASE")
+        whens = []
+        while self.opt("kw", "WHEN"):
+            cond = self.expr()
+            self.eat("kw", "THEN")
+            whens.append((cond, self.expr()))
+        default = self.expr() if self.opt("kw", "ELSE") else Lit(None)
+        self.eat("kw", "END")
+        return CaseWhen(whens, default)
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("cypher: unexpected end of expression")
+        if t.kind == "(":
+            self.eat("(")
+            e = self.expr()
+            self.eat(")", ")")
+            return e
+        if t.kind == "[":
+            self.eat("[")
+            items = []
+            if not self.at("]"):
+                items.append(self.expr())
+                while self.opt(",", ","):
+                    items.append(self.expr())
+            self.eat("]", "]")
+            return ListLit(items)
+        if t.kind == "str":
+            self.i += 1
+            return Lit(t.text)
+        if t.kind == "num":
+            self.i += 1
+            return Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "param":
+            self.i += 1
+            return Param(t.text)
+        if t.kind == "kw" and t.text in ("TRUE", "FALSE"):
+            self.i += 1
+            return Lit(t.text == "TRUE")
+        if t.kind == "kw" and t.text == "NULL":
+            self.i += 1
+            return Lit(None)
+        if t.kind == "kw" and t.text == "CASE":
+            return self.case_expr()
+        if t.kind == "kw" and t.text == "COUNT":  # unreachable; count is a name
+            pass
+        if t.kind == "name":
+            name = self.eat("name").text
+            if self.at("(", "("):  # function call
+                self.eat("(")
+                distinct = self.opt("kw", "DISTINCT")
+                args = []
+                if self.at("name") and self.peek().text == "*":
+                    pass  # count(*) not used; '*' tokenizes as nothing here
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.opt(",", ","):
+                        args.append(self.expr())
+                self.eat(")", ")")
+                return Func(name.lower(), args, distinct)
+            if self.opt(".", "."):
+                prop = self.eat("name").text
+                return Prop(name, prop)
+            return Var(name)
+        raise SyntaxError(f"cypher: unexpected token {t.text!r} in expression")
+
+
+def parse(src: str) -> Query:
+    return Parser(src).parse()

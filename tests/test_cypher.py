@@ -1,0 +1,334 @@
+"""The Cypher front end runs the reference's READ statements verbatim
+and must agree with the hand-built (oracle-checked) serving queries.
+
+Each test pastes the exact Cypher text from the reference (cited
+file:line) and checks the compiled DataFrame against the corresponding
+hand-built plan — so the compiler's semantics are pinned to queries the
+driver already verifies against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.cypher import run_cypher
+from neo4j_database_spark.cypher.parser import parse
+from neo4j_database_spark.graph import queries as gq
+from neo4j_database_spark.graph.features import (
+    FEATURE_HOUSES,
+    feature_cell_name,
+    feature_matrix,
+)
+from neo4j_database_spark.graph.store import load_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return load_graph(spark, SF)
+
+
+def test_search_verbatim(g):
+    # app.py:440-445
+    q = """
+        MATCH (p:Person)
+        WHERE toLower(p.name) CONTAINS toLower($q)
+        RETURN p.name as name
+        LIMIT 10
+    """
+    got = {r.name for r in run_cypher(g, q, {"q": "000000123"}).collect()}
+    assert got == {"Customer#000000123"}
+    # unlimited variant ≡ hand-built search (full match set)
+    q2 = q.replace("LIMIT 10", "")
+    got2 = {r.name for r in run_cypher(g, q2, {"q": "0000004"}).collect()}
+    want = {
+        r.name for r in gq.search(g, "0000004", limit=10**6).collect()
+    }
+    assert got2 == want
+
+
+def test_house_counts_verbatim(g):
+    # app.py:62-66
+    names = [f"Customer#{i:09d}" for i in range(25)]
+    got = {
+        r["p.house"]: r["c"]
+        for r in run_cypher(
+            g,
+            """
+            MATCH (p:Person)
+            WHERE p.name IN $names
+            RETURN p.house, count(p) as c
+            """,
+            {"names": names},
+        ).collect()
+    }
+    want = {
+        r.house: r.n
+        for r in g.persons.filter(F.col("name").isin(names))
+        .groupBy("house")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_characters_verbatim(g):
+    # app.py:189-193: RETURN p ORDER BY p.name — full property structs
+    rows = run_cypher(
+        g, "MATCH (p:Person) RETURN p ORDER BY p.name"
+    ).collect()
+    names = [r.p.name for r in rows]
+    assert names == sorted(names)
+    assert len(rows) == g.persons.count()
+    # property surface matches the directory endpoint
+    want = {
+        (r.name, r.house, r.species, r.alive, r.image)
+        for r in gq.directory(g).collect()
+    }
+    got = {
+        (r.p.name, r.p.house, r.p.species, r.p.alive, r.p.image)
+        for r in rows
+    }
+    assert got == want
+
+
+def test_winder_verbatim_matches_handbuilt(g):
+    # app.py:217-231 verbatim (FRIEND_OF expansion), LIMIT lifted so
+    # tie-order can't differ. The reference compare is gq.winder's
+    # plan restricted to FRIEND_OF (gq.winder deliberately widens to
+    # WINDER_TYPES; the Cypher text is friend-only).
+    friends = [f"Customer#{i:09d}" for i in range(3)]
+    q = """
+        MATCH (f:Person)
+        WHERE f.name IN $friends
+        MATCH (f)-[:FRIEND_OF]-(candidate:Person)
+        WHERE NOT candidate.name IN $friends
+        WITH candidate, count(f) as common_friends, collect(f.name) as shared_with
+        RETURN candidate.name as name,
+               candidate.house as house,
+               candidate.image as image,
+               common_friends,
+               shared_with
+        ORDER BY common_friends DESC
+    """
+    got = {
+        r.name: (r.house, r.image, r.common_friends, ",".join(r.shared_with))
+        for r in run_cypher(g, q, {"friends": friends}).collect()
+    }
+    from neo4j_database_spark.graph.model import with_person_props
+
+    seeds = g.persons.filter(F.col("name").isin(friends)).select(
+        F.col("id").alias("src"), F.col("name").alias("seed_name")
+    )
+    cand = with_person_props(g.persons).select(
+        F.col("id").alias("dst"), "name", "house", "image"
+    )
+    want = {
+        r.name: (r.house, r.image, r.common_friends, r.shared_with)
+        for r in g.sym_edges(("FRIEND_OF",))
+        .join(F.broadcast(seeds), "src")
+        .join(cand, "dst")
+        .filter(~F.col("name").isin(friends))
+        .groupBy("name", "house", "image")
+        .agg(
+            F.countDistinct("seed_name").alias("common_friends"),
+            F.array_join(
+                F.sort_array(F.collect_set("seed_name")), ","
+            ).alias("shared_with"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_multi_type_expansion_is_union(g):
+    # `[:A|B]` ≡ union of the single-type expansions
+    name = "Customer#000000042"
+    q = """
+        MATCH (p:Person {name: $name})-[r:FRIEND_OF|SAME_FAMILY]-(m:Person)
+        RETURN m.name as name, r
+    """
+    rows = run_cypher(g, q, {"name": name}).collect()
+    got = {(r.name, r.r["type"]) for r in rows}
+    seed_id = g.persons.filter(F.col("name") == name).first()["id"]
+    want = set()
+    for t in ("FRIEND_OF", "SAME_FAMILY"):
+        e = g.sym_edges((t,)).filter(F.col("src") == seed_id)
+        nbrs = e.join(
+            g.persons.select(F.col("id").alias("dst"), F.col("name").alias("n")),
+            "dst",
+        )
+        want |= {(r.n, t) for r in nbrs.collect()}
+    assert got == want
+
+
+def test_ego_verbatim_matches_handbuilt(g):
+    # app.py:257-261 — untyped expansion ALSO reaches the House hub
+    # (the reference comments on exactly this at app.py:311)
+    name = "Customer#000000042"
+    rows = run_cypher(
+        g,
+        """
+            MATCH (p:Person {name: $name})-[r]-(m)
+            RETURN p, r, m
+            LIMIT 500
+        """,
+        {"name": name},
+    ).collect()
+    got_persons = {
+        (r.m.name, r.r["type"]) for r in rows if r.m.label == "Person"
+    }
+    want = {
+        (r.neighbor, r.rel_type) for r in gq.ego_network(g, name).collect()
+    }
+    assert got_persons == want
+    houses = [(r.m.name, r.r["type"]) for r in rows if r.m.label == "House"]
+    seed_house = g.persons.filter(F.col("name") == name).first()["house"]
+    assert houses == [(seed_house, "BELONGS_TO")]
+
+
+def test_housemates_verbatim_excludes_self(g):
+    # app.py:288-292 — relationship uniqueness keeps mate ≠ p
+    name = "Customer#000000042"
+    rows = run_cypher(
+        g,
+        """
+            MATCH (p:Person {name: $target_name})-[:BELONGS_TO]->(h:House)<-[:BELONGS_TO]-(mate:Person)
+            RETURN h, mate
+            LIMIT 100
+        """,
+        {"target_name": name},
+    ).collect()
+    got = {r.mate.name for r in rows}
+    want = {r.mate for r in gq.housemates(g, name).collect()}
+    assert name not in got
+    assert got == want
+
+
+def test_house_subgraph_verbatim(g):
+    # app.py:375-381: internal-edge subgraph with OPTIONAL MATCH WHERE
+    houses = ["NATION_3", "NATION_7"]
+    rows = run_cypher(
+        g,
+        """
+            MATCH (p:Person)
+            WHERE p.house IN $houses
+            OPTIONAL MATCH (p)-[r]-(m:Person)
+            WHERE m.house IN $houses
+            RETURN p, r, m
+            LIMIT 5000
+        """,
+        {"houses": houses},
+    ).collect()
+    # every matched edge is internal; every house person appears
+    for r in rows:
+        assert r.p.house in houses
+        if r.m is not None:
+            assert r.m.house in houses
+    got_people = {r.p.name for r in rows}
+    want_people = {
+        r.name
+        for r in g.persons.filter(F.col("house").isin(houses)).collect()
+    }
+    assert got_people == want_people
+
+
+def test_house_hub_verbatim(g):
+    # app.py:411-415: hub nodes + BELONGS_TO spokes, houses with no
+    # members still return one (h, null, null) row
+    houses = ["NATION_3", "NATION_7"]
+    rows = run_cypher(
+        g,
+        """
+            MATCH (h:House)
+            WHERE h.name IN $houses
+            OPTIONAL MATCH (p:Person)-[r:BELONGS_TO]->(h)
+            RETURN h, r, p
+        """,
+        {"houses": houses},
+    ).collect()
+    assert {r.h.name for r in rows} == set(houses)
+    got = {(r.h.name, r.p.name) for r in rows if r.p is not None}
+    want = {
+        (r.house, r.name)
+        for r in g.persons.filter(F.col("house").isin(houses)).collect()
+    }
+    assert got == want
+    for r in rows:
+        if r.r is not None:
+            assert r.r.type == "BELONGS_TO"
+
+
+def test_trainfix_chain_matches_feature_matrix(g):
+    # train_fix.py:18-60 with the fixture house names — the full
+    # 4-round OPTIONAL MATCH + WITH implicit-grouping chain
+    hs = list(FEATURE_HOUSES)
+    h_list = "[" + ", ".join(f"'{h}'" for h in hs) + "]"
+
+    def round_(rel, var, prefix, carry):
+        carry_s = ", ".join(carry)
+        sums = ",\n".join(
+            f"sum(CASE WHEN {var}.house='{h}' THEN 1 ELSE 0 END) as {prefix}_{i}"
+            for i, h in enumerate(hs)
+        )
+        return (
+            f"OPTIONAL MATCH (p)-[:{rel}]-({var}:Person)\n"
+            f"WITH p{', ' if carry_s else ''}{carry_s},\n{sums}\n"
+        )
+
+    carry: list[str] = []
+    body = ""
+    for rel, var, prefix in [
+        ("FRIEND_OF", "f", "friend"),
+        ("ENEMY_OF", "e", "enemy"),
+        ("SAME_FAMILY", "fam", "fam"),
+        ("ROMANTIC_WITH", "r", "love"),
+    ]:
+        body += round_(rel, var, prefix, carry)
+        carry += [f"{prefix}_{i}" for i in range(len(hs))]
+    q = (
+        f"MATCH (p:Person)\nWHERE p.house IN {h_list}\n"
+        + body
+        + "RETURN p.name as name, p.house as house, "
+        + ", ".join(carry)
+    )
+    got = {r["name"]: r for r in run_cypher(g, q).collect()}
+    assert got, "empty train_fix result"
+
+    fm = {r["name"]: r for r in feature_matrix(g).collect()}
+    cell = {
+        ("friend", i): feature_cell_name("FRIEND_OF", h)
+        for i, h in enumerate(hs)
+    }
+    cell.update(
+        {("enemy", i): feature_cell_name("ENEMY_OF", h) for i, h in enumerate(hs)}
+    )
+    cell.update(
+        {("fam", i): feature_cell_name("SAME_FAMILY", h) for i, h in enumerate(hs)}
+    )
+    cell.update(
+        {("love", i): feature_cell_name("ROMANTIC_WITH", h) for i, h in enumerate(hs)}
+    )
+    checked = 0
+    for name, row in got.items():
+        if name not in fm:  # feature_matrix covers connected persons
+            assert all(
+                row[f"{p}_{i}"] == 0
+                for p in ("friend", "enemy", "fam", "love")
+                for i in range(len(hs))
+            )
+            continue
+        for (prefix, i), fmcol in cell.items():
+            assert row[f"{prefix}_{i}"] == fm[name][fmcol], (
+                name, prefix, i,
+            )
+            checked += 1
+    assert checked > 0
+
+
+def test_parser_rejects_garbage():
+    for bad in ["MATCH (p", "RETURN", "MATCH (p:Person)", "FOO BAR"]:
+        with pytest.raises(SyntaxError):
+            parse(bad)
