@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_house_counts": _cypher_house_counts,
         "cypher_search": _cypher_search,
         "cypher_winder": _cypher_winder,
+        "sales_marginals": rel.sales_marginals,  # GROUPING SETS
     }
 
 
@@ -3310,5 +3311,15 @@ WHERE s.name IN ({_sql_list(list(WINDER_SEEDS))})
   AND p.name NOT IN ({_sql_list(list(WINDER_SEEDS))})
   AND e.type = 'FRIEND_OF'
 GROUP BY p.name, p.house, p.image
+""",
+        # GROUPING SETS 1-D marginals with an explicit grouping bitmask
+        "sales_marginals": """
+SELECT year(o_orderdate) AS o_year, o_orderstatus AS status,
+  CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS level,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus))
+ORDER BY level, o_year, status
 """,
     }

@@ -1812,3 +1812,37 @@ def brand_association_rules(
         .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(k)
     )
+
+
+def sales_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((year), (status)): the two 1-D marginals
+    in ONE pass — the shape neither ROLLUP (prefix lattice) nor CUBE
+    (full lattice) gives, completing the multi-level aggregate family
+    (sales_rollup / sales_cube / this).
+
+    ``level`` re-derives the grouping bitmask explicitly
+    (grouping(year)·2 + grouping(status)) so both engines emit the
+    identical discriminator. One expand + one aggregate; at scale this
+    beats two separate groupBys because the fact scan happens once.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderstatus").alias("status"),
+        _dec(F.col("o_totalprice")).alias("price"),
+    )
+    return (
+        base.groupingSets(
+            [[F.col("o_year")], [F.col("status")]],
+            F.col("o_year"),
+            F.col("status"),
+        )
+        .agg(
+            (F.grouping("o_year") * 2 + F.grouping("status"))
+            .cast("int")
+            .alias("level"),
+            F.sum("price").cast(MONEY_SUM).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("level", "o_year", "status")
+    )

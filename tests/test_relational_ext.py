@@ -363,3 +363,19 @@ def test_brand_association_rules_invariants(spark):
         assert r.lift > 0.0
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_sales_marginals_levels(spark):
+    rows = rel.sales_marginals(spark, SF).collect()
+    # exactly two levels: 1 = by-year (status nulled), 2 = by-status
+    levels = {r.level for r in rows}
+    assert levels == {1, 2}
+    for r in rows:
+        if r.level == 1:
+            assert r.o_year is not None and r.status is None
+        else:
+            assert r.o_year is None and r.status is not None
+    # both marginals sum to the same grand total
+    t1 = sum(r.n_orders for r in rows if r.level == 1)
+    t2 = sum(r.n_orders for r in rows if r.level == 2)
+    assert t1 == t2 > 0
