@@ -13,5 +13,26 @@ layer should call rather than re-implement row-at-a-time.
 """
 
 from neo4j_database_spark.cypher.compiler import run_cypher
+from neo4j_database_spark.cypher.writes import apply_cypher_write
 
-__all__ = ["run_cypher"]
+
+class CypherSession:
+    """neo4j-session-shaped facade: ``run`` dispatches read statements
+    to the compiler (returns a DataFrame) and write statements to the
+    batch-upsert translator (mutates the session's GraphModel, returns
+    None). Lets reference code using ``driver.session()`` port by
+    swapping the session object."""
+
+    def __init__(self, graph):
+        self.graph = graph
+
+    def run(self, query: str, params: dict | None = None):
+        from neo4j_database_spark.cypher import parser as P
+
+        if P.parse(query).is_write:
+            self.graph = apply_cypher_write(self.graph, query, params)
+            return None
+        return run_cypher(self.graph, query, params)
+
+
+__all__ = ["run_cypher", "apply_cypher_write", "CypherSession"]

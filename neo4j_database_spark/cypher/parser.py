@@ -78,8 +78,37 @@ class ReturnClause:
 
 
 @dataclass
+class MergeClause:
+    path: Path
+
+
+@dataclass
+class SetClause:
+    assigns: list  # [(Prop, Expr)]
+
+
+@dataclass
+class DetachDeleteClause:
+    var: str
+
+
+@dataclass
+class CreateConstraintClause:
+    label: str
+    prop: str
+
+
+WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
+                 CreateConstraintClause)
+
+
+@dataclass
 class Query:
     clauses: list
+
+    @property
+    def is_write(self) -> bool:
+        return any(isinstance(c, WRITE_CLAUSES) for c in self.clauses)
 
 
 # Expressions
@@ -154,7 +183,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[()\[\]{},.:=<>|-])
+  | (?P<punct>[()\[\]{},.:=<>|;-])
     """,
     re.VERBOSE,
 )
@@ -164,6 +193,9 @@ KEYWORDS = {
     "LIMIT", "AS", "AND", "OR", "NOT", "IN", "CONTAINS", "CASE",
     "WHEN", "THEN", "ELSE", "END", "ASC", "DESC", "DISTINCT",
     "TRUE", "FALSE", "NULL",
+    # write-side subset (get_insert.py / app.py predict writeback)
+    "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
+    "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON",
 }
 
 
@@ -245,17 +277,77 @@ class Parser:
         clauses = []
         while self.peek() is not None:
             t = self.peek()
+            if t.kind == ";":
+                self.i += 1
+                continue
             if t.kind == "kw" and t.text in ("MATCH", "OPTIONAL"):
                 clauses.append(self.match_clause())
             elif t.kind == "kw" and t.text == "WITH":
                 clauses.append(self.with_clause())
             elif t.kind == "kw" and t.text == "RETURN":
                 clauses.append(self.return_clause())
+            elif t.kind == "kw" and t.text == "MERGE":
+                clauses.append(self.merge_clause())
+            elif t.kind == "kw" and t.text == "SET":
+                clauses.append(self.set_clause())
+            elif t.kind == "kw" and t.text == "DETACH":
+                clauses.append(self.delete_clause())
+            elif t.kind == "kw" and t.text == "CREATE":
+                clauses.append(self.create_constraint())
             else:
                 raise SyntaxError(f"cypher: unexpected {t.text!r}")
-        if not clauses or not isinstance(clauses[-1], ReturnClause):
-            raise SyntaxError("cypher: query must end with RETURN")
-        return Query(clauses)
+        if not clauses:
+            raise SyntaxError("cypher: empty query")
+        q = Query(clauses)
+        if not q.is_write and not isinstance(clauses[-1], ReturnClause):
+            raise SyntaxError("cypher: read query must end with RETURN")
+        return q
+
+    def merge_clause(self) -> MergeClause:
+        self.eat("kw", "MERGE")
+        return MergeClause(self.path())
+
+    def set_clause(self) -> SetClause:
+        self.eat("kw", "SET")
+        assigns = []
+        while True:
+            var = self.eat("name").text
+            self.eat(".", ".")
+            prop = self.eat("name").text
+            self.eat("=", "=")
+            assigns.append((Prop(var, prop), self.expr()))
+            if not self.opt(",", ","):
+                break
+        return SetClause(assigns)
+
+    def delete_clause(self) -> DetachDeleteClause:
+        self.eat("kw", "DETACH")
+        self.eat("kw", "DELETE")
+        return DetachDeleteClause(self.eat("name").text)
+
+    def create_constraint(self) -> CreateConstraintClause:
+        # CREATE CONSTRAINT [name] [IF NOT EXISTS]
+        #   FOR (p:Label) REQUIRE p.prop IS UNIQUE
+        self.eat("kw", "CREATE")
+        self.eat("kw", "CONSTRAINT")
+        if self.at("name"):
+            self.eat("name")
+        if self.opt("kw", "IF"):
+            self.eat("kw", "NOT")
+            self.eat("kw", "EXISTS")
+        self.eat("kw", "FOR")
+        self.eat("(", "(")
+        self.eat("name")
+        self.eat(":", ":")
+        label = self.eat("name").text
+        self.eat(")", ")")
+        self.eat("kw", "REQUIRE")
+        self.eat("name")
+        self.eat(".", ".")
+        prop = self.eat("name").text
+        self.eat("kw", "IS")
+        self.eat("kw", "UNIQUE")
+        return CreateConstraintClause(label, prop)
 
     def match_clause(self) -> MatchClause:
         optional = self.opt("kw", "OPTIONAL")

@@ -1,0 +1,235 @@
+"""Write-side Cypher: translate the reference's MERGE / SET / DELETE /
+CONSTRAINT statements onto the engine's batch upsert machinery.
+
+The reference issues six write shapes (get_insert.py:68-163,
+app.py:100-131):
+
+1. ``MATCH (n) DETACH DELETE n``                   → truncate (S2)
+2. ``CREATE CONSTRAINT ... REQUIRE x IS UNIQUE``   → uniqueness check (S3)
+3. ``MERGE (h:House {name: $name})``               → house upsert (S4)
+4. ``MERGE (p:Person {name: $n}) SET p.a=$a, ...`` → person upsert (S4)
+5. ``MATCH ... MERGE (p)-[:BELONGS_TO]->(h)``      → membership set
+6. ``MATCH ..., ... WHERE ... MERGE (u)-[:T]->(f)``→ edge upsert (S5/S6)
+
+Cypher MERGE is a per-row upsert; the batch equivalent is
+last-writer-wins on the merge key (name) for nodes and append+dedup for
+edges — the same contracts graph/etl.py implements and tests. The MATCH
+prefix of an edge-MERGE statement is compiled by the READ compiler
+(cypher/compiler.py), so arbitrary WHERE predicates (IN-lists etc.)
+work for free; the MERGE step then appends (src, dst, type) rows.
+
+Deviations, both documented engine invariants rather than bugs:
+- node identity is engine-managed: a brand-new merged node gets a
+  deterministic negative id (crc32 of its name), and ``SET p.id = $x``
+  is a no-op (the reference stores the API id as a plain property;
+  here id IS the storage key);
+- canonical symmetric types (FRIEND_OF / SAME_FAMILY) store one row per
+  unordered pair: ``MERGE (u)-[:FRIEND_OF]->(f)`` canonicalizes before
+  the dedup, so merging both directions yields ONE stored edge — reads
+  through the symmetric view are identical to Neo4j's.
+
+Everything returns a NEW GraphModel (immutable frames; caller persists
+via graph.store). At 100 TB each apply is a MERGE INTO-shaped plan:
+one broadcast of the (tiny) write batch against the big table, no
+full-table shuffle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_database_spark.cypher import parser as P
+from neo4j_database_spark.cypher.compiler import Compiler
+from neo4j_database_spark.graph.model import CANONICAL_TYPES, GraphModel
+
+_PROP_MAP = {"isUser": "is_user"}
+
+
+def _new_id(name: str) -> int:
+    """Deterministic engine id for a user-created node: negative so it
+    can never collide with loader-assigned (non-negative) ids."""
+    return -(zlib.crc32(name.encode("utf-8")) % (2**31)) - 1
+
+
+def _scalar(expr, params) -> object:
+    if isinstance(expr, P.Lit):
+        return expr.value
+    if isinstance(expr, P.Param):
+        return params[expr.name]
+    raise ValueError(f"cypher write: expected literal/$param, got {expr!r}")
+
+
+class CypherWriteError(ValueError):
+    pass
+
+
+def apply_cypher_write(
+    g: GraphModel, query: str, params: dict | None = None
+) -> GraphModel:
+    """Apply one write statement; returns the updated GraphModel."""
+    params = params or {}
+    q = P.parse(query)
+    if not q.is_write:
+        raise CypherWriteError("not a write statement; use run_cypher")
+    clauses = q.clauses
+
+    # 1. truncate
+    if any(isinstance(c, P.DetachDeleteClause) for c in clauses):
+        spark = g.persons.sparkSession
+        return GraphModel(
+            persons=g.persons.limit(0),
+            houses=g.houses.limit(0),
+            edges=g.edges.limit(0),
+        )
+
+    # 2. uniqueness constraint → immediate assertion on the target set
+    if isinstance(clauses[0], P.CreateConstraintClause):
+        c = clauses[0]
+        frame = g.houses if c.label == "House" else g.persons
+        col = _PROP_MAP.get(c.prop, c.prop)
+        total, distinct = frame.select(
+            F.count(F.lit(1)), F.countDistinct(col)
+        ).first()
+        if total != distinct:
+            raise CypherWriteError(
+                f"uniqueness violated for {c.label}.{c.prop}: "
+                f"{total} rows, {distinct} distinct"
+            )
+        return g
+
+    matches = [c for c in clauses if isinstance(c, P.MatchClause)]
+    merges = [c for c in clauses if isinstance(c, P.MergeClause)]
+    sets = [c for c in clauses if isinstance(c, P.SetClause)]
+    if not merges:
+        raise CypherWriteError(f"unsupported write statement: {query!r}")
+
+    # 3/4. node MERGE (single-node path, no MATCH prefix)
+    if not matches and len(merges) == 1 and not merges[0].path.rels:
+        return _merge_node(g, merges[0].path.nodes[0], sets, params)
+
+    # 5/6. MATCH ... MERGE edges
+    return _merge_edges(g, matches, merges, params)
+
+
+def _merge_node(
+    g: GraphModel, node: P.NodePat, sets: list[P.SetClause], params
+) -> GraphModel:
+    if "name" not in node.props:
+        raise CypherWriteError("node MERGE requires a {name: ...} key")
+    name = _scalar(node.props["name"], params)
+    if node.label == "House":
+        spark = g.houses.sparkSession
+        cols = g.houses.columns
+        row = {c: None for c in cols}
+        row["name"] = name
+        if "id" in cols:
+            row["id"] = _new_id(name)
+        new = spark.createDataFrame(
+            [tuple(row[c] for c in cols)], g.houses.schema
+        )
+        # create-iff-absent: anti-join keeps the existing row (and its
+        # id) when the name is already present
+        houses = g.houses.unionByName(
+            new.join(g.houses, "name", "left_anti")
+        )
+        return GraphModel(persons=g.persons, houses=houses, edges=g.edges)
+
+    # Person upsert: SET only the listed props; create-if-absent with a
+    # deterministic engine id. `SET p.id = ...` is identity-managed (see
+    # module docstring) and therefore skipped.
+    assigns: dict[str, object] = {}
+    for sc in sets:
+        for prop, expr in sc.assigns:
+            field = _PROP_MAP.get(prop.name, prop.name)
+            if field == "id":
+                continue
+            assigns[field] = _scalar(expr, params)
+
+    persons = g.persons
+    cols = persons.columns
+    name_col = F.col("name")
+    updated = persons
+    for field, value in assigns.items():
+        if field not in cols:
+            updated = updated.withColumn(field, F.lit(None))
+            cols = updated.columns
+        updated = updated.withColumn(
+            field,
+            F.when(name_col == name, F.lit(value)).otherwise(F.col(field)),
+        )
+
+    exists = persons.filter(name_col == name).limit(1).count() > 0
+    if not exists:
+        row = {c: None for c in cols}
+        row["id"] = _new_id(name)
+        row["name"] = name
+        row.update(assigns)
+        spark = persons.sparkSession
+        new_row = spark.createDataFrame(
+            [tuple(row[c] for c in cols)], updated.schema
+        )
+        updated = updated.unionByName(new_row)
+    return GraphModel(persons=updated, houses=g.houses, edges=g.edges)
+
+
+def _merge_edges(
+    g: GraphModel, matches, merges, params
+) -> GraphModel:
+    comp = Compiler(g, params)
+    df: DataFrame | None = None
+    env: dict = {}
+    for m in matches:
+        df, env = comp._match(df, env, m)
+    if df is None:
+        raise CypherWriteError("edge MERGE needs a MATCH prefix")
+
+    persons, edges = g.persons, g.edges
+    for mc in merges:
+        path = mc.path
+        if len(path.nodes) != 2 or len(path.rels) != 1:
+            raise CypherWriteError("edge MERGE must be (a)-[:T]->(b)")
+        a, b = path.nodes[0].var, path.nodes[1].var
+        rel = path.rels[0]
+        rtype = rel.rtype
+        if rtype is None or isinstance(rtype, tuple):
+            raise CypherWriteError("edge MERGE needs exactly one type")
+        if a not in env or b not in env:
+            raise CypherWriteError(f"edge MERGE vars {a},{b} must be bound")
+        if rel.direction == "in":
+            a, b = b, a
+
+        if rtype == "BELONGS_TO":
+            # membership is the normalized house property (model.py:26)
+            pairs = df.select(
+                F.col(f"{a}.id").alias("pid"),
+                F.col(f"{b}.name").alias("new_house"),
+            ).dropDuplicates(["pid"])
+            persons = (
+                persons.join(
+                    F.broadcast(pairs),
+                    persons.id.cast("string") == pairs.pid,
+                    "left",
+                )
+                .withColumn(
+                    "house", F.coalesce(F.col("new_house"), F.col("house"))
+                )
+                .drop("pid", "new_house")
+            )
+            continue
+
+        new = df.select(
+            F.col(f"{a}.id").cast("long").alias("src"),
+            F.col(f"{b}.id").cast("long").alias("dst"),
+            F.lit(rtype).alias("type"),
+        )
+        if rtype in CANONICAL_TYPES:
+            # one stored row per unordered pair (module docstring)
+            new = new.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "type",
+            )
+        edges = edges.unionByName(new).dropDuplicates(["src", "dst", "type"])
+    return GraphModel(persons=persons, houses=g.houses, edges=edges)

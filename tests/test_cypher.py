@@ -332,3 +332,158 @@ def test_parser_rejects_garbage():
     for bad in ["MATCH (p", "RETURN", "MATCH (p:Person)", "FOO BAR"]:
         with pytest.raises(SyntaxError):
             parse(bad)
+
+
+# ---------------------------------------------------------------------------
+# write-side: the reference's MERGE statements through the batch machinery
+# ---------------------------------------------------------------------------
+
+
+def test_write_truncate(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    s.run("MATCH (n) DETACH DELETE n")  # get_insert.py:68
+    assert s.graph.persons.count() == 0
+    assert s.graph.edges.count() == 0
+
+
+def test_write_constraint_passes_and_fails(g, spark):
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+    from neo4j_database_spark.graph.model import GraphModel
+
+    s = CypherSession(g)
+    # get_insert.py:71 verbatim (names are unique in the store)
+    s.run(
+        "CREATE CONSTRAINT person_name IF NOT EXISTS "
+        "FOR (p:Person) REQUIRE p.name IS UNIQUE;"
+    )
+    dup = g.persons.unionByName(g.persons.limit(1))
+    bad = CypherSession(GraphModel(persons=dup, houses=g.houses, edges=g.edges))
+    with pytest.raises(CypherWriteError):
+        bad.run(
+            "CREATE CONSTRAINT person_name IF NOT EXISTS "
+            "FOR (p:Person) REQUIRE p.name IS UNIQUE;"
+        )
+
+
+def test_write_house_merge_idempotent(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    n0 = s.graph.houses.count()
+    s.run("MERGE (h:House {name: $name})", {"name": "NEW_HOUSE"})
+    assert s.graph.houses.count() == n0 + 1
+    s.run("MERGE (h:House {name: $name})", {"name": "NEW_HOUSE"})
+    assert s.graph.houses.count() == n0 + 1  # merge, not create
+
+
+def test_write_person_merge_and_set(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    # get_insert.py:87-103 shape
+    q = """
+        MERGE (p:Person {name: $name})
+        SET p.house = $house,
+            p.species = $species,
+            p.gender = $gender,
+            p.alive = $alive,
+            p.image = $image,
+            p.id = $id
+    """
+    params = {
+        "name": "Newt N", "house": "NATION_3", "species": "human",
+        "gender": "male", "alive": True, "image": "", "id": "api-1",
+    }
+    s.run(q, params)
+    row = s.graph.persons.filter(F.col("name") == "Newt N").first()
+    assert row is not None and row.house == "NATION_3" and row.id < 0
+    # re-merge with a new house: update-in-place, not duplicate
+    s.run(q, {**params, "house": "NATION_7"})
+    rows = s.graph.persons.filter(F.col("name") == "Newt N").collect()
+    assert len(rows) == 1 and rows[0].house == "NATION_7"
+    assert rows[0].id == row.id  # identity stable across re-merge
+
+
+def test_write_user_writeback_verbatim(g):
+    """app.py:103-131: user node + FRIEND_OF/ENEMY_OF edge merges,
+    then the new user is immediately visible to read queries."""
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    friends = ["Customer#000000010", "Customer#000000011"]
+    enemies = ["Customer#000000012"]
+    s.run(
+        """
+        MERGE (u:Person {name: $name})
+        SET u.house = $house, u.isUser = true
+        """,
+        {"name": "The User", "house": "NATION_3"},
+    )
+    s.run(
+        """
+        MATCH (u:Person {name: $name}), (f:Person)
+        WHERE f.name IN $friends
+        MERGE (u)-[:FRIEND_OF]->(f)
+        """,
+        {"name": "The User", "friends": friends},
+    )
+    s.run(
+        """
+        MATCH (u:Person {name: $name}), (e:Person)
+        WHERE e.name IN $enemies
+        MERGE (u)-[:ENEMY_OF]->(e)
+        """,
+        {"name": "The User", "enemies": enemies},
+    )
+    u = s.graph.persons.filter(F.col("name") == "The User").first()
+    assert u.is_user is True and u.house == "NATION_3"
+    # read-side ego over the merged graph sees exactly the new edges
+    rows = run_cypher(
+        s.graph,
+        "MATCH (p:Person {name: $name})-[r]-(m) RETURN r, m",
+        {"name": "The User"},
+    ).collect()
+    got = {(r.m.name, r.r["type"]) for r in rows if r.m.label == "Person"}
+    want = {(n, "FRIEND_OF") for n in friends} | {
+        (n, "ENEMY_OF") for n in enemies
+    }
+    assert got == want
+    # idempotence: re-running the merges adds nothing
+    n_edges = s.graph.edges.count()
+    s.run(
+        """
+        MATCH (u:Person {name: $name}), (f:Person)
+        WHERE f.name IN $friends
+        MERGE (u)-[:FRIEND_OF]->(f)
+        """,
+        {"name": "The User", "friends": friends},
+    )
+    assert s.graph.edges.count() == n_edges
+
+
+def test_write_belongs_to_sets_house(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    name = "Customer#000000042"
+    s.run("MERGE (h:House {name: $name})", {"name": "X_HOUSE"})
+    # get_insert.py:107-110 shape
+    s.run(
+        """
+        MATCH (p:Person {name: $name})
+        MATCH (h:House {name: $house})
+        MERGE (p)-[:BELONGS_TO]->(h)
+        """,
+        {"name": name, "house": "X_HOUSE"},
+    )
+    assert (
+        s.graph.persons.filter(F.col("name") == name).first().house
+        == "X_HOUSE"
+    )
+    # everyone else untouched
+    assert (
+        s.graph.persons.filter(F.col("house") == "X_HOUSE").count() == 1
+    )
