@@ -124,10 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub_pii": curation.scrub_pii,
         "doc_mixture_sample": curation.mixture_sample,
         "doc_bm25": curation.bm25_scores,
-        "emb_pq_codes": similarity.pq_codes,
+        # -- Cypher front end (round-4: reference statements compiled) --
+        "cypher_winder": _cypher_winder,
+        "cypher_house_counts": _cypher_house_counts,
         # -- behavioral analytics over the event log --
         "events_funnel": rel.events_funnel,
-        "doc_bigram_lift": text.bigram_collocations,
+        "brand_association_rules": rel.brand_association_rules,  # itemsets
         # -- training-data pipeline: text + dedup (SURVEY.md §2.9) --
         "doc_lang_id": text.lang_id,
         "doc_exact_dedup": dedup.exact_dedup,
@@ -137,12 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": similarity.semantic_dedup,  # SemDedup
         "doc_winnow_fingerprints": text.winnow_fingerprints,
         "doc_pack_sequences": text.pack_sequences,
-        "doc_dedup_clusters": dedup.dedup_clusters,
+        # -- correlated-subquery decorrelation (round-4, Q17 shape) --
+        "small_qty_part_revenue": rel.small_qty_part_revenue,
         # -- similarity search over embeddings --
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_ivf_knn": similarity.ivf_knn,
         "emb_pq_adc_knn": similarity.pq_adc_knn,  # ADC scan
-        "emb_centroids": similarity.centroids_by_label,
         # -- streaming (batch-replayed) + multimodal + clustering --
         "stream_hourly_rollup": _stream_hourly,
         "stream_click_attribution": _stream_attribution,
@@ -161,9 +163,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": rel.nation_revenue,
         "top_customers_by_spend": rel.top_customers_by_spend,
         # ------------- driver check window ends at entry 50 -------------
-        # Demoted from the window this round (each family keeps an
-        # in-window representative; all were driver-green in an earlier
-        # round with their code unchanged, or rows-only):
+        # Demoted from the window (each family keeps an in-window
+        # representative; all were driver-green in an earlier round with
+        # their code unchanged, or rows-only). Round-4 rotation: the new
+        # capability families (Cypher front end, itemset mining,
+        # correlated-subquery decorrelation) took the slots of
+        # doc_dedup_clusters (composition of in-window exact+LSH),
+        # emb_pq_codes (PQ family keeps the stronger ADC scan),
+        # emb_centroids and doc_bigram_lift (lift/association family now
+        # checked by brand_association_rules):
+        "doc_dedup_clusters": dedup.dedup_clusters,
+        "emb_pq_codes": similarity.pq_codes,
+        "emb_centroids": similarity.centroids_by_label,
+        "doc_bigram_lift": text.bigram_collocations,
         "g_housemates": on_graph(lambda g: gq.housemates(g, EGO_NAME)),
         "g_house_subgraph": on_graph(
             lambda g: gq.house_subgraph(g, SUBGRAPH_HOUSES)
@@ -270,8 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # every pair is adjacent and betweenness is identically zero
             lambda g: galg.betweenness_landmarks(g, types=None)
         ),  # rows-only (float path-ratio dependencies)
-        # -- round-2 late additions: classic decorrelation shapes --
-        "small_qty_part_revenue": rel.small_qty_part_revenue,  # Q17
+        # -- round-4 additions: classic decorrelation shapes (Q17 is
+        #    in-window; these share its oracle pattern) --
         "big_volume_customers": rel.big_volume_customers,  # Q18
         "disjunctive_part_revenue": rel.disjunctive_part_revenue,  # Q19
         "idle_rich_customers": rel.idle_rich_customers,  # Q22
@@ -283,12 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_jaccard_similarity": on_graph(
             lambda g: galg.jaccard_similarity(g)
         ),
-        "brand_association_rules": rel.brand_association_rules,
-        # -- Cypher front end: reference query strings compiled to
-        #    DataFrame plans (cypher/compiler.py) --
-        "cypher_house_counts": _cypher_house_counts,
         "cypher_search": _cypher_search,
-        "cypher_winder": _cypher_winder,
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
     }
 
