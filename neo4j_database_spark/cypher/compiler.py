@@ -123,8 +123,63 @@ class Compiler:
 
         Vars already in `env` keep their names so the caller can join
         on them; their per-source filters (labels, prop maps) are
-        re-applied harmlessly.
+        re-applied harmlessly. Variable-length relationships
+        (``-[:T*m..n]-``) expand to a UNION over the concrete chain
+        lengths — one row per distinct trail, Cypher's multiplicity —
+        with the intermediate nodes anonymous and projected away. The
+        bound is mandatory (parser enforces it): an unbounded expansion
+        has no sane distributed plan, while a k-bounded one is k-1
+        self-joins Catalyst handles like any other.
         """
+        variants = self._expand_variable_length(path)
+        if len(variants) == 1:
+            return self._compile_concrete(variants[0], env)
+        outs = []
+        named_env: dict[str, Binding] = {}
+        for p in variants:
+            df, local = self._compile_concrete(p, env)
+            named = [v for v in local if not v.startswith("__anon")]
+            outs.append(df.select(*named))
+            named_env = {v: local[v] for v in named}
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out, named_env
+
+    def _expand_variable_length(self, path: P.Path) -> list[P.Path]:
+        from itertools import product as iproduct
+
+        ranges = []
+        for rel in path.rels:
+            if (rel.min_hops, rel.max_hops) == (1, 1):
+                ranges.append([1])
+            else:
+                if rel.var is not None:
+                    raise ValueError(
+                        "cypher: binding a variable-length relationship "
+                        "to a list is not supported"
+                    )
+                ranges.append(
+                    list(range(rel.min_hops, rel.max_hops + 1))
+                )
+        if all(r == [1] for r in ranges):
+            return [path]
+        variants = []
+        for lengths in iproduct(*ranges):
+            nodes = [path.nodes[0]]
+            rels = []
+            for rel, node, ln in zip(path.rels, path.nodes[1:], lengths):
+                for k in range(ln - 1):
+                    rels.append(
+                        P.RelPat(None, rel.rtype, rel.direction)
+                    )
+                    nodes.append(P.NodePat(None, None, {}))
+                rels.append(P.RelPat(None, rel.rtype, rel.direction))
+                nodes.append(node)
+            variants.append(P.Path(nodes, rels))
+        return variants
+
+    def _compile_concrete(self, path: P.Path, env: dict[str, Binding]):
         local: dict[str, Binding] = {}
         n0 = path.nodes[0]
         df = self._node_source(n0, env)
@@ -167,7 +222,8 @@ class Compiler:
 
     def _nvar(self, n: P.NodePat) -> str:
         if n.var is None:
-            n.var = f"__anon{id(n) % 100000}"
+            self._anon_counter = getattr(self, "_anon_counter", 0) + 1
+            n.var = f"__anon{self._anon_counter}"
         return n.var
 
     def _node_source(self, n: P.NodePat, env) -> DataFrame:

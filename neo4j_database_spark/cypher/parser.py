@@ -33,8 +33,10 @@ class NodePat:
 @dataclass
 class RelPat:
     var: str | None
-    rtype: str | None
+    rtype: str | None  # str | tuple[str, ...] | None
     direction: str  # 'out' | 'in' | 'any'
+    min_hops: int = 1  # variable-length `*m..n`; fixed hop = (1, 1)
+    max_hops: int = 1
 
 
 @dataclass
@@ -183,7 +185,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[()\[\]{},.:=<>|;-])
+  | (?P<punct>[()\[\]{},.:=<>|;*-])
     """,
     re.VERBOSE,
 )
@@ -401,6 +403,7 @@ class Parser:
             self.eat("-", "-")
         var = None
         rtype = None
+        min_hops = max_hops = 1
         if self.opt("[", "["):
             if self.at("name"):
                 var = self.eat("name").text
@@ -410,6 +413,35 @@ class Parser:
                     self.opt(":", ":")  # Cypher allows both :A|B and :A|:B
                     types.append(self.eat("name").text)
                 rtype = types[0] if len(types) == 1 else tuple(types)
+            if self.opt("*", "*"):
+                # `*`, `*n`, `*m..n`, `*..n` (unbounded forms get the
+                # engine's documented cap via max_hops=0 sentinel? no —
+                # bare `*`/`*m..` raise: a distributed engine needs an
+                # explicit bound)
+                lo = hi = None
+                if self.at("num"):
+                    lo = int(self.eat("num").text)
+                if self.at(".", "."):
+                    self.eat(".", ".")
+                    self.eat(".", ".")
+                    if self.at("num"):
+                        hi = int(self.eat("num").text)
+                    else:
+                        raise SyntaxError(
+                            "cypher: unbounded variable-length paths are "
+                            "not supported — give an upper bound (*1..k)"
+                        )
+                    min_hops = lo if lo is not None else 1
+                    max_hops = hi
+                elif lo is not None:
+                    min_hops = max_hops = lo
+                else:
+                    raise SyntaxError(
+                        "cypher: unbounded variable-length paths are "
+                        "not supported — give an upper bound (*1..k)"
+                    )
+                if min_hops < 1 or max_hops < min_hops:
+                    raise SyntaxError("cypher: bad hop range *m..n")
             self.eat("]", "]")
         if self.opt("->"):
             if direction == "in":
@@ -417,7 +449,7 @@ class Parser:
             direction = "out"
         else:
             self.eat("-", "-")
-        return RelPat(var, rtype, direction)
+        return RelPat(var, rtype, direction, min_hops, max_hops)
 
     def items(self) -> list[Item]:
         out = [self.item()]

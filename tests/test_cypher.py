@@ -487,3 +487,43 @@ def test_write_belongs_to_sets_house(g):
     assert (
         s.graph.persons.filter(F.col("house") == "X_HOUSE").count() == 1
     )
+
+
+def test_variable_length_paths_trail_semantics(g):
+    """`-[:T*m..n]-` returns one row per distinct TRAIL (no repeated
+    relationship), Cypher's multiplicity."""
+    name = "Customer#000000042"
+    # clique: every 2-hop trail from p to m≠p passes through one of the
+    # other clique members → count = clique_size - 2; p itself is
+    # unreachable in 2 hops (the return hop would reuse the edge)
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:FRIEND_OF*2]-(m:Person)
+        RETURN m.name as name, count(m) as n
+        """,
+        {"name": name},
+    ).collect()
+    mates = {r.mate for r in gq.housemates(g, name).collect()}
+    assert {r.name for r in rows} == mates
+    assert all(r.n == len(mates) - 1 for r in rows)
+    assert name not in {r.name for r in rows}
+    # union of lengths: *1..2 = 1-hop rows + 2-hop rows
+    rows12 = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:FRIEND_OF*1..2]-(m:Person)
+        RETURN m.name as name, count(m) as n
+        """,
+        {"name": name},
+    ).collect()
+    assert {r.name: r.n for r in rows12} == {
+        m: len(mates) - 1 + 1 for m in mates
+    }
+
+
+def test_variable_length_requires_bound():
+    with pytest.raises(SyntaxError):
+        parse("MATCH (a)-[:X*]-(b) RETURN a")
+    with pytest.raises(SyntaxError):
+        parse("MATCH (a)-[:X*1..]-(b) RETURN a")
