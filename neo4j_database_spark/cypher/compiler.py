@@ -469,6 +469,10 @@ class Compiler:
             if e.name == "id":
                 v = e.args[0]
                 return F.col(f"{v.name}.id")
+            if e.name == "isnull":
+                return self._expr_or_var(e.args[0], env).isNull()
+            if e.name == "isnotnull":
+                return self._expr_or_var(e.args[0], env).isNotNull()
             if e.name in P.AGG_FUNCS:
                 raise ValueError(
                     f"cypher: aggregate {e.name}() only valid in WITH/RETURN"

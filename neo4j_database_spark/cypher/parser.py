@@ -524,6 +524,12 @@ class Parser:
         if t.kind == "kw" and t.text in ("IN", "CONTAINS"):
             self.i += 1
             return BinOp(t.text, left, self.primary())
+        if t.kind == "kw" and t.text == "IS":
+            self.i += 1
+            negated = self.opt("kw", "NOT")
+            self.eat("kw", "NULL")
+            f = Func("isnotnull" if negated else "isnull", [left])
+            return f
         return left
 
     def case_expr(self):
@@ -580,8 +586,9 @@ class Parser:
                 self.eat("(")
                 distinct = self.opt("kw", "DISTINCT")
                 args = []
-                if self.at("name") and self.peek().text == "*":
-                    pass  # count(*) not used; '*' tokenizes as nothing here
+                if self.opt("*", "*"):  # count(*)
+                    self.eat(")", ")")
+                    return Func(name.lower(), [], distinct)
                 if not self.at(")"):
                     args.append(self.expr())
                     while self.opt(",", ","):

@@ -527,3 +527,49 @@ def test_variable_length_requires_bound():
         parse("MATCH (a)-[:X*]-(b) RETURN a")
     with pytest.raises(SyntaxError):
         parse("MATCH (a)-[:X*1..]-(b) RETURN a")
+
+
+def test_count_star_and_is_null(g):
+    n = run_cypher(g, "MATCH (p:Person) RETURN count(*) as n").first()["n"]
+    assert n == g.persons.count()
+    # OPTIONAL MATCH null checks: houses with no members in the filter
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person)
+        WHERE p.house IS NOT NULL AND p.name IN $names
+        RETURN count(*) as n
+        """,
+        {"names": [f"Customer#{i:09d}" for i in range(5)]},
+    ).collect()
+    assert rows[0]["n"] == 5
+    rows = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.house IS NULL RETURN count(*) as n",
+    ).collect()
+    assert rows[0]["n"] == 0  # fixture persons all carry a house
+
+
+def test_compiled_plans_stay_jvm_side(g):
+    """Compiled statements must be pure Catalyst plans: no Python UDF
+    stages and no cartesian products anywhere in the winder/ego plans."""
+    friends = [f"Customer#{i:09d}" for i in range(3)]
+    for q, params in [
+        (
+            """
+            MATCH (f:Person) WHERE f.name IN $friends
+            MATCH (f)-[:FRIEND_OF]-(candidate:Person)
+            WHERE NOT candidate.name IN $friends
+            WITH candidate, count(f) as common_friends
+            RETURN candidate.name as name, common_friends
+            """,
+            {"friends": friends},
+        ),
+        (
+            "MATCH (p:Person {name: $name})-[r]-(m) RETURN p, r, m",
+            {"name": "Customer#000000042"},
+        ),
+    ]:
+        plan = run_cypher(g, q, params)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
