@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cypher_search": _cypher_search,
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
+        "events_audience_overlap": rel.events_audience_overlap,
     }
 
 
@@ -3328,5 +3329,45 @@ SELECT year(o_orderdate) AS o_year, o_orderstatus AS status,
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus))
 ORDER BY level, o_year, status
+""",
+        # Audience overlap via per-user flag vectors (one fact pass)
+        "events_audience_overlap": """
+WITH flags AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f_click,
+    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS f_error,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f_purchase,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f_signup,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view
+  FROM events GROUP BY user_id
+),
+pairs(type_a, type_b) AS (
+  VALUES ('click','error'), ('click','purchase'), ('click','signup'),
+         ('click','view'), ('error','purchase'), ('error','signup'),
+         ('error','view'), ('purchase','signup'), ('purchase','view'),
+         ('signup','view')
+),
+tall AS (
+  SELECT user_id, 'click' AS t, f_click AS f FROM flags
+  UNION ALL SELECT user_id, 'error', f_error FROM flags
+  UNION ALL SELECT user_id, 'purchase', f_purchase FROM flags
+  UNION ALL SELECT user_id, 'signup', f_signup FROM flags
+  UNION ALL SELECT user_id, 'view', f_view FROM flags
+),
+joined AS (
+  SELECT p.type_a, p.type_b,
+    SUM(a.f * b.f) AS n_both, SUM(a.f) AS n_a, SUM(b.f) AS n_b
+  FROM pairs p
+  JOIN tall a ON a.t = p.type_a
+  JOIN tall b ON b.t = p.type_b AND b.user_id = a.user_id
+  GROUP BY p.type_a, p.type_b
+)
+SELECT type_a, type_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) AS jaccard
+FROM joined
+ORDER BY type_a, type_b
 """,
     }

@@ -1846,3 +1846,65 @@ def sales_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "o_year", "status")
     )
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: for every event-type pair, how many distinct
+    users did BOTH — plus each side's audience and the Jaccard overlap.
+
+    The naive formulation is a distinct-count per pair via a self-join
+    (|types|² passes over the fact). This does ONE pass: collapse to a
+    per-user boolean flag vector (the only fact-sized shuffle, on
+    user_id with map-side partial aggregation), then cross the 5 flags
+    inside a single tiny aggregate — conditional sums over flag
+    conjunctions. Works unchanged at 100 TB because the flag frame is
+    |users|-sized and every later step is constant-size. Exact integers
+    throughout; Jaccard is one correctly-rounded double division.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    flags = (
+        ev.groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == t, F.lit(1)).otherwise(0)
+                ).alias(f"f_{t}")
+                for t in types
+            ]
+        )
+    )
+    aggs = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            aggs.append(
+                F.sum(
+                    F.col(f"f_{a}") * F.col(f"f_{b}")
+                ).alias(f"both__{a}__{b}")
+            )
+    for t in types:
+        aggs.append(F.sum(F.col(f"f_{t}")).alias(f"only__{t}"))
+    wide = flags.agg(*aggs)
+
+    # unpivot the constant-width row into (type_a, type_b, …) rows with
+    # a stack() expression — still JVM-side, no Python in the row path
+    pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', both__{a}__{b}, only__{a}, only__{b}"
+        for a, b in pairs
+    )
+    long = wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as "
+        "(type_a, type_b, n_both, n_a, n_b)"
+    )
+    return long.select(
+        "type_a",
+        "type_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("n_both")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+        ).alias("jaccard"),
+    ).orderBy("type_a", "type_b")

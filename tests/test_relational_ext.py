@@ -379,3 +379,12 @@ def test_sales_marginals_levels(spark):
     t1 = sum(r.n_orders for r in rows if r.level == 1)
     t2 = sum(r.n_orders for r in rows if r.level == 2)
     assert t1 == t2 > 0
+
+
+def test_events_audience_overlap_invariants(spark):
+    rows = rel.events_audience_overlap(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= 1.0
