@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_search": _cypher_search,
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
         "events_audience_overlap": rel.events_audience_overlap,
+        "user_error_window_overlap": rel.user_error_window_overlap,
     }
 
 
@@ -3369,5 +3370,26 @@ SELECT type_a, type_b,
   CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) AS jaccard
 FROM joined
 ORDER BY type_a, type_b
+""",
+        # Interval×interval overlap join (half-open), exactly-once
+        "user_error_window_overlap": """
+WITH ev AS (
+  SELECT user_id, epoch(ts)::BIGINT AS sec, event_type FROM events
+),
+sess AS (
+  SELECT user_id, sec // 86400 AS day,
+    MIN(sec) AS a_start, MAX(sec) + 1 AS a_end
+  FROM ev GROUP BY user_id, sec // 86400
+),
+err AS (
+  SELECT sec // 86400 AS eday,
+    MIN(sec) AS b_start, MAX(sec) + 1 AS b_end
+  FROM ev WHERE event_type = 'error' GROUP BY sec // 86400
+)
+SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_error_windows
+FROM sess s JOIN err e
+  ON s.a_start < e.b_end AND e.b_start < s.a_end
+GROUP BY s.user_id
+ORDER BY s.user_id
 """,
     }

@@ -76,3 +76,58 @@ def point_in_interval_join(
         )
         return pts.join(ivls, on=_BUCKET, how="inner").filter(contains).drop(_BUCKET)
     return points.join(intervals, on=contains, how=how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    equi_keys: list[str] | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join: one output row per (left,
+    right) pair of half-open intervals with ``a_start < b_end AND
+    b_start < a_end``.
+
+    Same two scale paths as ``point_in_interval_join``: an equi-key
+    hash join with the overlap predicate as residual, or epoch
+    bucketing when no key exists. Bucketing both sides would find an
+    overlapping pair once per SHARED bucket, so the bucketed path
+    applies the standard ownership rule — a pair is kept only in the
+    bucket containing ``greatest(a_start, b_start)``, the first instant
+    both intervals cover, which both sides' explosions are guaranteed
+    to include — making the result exactly-once with no distinct-cost.
+    Bound columns must be numeric (epoch) and uniquely named across the
+    two frames; cast timestamps to epoch seconds first.
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    overlap = (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
+    if equi_keys:
+        return left.join(right, on=equi_keys, how="inner").filter(overlap)
+    if bucket_width:
+        w = int(bucket_width)
+
+        def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+            return df.withColumn(
+                _BUCKET,
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(s) / w).cast("long"),
+                        F.floor((F.col(e) - 1) / w).cast("long"),
+                    )
+                ),
+            )
+
+        owner = F.floor(
+            F.greatest(F.col(ls), F.col(rs)) / w
+        ).cast("long")
+        return (
+            burst(left, ls, le)
+            .join(burst(right, rs, re_), on=_BUCKET, how="inner")
+            .filter(overlap)
+            .filter(F.col(_BUCKET) == owner)
+            .drop(_BUCKET)
+        )
+    return left.join(right, on=overlap, how="inner")

@@ -1908,3 +1908,53 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
         ).alias("jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+def user_error_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap analytics: per user, how many global
+    error windows their daily activity intervals overlapped.
+
+    Left intervals: per (user, day) activity span [first_event,
+    last_event+1). Right intervals: per day, the global error burst
+    span. No shared equi key (a user's span may straddle a window on
+    another axis), so the bucketed exactly-once overlap join
+    (operators/interval.py::interval_overlap_join) does the work; the
+    ownership rule keeps the plan shuffle-bounded at any scale. All
+    counting exact integers.
+    """
+    from neo4j_database_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    sess = ev.groupBy(
+        "user_id", F.floor(F.col("sec") / 86400).alias("day")
+    ).agg(
+        F.min("sec").alias("a_start"),
+        (F.max("sec") + 1).alias("a_end"),
+    )
+    err = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.unix_timestamp("ts").alias("sec"))
+        .groupBy(F.floor(F.col("sec") / 86400).alias("eday"))
+        .agg(
+            F.min("sec").alias("b_start"),
+            (F.max("sec") + 1).alias("b_end"),
+        )
+    )
+    overlaps = interval_overlap_join(
+        sess.select("user_id", "a_start", "a_end"),
+        err.select("b_start", "b_end"),
+        ("a_start", "a_end"),
+        ("b_start", "b_end"),
+        bucket_width=3600,
+    )
+    return (
+        overlaps.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_error_windows"))
+        .orderBy("user_id")
+    )

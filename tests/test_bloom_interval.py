@@ -149,3 +149,60 @@ def test_equi_key_path_matches_bruteforce(spark):
         .select("pt_id", "ivl_id").orderBy("pt_id", "ivl_id").collect()
     )
     assert got == want
+
+
+def test_interval_overlap_join_bucketed_equals_bruteforce(spark):
+    """Bucketed exactly-once path ≡ the plain non-equi join across
+    bucket widths, including intervals spanning many buckets."""
+    from neo4j_database_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 95, 205), (4, 300, 301)],
+        "lid long, a_start long, a_end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 9, 12), (11, 0, 400), (12, 200, 210), (13, 6, 9)],
+        "rid long, b_start long, b_end long",
+    )
+    want = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ("a_start", "a_end"), ("b_start", "b_end")
+        ).collect()
+    }
+    # half-open sanity: [5,6) does not touch [6,9)
+    assert (2, 13) not in want
+    assert (1, 13) in want
+    for w in (1, 7, 100, 1000):
+        got = [
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left,
+                right,
+                ("a_start", "a_end"),
+                ("b_start", "b_end"),
+                bucket_width=w,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates at width {w}"
+        assert set(got) == want, f"mismatch at width {w}"
+
+
+def test_interval_overlap_join_equi_key_path(spark):
+    from neo4j_database_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", 0, 10), ("u2", 0, 10)], "k string, a_start long, a_end long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 20), ("u2", 50, 60)], "k string, b_start long, b_end long"
+    )
+    rows = interval_overlap_join(
+        left, right, ("a_start", "a_end"), ("b_start", "b_end"),
+        equi_keys=["k"],
+    ).collect()
+    assert [(r.k,) for r in rows] == [("u1",)]
