@@ -330,6 +330,47 @@ class Compiler:
                 df = self._return(df, env, cl)
         return df
 
+    def _split_pattern_preds(self, expr):
+        """AND-decompose a WHERE tree into (plain predicates, pattern
+        predicates). Pattern predicates are only supported as top-level
+        conjuncts (the standard decomposable position)."""
+        plain: list = []
+        pats: list[tuple[P.Path, bool]] = []  # (path, negated)
+
+        def walk(e):
+            if isinstance(e, P.BinOp) and e.op == "AND":
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, P.PatternPred):
+                pats.append((e.path, False))
+            elif isinstance(e, P.Not) and isinstance(e.expr, P.PatternPred):
+                pats.append((e.expr.path, True))
+            else:
+                plain.append(e)
+
+        walk(expr)
+        return plain, pats
+
+    def _apply_pattern_pred(self, df, env, path: P.Path, negated: bool):
+        """`WHERE [NOT] (a)-[:T]-(b)` ⇒ semi/anti join on the bound
+        endpoints — the existential never multiplies rows."""
+        sub, local = self.compile_path(path, env)
+        shared = [v for v in local if v in env and local[v].kind == "node"]
+        if not shared:
+            raise ValueError(
+                "cypher: pattern predicate must reference bound variables"
+            )
+        keys = sub.select(
+            *[F.col(f"{v}.id").alias(f"__k_{v}") for v in shared]
+        ).distinct()
+        cond = None
+        for v in shared:
+            c = F.col(f"{v}.id") == F.col(f"__k_{v}")
+            cond = c if cond is None else (cond & c)
+        return df.join(
+            keys, cond, "left_anti" if negated else "left_semi"
+        )
+
     def _match(self, df, env, cl: P.MatchClause):
         for path in cl.paths:
             sub, local = self.compile_path(path, env)
@@ -354,7 +395,11 @@ class Compiler:
                 df = df.crossJoin(sub)
             env = {**env, **local}
         if not cl.optional and cl.where is not None:
-            df = df.filter(self._expr(cl.where, env))
+            plain, pats = self._split_pattern_preds(cl.where)
+            for e in plain:
+                df = df.filter(self._expr(e, env))
+            for path, negated in pats:
+                df = self._apply_pattern_pred(df, env, path, negated)
         return df, env
 
     def _is_agg(self, e) -> bool:

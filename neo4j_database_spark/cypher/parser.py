@@ -165,6 +165,13 @@ class CaseWhen:
     default: object
 
 
+@dataclass
+class PatternPred:
+    """`WHERE [NOT] (a)-[:T]-(b)` — an existential pattern predicate."""
+
+    path: Path
+
+
 Expr = object  # documentation alias
 
 
@@ -548,6 +555,16 @@ class Parser:
         if t is None:
             raise SyntaxError("cypher: unexpected end of expression")
         if t.kind == "(":
+            # Could be a parenthesized expression OR a pattern predicate
+            # `(a)-[:T]-(b)`; try the pattern first and backtrack.
+            save = self.i
+            try:
+                path = self.path()
+                if path.rels:
+                    return PatternPred(path)
+            except SyntaxError:
+                pass
+            self.i = save
             self.eat("(")
             e = self.expr()
             self.eat(")", ")")

@@ -573,3 +573,60 @@ def test_compiled_plans_stay_jvm_side(g):
         plan = run_cypher(g, q, params)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_pattern_predicate_semi_and_anti(g):
+    """`WHERE [NOT] (a)-[:T]-(b)` — the idiomatic link-prediction
+    filter ("friends-of-friends I'm not already friends with")."""
+    name = "Customer#000000042"
+    fof = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:FRIEND_OF*2]-(c:Person)
+        WHERE NOT (p)-[:FRIEND_OF]-(c) AND c.name <> $name
+        RETURN c.name as name, count(c) as n
+        """,
+        {"name": name},
+    ).collect()
+    # in a friend clique, every 2-hop endpoint is already a friend
+    assert fof == []
+    # SAME_FAMILY 2-hop excluded-by-friendship: family mate shares no
+    # friendship edge (different houses) → survives the anti-pattern
+    fam = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:SAME_FAMILY]-(c:Person)
+        WHERE NOT (p)-[:FRIEND_OF]-(c)
+        RETURN c.name as name
+        """,
+        {"name": name},
+    ).collect()
+    assert {r.name for r in fam} == {"Customer#000000142"}
+    # positive existential: friends who are ALSO family (none here)
+    both = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:FRIEND_OF]-(c:Person)
+        WHERE (p)-[:SAME_FAMILY]-(c)
+        RETURN c.name as name
+        """,
+        {"name": name},
+    ).collect()
+    assert both == []
+    # semi-join never multiplies rows: degree unchanged by a tautology
+    base = run_cypher(
+        g,
+        "MATCH (p:Person {name: $name})-[:FRIEND_OF]-(c:Person) "
+        "RETURN count(*) as n",
+        {"name": name},
+    ).first()["n"]
+    kept = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $name})-[:FRIEND_OF]-(c:Person)
+        WHERE (p)-[:FRIEND_OF]-(c)
+        RETURN count(*) as n
+        """,
+        {"name": name},
+    ).first()["n"]
+    assert kept == base
