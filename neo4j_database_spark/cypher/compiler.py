@@ -324,6 +324,16 @@ class Compiler:
                 df, env = self._match(df, env, cl)
             elif isinstance(cl, P.WithClause):
                 df, env = self._project(df, env, cl.items)
+                if cl.order_by:
+                    # after WITH, node vars are still structs: Prop
+                    # refs resolve as struct fields, aliases as columns
+                    df = df.orderBy(*[
+                        self._expr_or_var(o.expr, env).asc() if o.asc
+                        else self._expr_or_var(o.expr, env).desc()
+                        for o in cl.order_by
+                    ])
+                if cl.limit is not None:
+                    df = df.limit(cl.limit)
                 if cl.where is not None:
                     df = df.filter(self._expr(cl.where, env))
             elif isinstance(cl, P.ReturnClause):
@@ -518,6 +528,14 @@ class Compiler:
                 return self._expr_or_var(e.args[0], env).isNull()
             if e.name == "isnotnull":
                 return self._expr_or_var(e.args[0], env).isNotNull()
+            if e.name == "coalesce":
+                return F.coalesce(
+                    *[self._scalar(a, env) for a in e.args]
+                )
+            if e.name == "abs":
+                return F.abs(self._scalar(e.args[0], env))
+            if e.name == "size":
+                return F.size(self._expr_or_var(e.args[0], env)).cast("long")
             if e.name in P.AGG_FUNCS:
                 raise ValueError(
                     f"cypher: aggregate {e.name}() only valid in WITH/RETURN"
@@ -557,6 +575,13 @@ class Compiler:
                 "AND": lambda a, b: a & b,
                 "OR": lambda a, b: a | b,
                 "CONTAINS": lambda a, b: a.contains(b),
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+                # deviation from Neo4j: `/` on two integers is double
+                # division (Spark semantics), not integer division
+                "*": lambda a, b: a * b,
+                "/": lambda a, b: a / b,
+                "%": lambda a, b: a % b,
             }
             return ops[e.op](left, right)
         raise ValueError(f"cypher: cannot compile {e!r}")

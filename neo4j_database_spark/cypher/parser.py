@@ -63,6 +63,8 @@ class Item:
 class WithClause:
     items: list[Item]
     where: "Expr | None" = None
+    order_by: list = field(default_factory=list)
+    limit: int | None = None
 
 
 @dataclass
@@ -192,7 +194,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[()\[\]{},.:=<>|;*-])
+  | (?P<punct>[()\[\]{},.:=<>|;*+/%-])
     """,
     re.VERBOSE,
 )
@@ -469,16 +471,7 @@ class Parser:
         alias = self.eat("name").text if self.opt("kw", "AS") else None
         return Item(e, alias)
 
-    def with_clause(self) -> WithClause:
-        self.eat("kw", "WITH")
-        items = self.items()
-        where = self.expr() if self.opt("kw", "WHERE") else None
-        return WithClause(items, where)
-
-    def return_clause(self) -> ReturnClause:
-        self.eat("kw", "RETURN")
-        distinct = self.opt("kw", "DISTINCT")
-        items = self.items()
+    def order_limit(self):
         order = []
         if self.opt("kw", "ORDER"):
             self.eat("kw", "BY")
@@ -495,6 +488,20 @@ class Parser:
         limit = None
         if self.opt("kw", "LIMIT"):
             limit = int(self.eat("num").text)
+        return order, limit
+
+    def with_clause(self) -> WithClause:
+        self.eat("kw", "WITH")
+        items = self.items()
+        order, limit = self.order_limit()
+        where = self.expr() if self.opt("kw", "WHERE") else None
+        return WithClause(items, where, order, limit)
+
+    def return_clause(self) -> ReturnClause:
+        self.eat("kw", "RETURN")
+        distinct = self.opt("kw", "DISTINCT")
+        items = self.items()
+        order, limit = self.order_limit()
         return ReturnClause(items, order, limit, distinct)
 
     # -- expressions --
@@ -521,16 +528,16 @@ class Parser:
     _CMP = {"=": "=", "<>": "<>", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
 
     def cmp_expr(self):
-        left = self.primary()
+        left = self.add_expr()
         t = self.peek()
         if t is None:
             return left
         if t.kind in self._CMP:
             self.i += 1
-            return BinOp(self._CMP[t.kind], left, self.primary())
+            return BinOp(self._CMP[t.kind], left, self.add_expr())
         if t.kind == "kw" and t.text in ("IN", "CONTAINS"):
             self.i += 1
-            return BinOp(t.text, left, self.primary())
+            return BinOp(t.text, left, self.add_expr())
         if t.kind == "kw" and t.text == "IS":
             self.i += 1
             negated = self.opt("kw", "NOT")
@@ -538,6 +545,26 @@ class Parser:
             f = Func("isnotnull" if negated else "isnull", [left])
             return f
         return left
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while True:
+            t = self.peek()
+            if t is not None and t.kind in ("+", "-"):
+                self.i += 1
+                left = BinOp(t.kind, left, self.mul_expr())
+            else:
+                return left
+
+    def mul_expr(self):
+        left = self.primary()
+        while True:
+            t = self.peek()
+            if t is not None and t.kind in ("*", "/", "%"):
+                self.i += 1
+                left = BinOp(t.kind, left, self.primary())
+            else:
+                return left
 
     def case_expr(self):
         self.eat("kw", "CASE")
@@ -554,6 +581,9 @@ class Parser:
         t = self.peek()
         if t is None:
             raise SyntaxError("cypher: unexpected end of expression")
+        if t.kind == "-":  # unary minus
+            self.i += 1
+            return BinOp("-", Lit(0), self.primary())
         if t.kind == "(":
             # Could be a parenthesized expression OR a pattern predicate
             # `(a)-[:T]-(b)`; try the pattern first and backtrack.

@@ -630,3 +630,31 @@ def test_pattern_predicate_semi_and_anti(g):
         {"name": name},
     ).first()["n"]
     assert kept == base
+
+
+def test_with_order_limit_and_arithmetic(g):
+    # mid-query top-k (WITH ... ORDER BY ... LIMIT) then re-expand,
+    # plus arithmetic and coalesce in projections
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person)-[:FRIEND_OF]-(f:Person)
+        WITH p, count(f) as deg
+        ORDER BY deg DESC, p.name ASC
+        LIMIT 5
+        MATCH (p)-[:SAME_FAMILY]-(m:Person)
+        RETURN p.name as name, deg, deg * 2 + 1 as scaled,
+               coalesce(m.house, 'NONE') as mate_house
+        """,
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.scaled == r.deg * 2 + 1
+        assert r.mate_house != ""
+    # negative literals and % arithmetic
+    one = run_cypher(
+        g,
+        "MATCH (p:Person {name: 'Customer#000000042'}) "
+        "RETURN p.acctbal - -1 as bumped, 7 % 3 as m",
+    ).first()
+    assert one["m"] == 1
