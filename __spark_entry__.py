@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
         "events_audience_overlap": rel.events_audience_overlap,
         "user_error_window_overlap": rel.user_error_window_overlap,
+        "nation_share_window": rel.nation_share_window,  # ratio_to_report
     }
 
 
@@ -3391,5 +3392,25 @@ FROM sess s JOIN err e
   ON s.a_start < e.b_end AND e.b_start < s.a_end
 GROUP BY s.user_id
 ORDER BY s.user_id
+""",
+        # Share-of-partition window (RATIO_TO_REPORT shape)
+        "nation_share_window": """
+WITH per AS (
+  SELECT year(o.o_orderdate) AS o_year, n.n_name AS nation,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+      AS DECIMAL(28,6)) AS rev_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_year, nation,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(rev_dec AS DOUBLE) /
+    CAST(CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DECIMAL(38,6)) AS DOUBLE)
+    AS share
+FROM per
+ORDER BY o_year, nation
 """,
     }

@@ -1958,3 +1958,40 @@ def user_error_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_error_windows"))
         .orderBy("user_id")
     )
+
+
+def nation_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-partition window (the RATIO_TO_REPORT shape): each
+    nation's revenue share within its order year via ``sum over
+    (partition by year)`` — no second aggregate pass, no self-join.
+
+    The window is PARTITIONED (per year), so it scales: Spark evaluates
+    it after the (year, nation) aggregate, whose output is tiny. Both
+    the numerator and the windowed denominator are exact decimal sums;
+    the share is one correctly-rounded double division.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(revenue).cast(MONEY_SUM).alias("rev_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    return per.select(
+        "o_year",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("decimal(38,6)").cast("double")
+        ).alias("share"),
+    ).orderBy("o_year", "nation")

@@ -388,3 +388,13 @@ def test_events_audience_overlap_invariants(spark):
         assert r.type_a < r.type_b
         assert r.n_both <= min(r.n_a, r.n_b)
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_nation_share_window_sums_to_one(spark):
+    rows = rel.nation_share_window(spark, SF).collect()
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r.o_year, []).append(r.share)
+        assert 0.0 < r.share <= 1.0
+    for year, shares in by_year.items():
+        assert abs(sum(shares) - 1.0) < 1e-9, year
