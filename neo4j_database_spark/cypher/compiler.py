@@ -189,9 +189,10 @@ class Compiler:
         for i, (rel, node) in enumerate(zip(path.rels, path.nodes[1:])):
             if rel.var is None:
                 rel.var = f"__rel{i}_{id(path) % 100000}"
-                hidden = True
-            else:
-                hidden = False
+            # name-based, not assignment-based: the AST is cached across
+            # compiles (parser.parse lru_cache), so a var assigned on a
+            # previous run must still count as hidden
+            hidden = rel.var.startswith("__rel")
             df = self._hop(df, prev, rel, node, env, local)
             rel_cols.append((rel.var, hidden))
             prev = node

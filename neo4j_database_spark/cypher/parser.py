@@ -649,5 +649,17 @@ class Parser:
         raise SyntaxError(f"cypher: unexpected token {t.text!r} in expression")
 
 
-def parse(src: str) -> Query:
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _parse_cached(src: str) -> Query:
     return Parser(src).parse()
+
+
+def parse(src: str) -> Query:
+    """Parse with a per-text AST cache: serving endpoints re-run the
+    same statement with different parameters, and the AST is reusable
+    (parameters live outside it). NodePat.var mutation by the compiler
+    is idempotent (anon names are assigned once), so sharing is safe."""
+    return _parse_cached(src)
