@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": rel.events_audience_overlap,
         "user_error_window_overlap": rel.user_error_window_overlap,
         "nation_share_window": rel.nation_share_window,  # ratio_to_report
+        "part_skyline": rel.part_skyline,  # Pareto frontier
     }
 
 
@@ -3412,5 +3413,19 @@ SELECT o_year, nation,
     AS share
 FROM per
 ORDER BY o_year, nation
+""",
+        # Skyline: textbook NOT-EXISTS dominance (the engine runs the
+        # two-phase pruned version; comparisons only → identical rows)
+        "part_skyline": """
+SELECT a.p_partkey AS partkey, a.p_name AS name,
+  a.p_size AS size,
+  CAST(CAST(a.p_retailprice AS DECIMAL(28,6)) AS DOUBLE) AS retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+)
+ORDER BY partkey
 """,
     }

@@ -1995,3 +1995,26 @@ def nation_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_dec").over(w).cast("decimal(38,6)").cast("double")
         ).alias("share"),
     ).orderBy("o_year", "nation")
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: maximize size, minimize retail price
+    ("the biggest part money doesn't have to buy").
+
+    Runs operators/skyline.py — partition-local lossless pruning, then
+    the exact dominance anti-join on the tiny candidate set. Only
+    comparisons touch the values, so the DuckDB NOT-EXISTS oracle is
+    bit-identical.
+    """
+    from neo4j_database_spark.operators.skyline import skyline
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    out = skyline(part, maximize=["p_size"], minimize=["p_retailprice"])
+    return out.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+        F.col("p_size").alias("size"),
+        _money_out(F.col("p_retailprice")).alias("retailprice"),
+    ).orderBy("partkey")

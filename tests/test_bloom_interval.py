@@ -206,3 +206,55 @@ def test_interval_overlap_join_equi_key_path(spark):
         equi_keys=["k"],
     ).collect()
     assert [(r.k,) for r in rows] == [("u1",)]
+
+
+def test_skyline_exact_on_hand_case(spark):
+    from neo4j_database_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0),   # dominated by 3 (size 10 cheaper)
+            (2, 20, 9.0),   # survivor (biggest)
+            (3, 10, 3.0),   # survivor (cheapest at size 10)
+            (4, 5, 3.0),    # dominated by 3 (same price, smaller)
+            (5, 20, 9.0),   # duplicate of 2: neither dominates → both stay
+            (6, 1, 1.0),    # survivor (globally cheapest)
+        ],
+        "id long, size int, price double",
+    )
+    got = {
+        r.id
+        for r in skyline(df, maximize=["size"], minimize=["price"]).collect()
+    }
+    assert got == {2, 3, 5, 6}
+
+
+def test_skyline_invariants_random(spark):
+    from neo4j_database_spark.operators.skyline import skyline
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.randint(0, 20), float(rnd.randint(0, 50)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, size int, price double")
+    sky = skyline(df, maximize=["size"], minimize=["price"]).collect()
+    sky_set = {(r.size, r.price) for r in sky}
+    all_rows = [(s, p) for _, s, p in rows]
+
+    def dominated(a, by):
+        return (
+            by[0] >= a[0] and by[1] <= a[1] and (by[0] > a[0] or by[1] < a[1])
+        )
+
+    # no survivor is dominated; every non-survivor is dominated
+    for a in sky_set:
+        assert not any(dominated(a, b) for b in all_rows)
+    survivors_ids = {r.id for r in sky}
+    # ties never dominate, so duplicate criterion-vectors all survive;
+    # every true non-survivor must be strictly dominated by a survivor
+    for i, s, p in rows:
+        if i not in survivors_ids:
+            assert any(dominated((s, p), b) for b in sky_set), (i, s, p)
