@@ -71,6 +71,23 @@ class WinderEngine:
         self._classifier = None
         self._train_result = None
 
+    # -- raw Cypher (the reference's driver.session().run surface) --
+    def cypher(
+        self, query: str, params: dict | None = None
+    ) -> list[dict[str, Any]] | None:
+        """Run a Cypher statement against the engine's graph: reads
+        return rows (serving boundary — list of dicts, like the
+        neo4j driver's .data()); writes mutate the in-session graph
+        and return None. See cypher/ for the supported subset."""
+        from neo4j_database_spark.cypher import CypherSession
+
+        s = CypherSession(self.graph)
+        out = s.run(query, params)
+        self.graph = s.graph
+        if out is None:
+            return None
+        return [r.asDict(recursive=True) for r in out.collect()]
+
     # -- GET /characters (app.py:188-204) --
     def characters(self) -> list[dict[str, Any]]:
         return [r.asDict() for r in gq.directory(self.graph).collect()]

@@ -131,3 +131,28 @@ def test_suggest_excludes_neighbors_and_self(engine):
     # scores descending
     scores = [o["score"] for o in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_cypher_read_and_write(spark):
+    from neo4j_database_spark.engine import WinderEngine
+
+    eng = WinderEngine(spark, "/root/testdata/sf0.001")
+    rows = eng.cypher(
+        "MATCH (p:Person) WHERE p.name IN $ns RETURN p.name as name",
+        {"ns": ["Customer#000000001", "Customer#000000002"]},
+    )
+    assert {r["name"] for r in rows} == {
+        "Customer#000000001",
+        "Customer#000000002",
+    }
+    assert (
+        eng.cypher(
+            "MERGE (u:Person {name: $n}) SET u.house = $h, u.isUser = true",
+            {"n": "Cy User", "h": "NATION_5"},
+        )
+        is None
+    )
+    got = eng.cypher(
+        "MATCH (p:Person {name: $n}) RETURN p.house as house", {"n": "Cy User"}
+    )
+    assert got == [{"house": "NATION_5"}]
