@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_error_window_overlap": rel.user_error_window_overlap,
         "nation_share_window": rel.nation_share_window,  # ratio_to_report
         "part_skyline": rel.part_skyline,  # Pareto frontier
+        "customer_hierarchy_rollup": rel.customer_hierarchy_rollup,
+        "monthly_revenue_growth": rel.monthly_revenue_growth,
     }
 
 
@@ -3427,5 +3429,39 @@ WHERE NOT EXISTS (
     AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
 )
 ORDER BY partkey
+""",
+        # Hierarchy rollup: the engine's bounded-depth ancestor explode
+        # vs DuckDB's RECURSIVE CTE — same subtree totals
+        "customer_hierarchy_rollup": """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  UNION ALL
+  SELECT node // 10, cents FROM anc WHERE node >= 10
+)
+SELECT node,
+  CAST(COUNT(*) AS BIGINT) AS subtree_customers,
+  CAST(SUM(cents) AS DOUBLE) / 100.0 AS subtree_balance
+FROM anc WHERE node > 0
+GROUP BY node HAVING COUNT(*) >= 2
+ORDER BY node
+""",
+        # Period-over-period growth (LAG + exact-decimal difference)
+        "monthly_revenue_growth": """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS rev_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT y, m,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(LAG(rev_dec) OVER (ORDER BY y, m) AS DOUBLE) AS prev_revenue,
+  CASE WHEN LAG(rev_dec) OVER (ORDER BY y, m) IS NOT NULL THEN
+    CAST(CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY y, m) AS DECIMAL(38,6)) AS DOUBLE)
+    / CAST(LAG(rev_dec) OVER (ORDER BY y, m) AS DOUBLE)
+  END AS growth
+FROM monthly
+ORDER BY y, m
 """,
     }

@@ -2018,3 +2018,80 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("size"),
         _money_out(F.col("p_retailprice")).alias("retailprice"),
     ).orderBy("partkey")
+
+
+def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (ancestor-path) rollup: subtree totals for every node
+    of the decimal trie over custkey (parent(k) = k ÷ 10) — the org-
+    chart/category-tree aggregation shape.
+
+    Spark has no recursive CTE; the iterative bottom-up is also
+    unnecessary here because ancestor paths have bounded depth: each
+    leaf EXPLODES to its ≤7 ancestors (constant fan-out) and one
+    aggregate produces every subtree total — O(depth·N) rows, one
+    shuffle, no loop. The DuckDB oracle computes the same rollup via
+    its recursive CTE, pinning the engine-vs-recursion equivalence.
+    Balances roll up in exact integer cents.
+    """
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    # ancestors of k: k, k/10, k/100, ... (root 0 excluded to keep the
+    # node set finite and meaningful)
+    depth = 7
+    ancestors = cust.select(
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        (F.col("c_custkey") / F.lit(10**i)).cast("long")
+                        for i in range(depth)
+                    ]
+                )
+            )
+        ).alias("node"),
+        "cents",
+    ).filter(F.col("node") > 0)
+    return (
+        ancestors.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("subtree_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias("subtree_balance"),
+        )
+        .filter(F.col("subtree_customers") >= 2)  # internal nodes + dense leaves
+        .orderBy("node")
+    )
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: month-level revenue with previous-month LAG
+    and relative growth — the MoM/percent-change window shape.
+
+    One aggregate to month grain (tiny), one unpartitioned-but-tiny
+    ordered window over ~80 rows (the month frame never scales with the
+    fact table, so the global window is safe at any sf). Revenue sums
+    are exact decimals; growth = (cur - prev) exact decimal difference,
+    then one double division.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast(MONEY_SUM).alias("rev_dec"))
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("rev_dec").over(w)
+    return monthly.select(
+        "y",
+        "m",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev_dec") - prev).cast("decimal(38,6)").cast("double")
+            / prev.cast("double"),
+        ).alias("growth"),
+    ).orderBy("y", "m")

@@ -398,3 +398,36 @@ def test_nation_share_window_sums_to_one(spark):
         assert 0.0 < r.share <= 1.0
     for year, shares in by_year.items():
         assert abs(sum(shares) - 1.0) < 1e-9, year
+
+
+def test_customer_hierarchy_rollup_consistency(spark):
+    from neo4j_database_spark.catalog import load_table
+
+    rows = {r.node: r for r in rel.customer_hierarchy_rollup(spark, SF).collect()}
+    assert rows
+    cust = load_table(spark, "customer", SF).select("c_custkey", "c_acctbal").collect()
+    # every internal node's count equals the number of custkeys whose
+    # decimal representation has the node as a prefix-by-division
+    import random
+
+    rnd = random.Random(3)
+    keys = [r.c_custkey for r in cust]
+    for node in rnd.sample(sorted(rows), min(5, len(rows))):
+        member = lambda k: any(
+            k // (10**i) == node for i in range(8)
+        )
+        want = sum(1 for k in keys if member(k))
+        assert rows[node].subtree_customers == want
+
+
+def test_monthly_revenue_growth_identity(spark):
+    import pytest
+
+    rows = rel.monthly_revenue_growth(spark, SF).collect()
+    assert rows[0].growth is None  # first month has no predecessor
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue
+        if cur.growth is not None:
+            assert cur.growth == pytest.approx(
+                (cur.revenue - cur.prev_revenue) / cur.prev_revenue, rel=1e-9
+            )
