@@ -118,7 +118,9 @@ class Compiler:
 
     # ---------------- pattern compilation ----------------
 
-    def compile_path(self, path: P.Path, env: dict[str, Binding]):
+    def compile_path(
+        self, path: P.Path, env: dict[str, Binding], defer=None
+    ):
         """Compile one path standalone: returns (df, local_env).
 
         Vars already in `env` keep their names so the caller can join
@@ -133,7 +135,7 @@ class Compiler:
         """
         variants = self._expand_variable_length(path)
         if len(variants) == 1:
-            return self._compile_concrete(variants[0], env)
+            return self._compile_concrete(variants[0], env, defer)
         outs = []
         named_env: dict[str, Binding] = {}
         for p in variants:
@@ -179,7 +181,26 @@ class Compiler:
             variants.append(P.Path(nodes, rels))
         return variants
 
-    def _compile_concrete(self, path: P.Path, env: dict[str, Binding]):
+    @staticmethod
+    def _same_rel(a: str, b: str) -> Column:
+        """Identity of a stored relationship = (unordered endpoints,
+        type) — symmetric matching may traverse one stored row in
+        either direction."""
+        return (
+            (F.col(f"{a}.type") == F.col(f"{b}.type"))
+            & (
+                F.least(F.col(f"{a}.src"), F.col(f"{a}.dst"))
+                == F.least(F.col(f"{b}.src"), F.col(f"{b}.dst"))
+            )
+            & (
+                F.greatest(F.col(f"{a}.src"), F.col(f"{a}.dst"))
+                == F.greatest(F.col(f"{b}.src"), F.col(f"{b}.dst"))
+            )
+        )
+
+    def _compile_concrete(
+        self, path: P.Path, env: dict[str, Binding], defer=None
+    ):
         local: dict[str, Binding] = {}
         n0 = path.nodes[0]
         df = self._node_source(n0, env)
@@ -188,7 +209,8 @@ class Compiler:
         rel_cols: list[str] = []
         for i, (rel, node) in enumerate(zip(path.rels, path.nodes[1:])):
             if rel.var is None:
-                rel.var = f"__rel{i}_{id(path) % 100000}"
+                self._anon_counter = getattr(self, "_anon_counter", 0) + 1
+                rel.var = f"__rel{self._anon_counter}"
             # name-based, not assignment-based: the AST is cached across
             # compiles (parser.parse lru_cache), so a var assigned on a
             # previous run must still count as hidden
@@ -196,25 +218,19 @@ class Compiler:
             df = self._hop(df, prev, rel, node, env, local)
             rel_cols.append((rel.var, hidden))
             prev = node
+        if defer is not None:
+            # caller (one MATCH clause) applies uniqueness across ALL
+            # its comma-separated paths, per Cypher scoping
+            defer.extend(rel_cols)
+            return df, local
         # Cypher relationship-uniqueness: one MATCH pattern never binds
         # the same relationship twice (e.g. the housemates 2-hop
-        # (p)-[:B]->(h)<-[:B]-(mate) excludes mate = p). Identity is the
-        # stored edge = (unordered endpoints, type).
+        # (p)-[:B]->(h)<-[:B]-(mate) excludes mate = p).
         for i in range(len(rel_cols)):
             for j in range(i + 1, len(rel_cols)):
-                a, b = rel_cols[i][0], rel_cols[j][0]
-                same = (
-                    (F.col(f"{a}.type") == F.col(f"{b}.type"))
-                    & (
-                        F.least(F.col(f"{a}.src"), F.col(f"{a}.dst"))
-                        == F.least(F.col(f"{b}.src"), F.col(f"{b}.dst"))
-                    )
-                    & (
-                        F.greatest(F.col(f"{a}.src"), F.col(f"{a}.dst"))
-                        == F.greatest(F.col(f"{b}.src"), F.col(f"{b}.dst"))
-                    )
+                df = df.filter(
+                    ~self._same_rel(rel_cols[i][0], rel_cols[j][0])
                 )
-                df = df.filter(~same)
         df = df.drop(*[v for v, hidden in rel_cols if hidden])
         for v, hidden in rel_cols:
             if hidden:
@@ -260,18 +276,27 @@ class Compiler:
                 "__type",
             )
 
+        rtypes = (
+            None if rel.rtype is None
+            else (rel.rtype if isinstance(rel.rtype, tuple) else (rel.rtype,))
+        )
         # Each branch is (edge frame oriented prev->node, target nodes).
         branches: list[tuple[DataFrame, DataFrame]] = []
         if plabel == "House":
-            # only BELONGS_TO can touch a house; traverse house -> person
-            branches.append((_swap(self._belongs_edges()), _person_nodes(self.g)))
+            # only BELONGS_TO touches a house, and only via its stored
+            # person->house orientation — a typed/directed mismatch is
+            # a legal pattern that matches nothing
+            if (
+                (rtypes is None or "BELONGS_TO" in rtypes)
+                and rel.direction != "out"
+                and nlabel in (None, "Person")
+            ):
+                branches.append(
+                    (_swap(self._belongs_edges()), _person_nodes(self.g))
+                )
         else:
             person_target = nlabel in (None, "Person")
             house_target = nlabel in (None, "House")
-            rtypes = (
-                None if rel.rtype is None
-                else (rel.rtype if isinstance(rel.rtype, tuple) else (rel.rtype,))
-            )
             if rtypes is not None:
                 person_types = tuple(t for t in rtypes if t != "BELONGS_TO")
                 person_person = person_target and bool(person_types)
@@ -291,16 +316,26 @@ class Compiler:
                 # person -> house; a person is never BELONGS_TO's dst
                 branches.append((self._belongs_edges(), _house_nodes(self.g)))
         if not branches:
-            raise ValueError(
-                f"cypher: unsatisfiable hop {plabel} -[{rel.rtype}]- {nlabel}"
+            # legal-but-unsatisfiable hop (e.g. wrong BELONGS_TO
+            # direction): zero rows, not an error — like Neo4j
+            target = (
+                _house_nodes(self.g) if nlabel == "House"
+                else _person_nodes(self.g)
             )
+            branches.append((self._belongs_edges().limit(0), target))
 
+        cycle = nvar in local  # path revisits a bound var: (a)-(b)-(a)
         outs = []
         for e, target in branches:
             j = df.join(e, F.col(f"{pvar}.id") == F.col("__src"))
-            t = target.select(F.col("__node").alias(nvar))
-            t = self._apply_props(t, nvar, node.props)
-            j = j.join(t, F.col("__dst") == F.col(f"{nvar}.id"))
+            if cycle:
+                # bind back to the existing column instead of joining a
+                # second copy (which would be an ambiguous self-join)
+                j = j.filter(F.col("__dst") == F.col(f"{nvar}.id"))
+            else:
+                t = target.select(F.col("__node").alias(nvar))
+                t = self._apply_props(t, nvar, node.props)
+                j = j.join(t, F.col("__dst") == F.col(f"{nvar}.id"))
             if rel.var:
                 j = j.withColumn(
                     rel.var,
@@ -310,7 +345,8 @@ class Compiler:
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
-        local[nvar] = Binding("node", nlabel)
+        if not cycle:
+            local[nvar] = Binding("node", nlabel)
         if rel.var:
             local[rel.var] = Binding("rel")
         return out
@@ -383,8 +419,15 @@ class Compiler:
         )
 
     def _match(self, df, env, cl: P.MatchClause):
+        # relationship-uniqueness scope is the whole MATCH clause, so
+        # non-optional concrete paths defer their rel columns here and
+        # the pairwise filters run after all comma-paths are joined
+        # (variable-length paths keep per-path uniqueness: their hidden
+        # rel columns are projected away inside the union)
+        clause_rels: list[tuple[str, bool]] = []
         for path in cl.paths:
-            sub, local = self.compile_path(path, env)
+            defer = None if cl.optional else clause_rels
+            sub, local = self.compile_path(path, env, defer)
             if cl.optional and cl.where is not None:
                 sub = sub.filter(self._expr(cl.where, {**env, **local}))
             shared = [v for v in local if v in env]
@@ -402,9 +445,23 @@ class Compiler:
                 how = "left" if cl.optional else "inner"
                 df = df.join(renamed, cond, how)
                 df = df.drop(*[f"__r_{v}" for v in shared])
+            elif cl.optional:
+                # Cypher OPTIONAL MATCH with no shared vars is a left
+                # join on TRUE: rows survive with nulls when the
+                # optional side is empty (crossJoin would drop them)
+                df = df.join(sub, F.lit(True), "left")
             else:
                 df = df.crossJoin(sub)
             env = {**env, **local}
+        for i in range(len(clause_rels)):
+            for j in range(i + 1, len(clause_rels)):
+                df = df.filter(
+                    ~self._same_rel(clause_rels[i][0], clause_rels[j][0])
+                )
+        hidden = [v for v, h in clause_rels if h]
+        if hidden:
+            df = df.drop(*hidden)
+            env = {k: v for k, v in env.items() if k not in hidden}
         if not cl.optional and cl.where is not None:
             plain, pats = self._split_pattern_preds(cl.where)
             for e in plain:
@@ -456,17 +513,25 @@ class Compiler:
     def _agg(self, e: P.Func, env) -> Column:
         arg = self._expr_or_var(e.args[0], env) if e.args else None
         if e.name == "count":
+            if e.distinct and arg is not None:
+                return F.count_distinct(arg).cast("long")
             c = F.count(arg) if arg is not None else F.count(F.lit(1))
             return c.cast("long")
         if e.name == "collect":
             # Cypher collect() order is unspecified; sort for determinism
-            return F.sort_array(F.collect_list(arg))
+            coll = F.collect_set(arg) if e.distinct else F.collect_list(arg)
+            return F.sort_array(coll)
+        if e.name == "sum" and e.distinct:
+            return F.sum_distinct(arg)
+        if e.name == "avg" and e.distinct:
+            raise ValueError("cypher: avg(DISTINCT) is not supported")
+        # min/max are DISTINCT-invariant
         fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[e.name]
         return fn(arg)
 
     def _return(self, df, env, cl: P.ReturnClause) -> DataFrame:
         has_agg = any(self._is_agg(it.expr) for it in cl.items)
-        if cl.order_by and not has_agg:
+        if cl.order_by and not has_agg and not cl.distinct:
             # order while source vars are still in scope
             df = df.orderBy(*[
                 self._expr_or_var(o.expr, env).asc() if o.asc
@@ -475,24 +540,31 @@ class Compiler:
             ])
             df, env = self._project(df, env, cl.items)
         else:
+            # Cypher evaluation order: project → DISTINCT → ORDER BY →
+            # LIMIT (distinct after a sort would scramble it again)
             df, env = self._project(df, env, cl.items)
+            if cl.distinct:
+                df = df.distinct()
             if cl.order_by:
                 df = df.orderBy(*[
-                    self._post_order_col(o.expr).asc() if o.asc
-                    else self._post_order_col(o.expr).desc()
+                    self._post_order_col(o.expr, env).asc() if o.asc
+                    else self._post_order_col(o.expr, env).desc()
                     for o in cl.order_by
                 ])
-        if cl.distinct:
-            df = df.distinct()
         if cl.limit is not None:
             df = df.limit(cl.limit)
         return df
 
-    def _post_order_col(self, e) -> Column:
-        # after aggregation, ORDER BY refers to output columns by name
+    def _post_order_col(self, e, env=None) -> Column:
+        # after projection, ORDER BY refers to output columns by name;
+        # a Prop whose var survived as a node struct resolves as a
+        # field, otherwise as the literal dotted output column
         if isinstance(e, P.Var):
             return F.col(e.name)
         if isinstance(e, P.Prop):
+            if env is not None and env.get(e.var, Binding("value")).kind == "node":
+                field = _PROP_MAP.get(e.name, e.name)
+                return F.col(f"{e.var}.{field}")
             return F.col(f"`{e.var}.{e.name}`")
         raise ValueError("cypher: ORDER BY after aggregation must use aliases")
 

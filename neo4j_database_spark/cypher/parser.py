@@ -239,7 +239,17 @@ def tokenize(src: str) -> list[Tok]:
         elif kind == "num":
             toks.append(Tok("num", text))
         elif kind == "str":
-            toks.append(Tok("str", text[1:-1]))
+            body = text[1:-1]
+            if "\\" in body:
+                body = (
+                    body.replace("\\\\", "\x00")
+                    .replace("\\'", "'")
+                    .replace('\\"', '"')
+                    .replace("\\n", "\n")
+                    .replace("\\t", "\t")
+                    .replace("\x00", "\\")
+                )
+            toks.append(Tok("str", body))
         elif kind == "param":
             toks.append(Tok("param", text[1:]))
     return toks

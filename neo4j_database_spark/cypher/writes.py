@@ -26,7 +26,10 @@ Deviations, both documented engine invariants rather than bugs:
 - canonical symmetric types (FRIEND_OF / SAME_FAMILY) store one row per
   unordered pair: ``MERGE (u)-[:FRIEND_OF]->(f)`` canonicalizes before
   the dedup, so merging both directions yields ONE stored edge — reads
-  through the symmetric view are identical to Neo4j's.
+  through the symmetric view are identical to Neo4j's. Bidirectional
+  types (ENEMY_OF / ROMANTIC_WITH) store BOTH rows, so a one-way MERGE
+  materializes the mirror row too (matching the model invariant that
+  sym_edges only reverses canonical types).
 
 Everything returns a NEW GraphModel (immutable frames; caller persists
 via graph.store). At 100 TB each apply is a MERGE INTO-shaped plan:
@@ -42,7 +45,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from neo4j_database_spark.cypher import parser as P
 from neo4j_database_spark.cypher.compiler import Compiler
-from neo4j_database_spark.graph.model import CANONICAL_TYPES, GraphModel
+from neo4j_database_spark.graph.model import (
+    BIDIRECTIONAL_TYPES,
+    CANONICAL_TYPES,
+    GraphModel,
+)
 
 _PROP_MAP = {"isUser": "is_user"}
 
@@ -75,9 +82,27 @@ def apply_cypher_write(
         raise CypherWriteError("not a write statement; use run_cypher")
     clauses = q.clauses
 
-    # 1. truncate
+    # 1. truncate — ONLY the reference's unconditional full-truncate
+    # shape `MATCH (n) DETACH DELETE n` (get_insert.py:68). A filtered
+    # or labeled delete must not silently wipe the graph.
     if any(isinstance(c, P.DetachDeleteClause) for c in clauses):
-        spark = g.persons.sparkSession
+        ok = (
+            len(clauses) == 2
+            and isinstance(clauses[0], P.MatchClause)
+            and not clauses[0].optional
+            and clauses[0].where is None
+            and len(clauses[0].paths) == 1
+            and not clauses[0].paths[0].rels
+            and clauses[0].paths[0].nodes[0].label is None
+            and not clauses[0].paths[0].nodes[0].props
+            and isinstance(clauses[1], P.DetachDeleteClause)
+            and clauses[1].var == clauses[0].paths[0].nodes[0].var
+        )
+        if not ok:
+            raise CypherWriteError(
+                "only the full truncate `MATCH (n) DETACH DELETE n` is "
+                "supported; targeted deletes are not implemented"
+            )
         return GraphModel(
             persons=g.persons.limit(0),
             houses=g.houses.limit(0),
@@ -230,6 +255,17 @@ def _merge_edges(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
                 "type",
+            )
+        elif rtype in BIDIRECTIONAL_TYPES:
+            # these types store BOTH directions (model.py invariant —
+            # sym_edges only reverses canonical types), so a one-way
+            # MERGE must materialize the mirror row too
+            new = new.unionByName(
+                new.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "type",
+                )
             )
         edges = edges.unionByName(new).dropDuplicates(["src", "dst", "type"])
     return GraphModel(persons=persons, houses=g.houses, edges=edges)

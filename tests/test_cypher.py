@@ -658,3 +658,156 @@ def test_with_order_limit_and_arithmetic(g):
         "RETURN p.acctbal - -1 as bumped, 7 % 3 as m",
     ).first()
     assert one["m"] == 1
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_targeted_detach_delete_refuses(g):
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+
+    s = CypherSession(g)
+    with pytest.raises(CypherWriteError):
+        s.run(
+            "MATCH (n:Person {name: $n}) DETACH DELETE n",
+            {"n": "Customer#000000001"},
+        )
+    # graph untouched
+    assert s.graph.persons.count() == g.persons.count()
+
+
+def test_distinct_aggregates(g):
+    # candidate reachable from two seeds via one house: count(DISTINCT)
+    name = "Customer#000000042"
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $n})-[:FRIEND_OF|SAME_FAMILY]-(m:Person)
+        RETURN count(m) as n_rels, count(DISTINCT m.house) as n_houses,
+               collect(DISTINCT m.house) as houses
+        """,
+        {"n": name},
+    ).first()
+    assert row.n_houses == len(row.houses) == len(set(row.houses))
+    assert row.n_rels >= row.n_houses
+
+
+def test_house_anchored_hop_respects_type_and_direction(g):
+    # wrong type from a house: legal pattern, zero rows (was: all rows)
+    rows = run_cypher(
+        g,
+        "MATCH (h:House {name: 'NATION_3'})-[:FRIEND_OF]-(x) RETURN x",
+    ).collect()
+    assert rows == []
+    # wrong BELONGS_TO direction: zero rows, no crash
+    rows = run_cypher(
+        g,
+        "MATCH (h:House {name: 'NATION_3'})-[:BELONGS_TO]->(p:Person) RETURN p",
+    ).collect()
+    assert rows == []
+    rows = run_cypher(
+        g,
+        "MATCH (p:Person)<-[:BELONGS_TO]-(h:House) RETURN p",
+    ).collect()
+    assert rows == []
+
+
+def test_bidirectional_edge_merge_visible_from_both_sides(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    s.run(
+        "MERGE (u:Person {name: $n}) SET u.house = 'NATION_0', u.isUser = true",
+        {"n": "Bidi User"},
+    )
+    s.run(
+        """
+        MATCH (u:Person {name: $n}), (e:Person)
+        WHERE e.name IN $es
+        MERGE (u)-[:ENEMY_OF]->(e)
+        """,
+        {"n": "Bidi User", "es": ["Customer#000000005"]},
+    )
+    # undirected read from the ENEMY's side must see the user
+    got = s.run(
+        "MATCH (p:Person {name: 'Customer#000000005'})-[r:ENEMY_OF]-(m) "
+        "RETURN m.name as name"
+    ).collect()
+    assert "Bidi User" in {r.name for r in got}
+
+
+def test_optional_match_without_shared_vars_keeps_rows(g):
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000001'})
+        OPTIONAL MATCH (h:House {name: 'NO_SUCH_HOUSE'})
+        RETURN p.name as name, h
+        """,
+    ).collect()
+    assert len(rows) == 1 and rows[0].h is None
+
+
+def test_return_distinct_respects_order_and_limit(g):
+    rows = run_cypher(
+        g,
+        "MATCH (p:Person) RETURN DISTINCT p.house as h ORDER BY h LIMIT 3",
+    ).collect()
+    hs = [r.h for r in rows]
+    assert len(hs) == 3 and hs == sorted(hs) and len(set(hs)) == 3
+    all_h = sorted(
+        r.house for r in g.persons.select("house").distinct().collect()
+    )
+    assert hs == all_h[:3]
+
+
+def test_cyclic_pattern_binds_back(g):
+    # triangle pattern: (a)-(b)-(a) must close on the SAME a
+    rows = run_cypher(
+        g,
+        """
+        MATCH (a:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(b:Person)-[:FRIEND_OF]-(a)
+        RETURN b.name as name
+        """,
+    ).collect()
+    # rel-uniqueness excludes traversing the same edge back, so this
+    # needs a genuine 2-edge cycle a-b, b-a — impossible with single
+    # stored edges → empty, but it must COMPILE and bind correctly
+    assert rows == []
+    # positive case through two distinct edge types forming a 2-cycle
+    rows = run_cypher(
+        g,
+        """
+        MATCH (a:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(b:Person)-[:SAME_FAMILY]-(a)
+        RETURN b.name as name
+        """,
+    ).collect()
+    # friend AND family with 42: family = {142}, different house → none
+    assert rows == []
+
+
+def test_cross_path_relationship_uniqueness(g):
+    # same logical edge bound by two comma-paths must be excluded when
+    # it would be the identical relationship
+    rows = run_cypher(
+        g,
+        """
+        MATCH (a:Person {name: 'Customer#000000042'})-[r1:FRIEND_OF]-(b:Person), (b)-[r2:FRIEND_OF]-(c:Person)
+        WHERE c.name = 'Customer#000000042'
+        RETURN b.name as name
+        """,
+    ).collect()
+    # c = a and r2 = r1 is the only way back in a clique-stored graph
+    # unless b has another edge to a — there is exactly one stored
+    # FRIEND_OF row per pair, so everything here is the same rel → empty
+    assert rows == []
+
+
+def test_string_escape_in_literals(g):
+    rows = run_cypher(
+        g, "MATCH (p:Person) WHERE p.name = 'O\\'Hara' RETURN p.name as n"
+    ).collect()
+    assert rows == []  # parses, unescapes, matches nothing
