@@ -369,6 +369,8 @@ class Compiler:
                         else self._expr_or_var(o.expr, env).desc()
                         for o in cl.order_by
                     ])
+                if cl.skip is not None:
+                    df = df.offset(cl.skip)
                 if cl.limit is not None:
                     df = df.limit(cl.limit)
                 if cl.where is not None:
@@ -551,6 +553,8 @@ class Compiler:
                     else self._post_order_col(o.expr, env).desc()
                     for o in cl.order_by
                 ])
+        if cl.skip is not None:
+            df = df.offset(cl.skip)
         if cl.limit is not None:
             df = df.limit(cl.limit)
         return df

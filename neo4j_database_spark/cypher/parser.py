@@ -65,6 +65,7 @@ class WithClause:
     where: "Expr | None" = None
     order_by: list = field(default_factory=list)
     limit: int | None = None
+    skip: int | None = None
 
 
 @dataclass
@@ -79,6 +80,7 @@ class ReturnClause:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     distinct: bool = False
+    skip: int | None = None
 
 
 @dataclass
@@ -206,7 +208,7 @@ KEYWORDS = {
     "TRUE", "FALSE", "NULL",
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
-    "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON",
+    "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
 }
 
 
@@ -495,24 +497,27 @@ class Parser:
                 order.append(OrderItem(e, asc))
                 if not self.opt(",", ","):
                     break
+        skip = None
+        if self.opt("kw", "SKIP"):
+            skip = int(self.eat("num").text)
         limit = None
         if self.opt("kw", "LIMIT"):
             limit = int(self.eat("num").text)
-        return order, limit
+        return order, limit, skip
 
     def with_clause(self) -> WithClause:
         self.eat("kw", "WITH")
         items = self.items()
-        order, limit = self.order_limit()
+        order, limit, skip = self.order_limit()
         where = self.expr() if self.opt("kw", "WHERE") else None
-        return WithClause(items, where, order, limit)
+        return WithClause(items, where, order, limit, skip)
 
     def return_clause(self) -> ReturnClause:
         self.eat("kw", "RETURN")
         distinct = self.opt("kw", "DISTINCT")
         items = self.items()
-        order, limit = self.order_limit()
-        return ReturnClause(items, order, limit, distinct)
+        order, limit, skip = self.order_limit()
+        return ReturnClause(items, order, limit, distinct, skip)
 
     # -- expressions --
     def expr(self):

@@ -811,3 +811,14 @@ def test_string_escape_in_literals(g):
         g, "MATCH (p:Person) WHERE p.name = 'O\\'Hara' RETURN p.name as n"
     ).collect()
     assert rows == []  # parses, unescapes, matches nothing
+
+
+def test_skip_pagination(g):
+    base = run_cypher(
+        g, "MATCH (p:Person) RETURN p.name as name ORDER BY name LIMIT 5"
+    ).collect()
+    page2 = run_cypher(
+        g,
+        "MATCH (p:Person) RETURN p.name as name ORDER BY name SKIP 2 LIMIT 3",
+    ).collect()
+    assert [r.name for r in page2] == [r.name for r in base][2:5]
