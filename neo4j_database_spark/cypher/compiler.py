@@ -375,9 +375,32 @@ class Compiler:
                     df = df.limit(cl.limit)
                 if cl.where is not None:
                     df = df.filter(self._expr(cl.where, env))
+            elif isinstance(cl, P.UnwindClause):
+                df, env = self._unwind(df, env, cl)
             elif isinstance(cl, P.ReturnClause):
                 df = self._return(df, env, cl)
         return df
+
+    def _unwind(self, df, env, cl: P.UnwindClause):
+        """UNWIND list AS x: one row per element. A $param/literal list
+        becomes an inline exploded array; a bound list column (e.g. a
+        collect() result) explodes in place."""
+        if isinstance(cl.expr, (P.Param, P.ListLit)):
+            if isinstance(cl.expr, P.Param):
+                values = list(self.params[cl.expr.name])
+            else:
+                values = [li.value for li in cl.expr.items]
+            col = F.explode(F.lit(values)).alias(cl.alias)
+        else:
+            col = F.explode(self._expr_or_var(cl.expr, env)).alias(cl.alias)
+        if df is None:
+            spark = self.g.persons.sparkSession
+            df = spark.range(1).select(col)
+        else:
+            # the source list stays in scope after UNWIND (Cypher rule)
+            df = df.select("*", col)
+        env = {**env, cl.alias: Binding("value")}
+        return df, env
 
     def _split_pattern_preds(self, expr):
         """AND-decompose a WHERE tree into (plain predicates, pattern

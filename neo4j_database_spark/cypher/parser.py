@@ -84,6 +84,12 @@ class ReturnClause:
 
 
 @dataclass
+class UnwindClause:
+    expr: object
+    alias: str
+
+
+@dataclass
 class MergeClause:
     path: Path
 
@@ -209,6 +215,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
+    "UNWIND",
 }
 
 
@@ -307,6 +314,11 @@ class Parser:
                 clauses.append(self.match_clause())
             elif t.kind == "kw" and t.text == "WITH":
                 clauses.append(self.with_clause())
+            elif t.kind == "kw" and t.text == "UNWIND":
+                self.eat("kw", "UNWIND")
+                e = self.expr()
+                self.eat("kw", "AS")
+                clauses.append(UnwindClause(e, self.eat("name").text))
             elif t.kind == "kw" and t.text == "RETURN":
                 clauses.append(self.return_clause())
             elif t.kind == "kw" and t.text == "MERGE":

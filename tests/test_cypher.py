@@ -822,3 +822,32 @@ def test_skip_pagination(g):
         "MATCH (p:Person) RETURN p.name as name ORDER BY name SKIP 2 LIMIT 3",
     ).collect()
     assert [r.name for r in page2] == [r.name for r in base][2:5]
+
+
+def test_unwind_param_and_collected_list(g):
+    # UNWIND a $param list as a row source
+    rows = run_cypher(
+        g,
+        """
+        UNWIND $names AS n
+        MATCH (p:Person) WHERE p.name = n
+        RETURN p.name as name
+        """,
+        {"names": ["Customer#000000001", "Customer#000000002"]},
+    ).collect()
+    assert {r.name for r in rows} == {
+        "Customer#000000001",
+        "Customer#000000002",
+    }
+    # UNWIND a collect() result back to rows; the list stays in scope
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(f:Person)
+        WITH p, collect(f.name) as friends
+        UNWIND friends AS friend
+        RETURN friend, size(friends) as n
+        """,
+    ).collect()
+    assert rows and all(r.n == len(rows) for r in rows)
+    assert sorted(r.friend for r in rows) == [r.friend for r in sorted(rows, key=lambda r: r.friend)]
