@@ -624,6 +624,64 @@ class Compiler:
             if e.name == "id":
                 v = e.args[0]
                 return F.col(f"{v.name}.id")
+            if e.name == "labels":
+                # single-label graph: labels(n) is a 1-element list
+                v = e.args[0]
+                return F.array(F.col(f"{v.name}.label"))
+            if e.name == "type":
+                v = e.args[0]
+                return F.col(f"{v.name}.type")
+            if e.name == "substring":
+                # Cypher substring(s, start[, length]) is 0-based;
+                # Spark substr is 1-based
+                s = self._scalar(e.args[0], env)
+                start = self._scalar(e.args[1], env) + F.lit(1)
+                if len(e.args) > 2:
+                    return F.substr(s, start, self._scalar(e.args[2], env))
+                return F.substr(s, start)
+            if e.name == "replace":
+                return F.replace(
+                    self._scalar(e.args[0], env),
+                    self._scalar(e.args[1], env),
+                    self._scalar(e.args[2], env),
+                )
+            if e.name in ("trim", "ltrim", "rtrim", "reverse"):
+                fn = {
+                    "trim": F.trim, "ltrim": F.ltrim,
+                    "rtrim": F.rtrim, "reverse": F.reverse,
+                }[e.name]
+                return fn(self._scalar(e.args[0], env))
+            if e.name in ("left", "right"):
+                fn = F.left if e.name == "left" else F.right
+                return fn(
+                    self._scalar(e.args[0], env),
+                    self._scalar(e.args[1], env),
+                )
+            if e.name == "split":
+                # Cypher splits on a LITERAL delimiter; Spark's split
+                # takes a regex, so the delimiter must be a literal we
+                # can escape at compile time
+                import re as _re
+
+                delim = e.args[1]
+                if not isinstance(delim, P.Lit):
+                    raise ValueError(
+                        "cypher: split() delimiter must be a literal"
+                    )
+                return F.split(
+                    self._scalar(e.args[0], env),
+                    _re.escape(delim.value),
+                )
+            if e.name == "tostring":
+                return self._scalar(e.args[0], env).cast("string")
+            if e.name == "tointeger":
+                return self._scalar(e.args[0], env).cast("long")
+            if e.name == "tofloat":
+                return self._scalar(e.args[0], env).cast("double")
+            if e.name == "head":
+                return F.element_at(self._expr_or_var(e.args[0], env), 1)
+            if e.name == "last":
+                return F.element_at(self._expr_or_var(e.args[0], env), -1)
             if e.name == "isnull":
                 return self._expr_or_var(e.args[0], env).isNull()
             if e.name == "isnotnull":
@@ -663,6 +721,19 @@ class Compiler:
                 if not vals:
                     return F.lit(False)
                 return left.isin(list(vals))
+            if e.op == "REGEX":
+                # rlike wants the pattern as a plain string; Neo4j's =~
+                # is a FULL-string match while rlike is substring search,
+                # so anchor the pattern
+                if isinstance(e.right, P.Lit):
+                    pat = e.right.value
+                elif isinstance(e.right, P.Param):
+                    pat = self.params[e.right.name]
+                else:
+                    raise ValueError(
+                        "cypher: =~ pattern must be a literal or $param"
+                    )
+                return self._scalar(e.left, env).rlike(f"^(?:{pat})$")
             left = self._scalar(e.left, env)
             right = self._scalar(e.right, env)
             ops = {
@@ -675,6 +746,8 @@ class Compiler:
                 "AND": lambda a, b: a & b,
                 "OR": lambda a, b: a | b,
                 "CONTAINS": lambda a, b: a.contains(b),
+                "STARTSWITH": lambda a, b: a.startswith(b),
+                "ENDSWITH": lambda a, b: a.endswith(b),
                 "+": lambda a, b: a + b,
                 "-": lambda a, b: a - b,
                 # deviation from Neo4j: `/` on two integers is double

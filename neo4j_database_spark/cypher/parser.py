@@ -198,6 +198,7 @@ _TOKEN_RE = re.compile(
   | (?P<ne><>)
   | (?P<le><=)
   | (?P<ge>>=)
+  | (?P<regex>=~)
   | (?P<num>\d+(\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -215,7 +216,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
-    "UNWIND",
+    "UNWIND", "STARTS", "ENDS",
 }
 
 
@@ -243,7 +244,7 @@ def tokenize(src: str) -> list[Tok]:
                 toks.append(Tok("kw", up))
             else:
                 toks.append(Tok("name", text))
-        elif kind in ("arrow_in", "arrow_out", "ne", "le", "ge", "punct"):
+        elif kind in ("arrow_in", "arrow_out", "ne", "le", "ge", "regex", "punct"):
             toks.append(Tok(text, text))
         elif kind == "num":
             toks.append(Tok("num", text))
@@ -565,6 +566,14 @@ class Parser:
         if t.kind == "kw" and t.text in ("IN", "CONTAINS"):
             self.i += 1
             return BinOp(t.text, left, self.add_expr())
+        if t.kind == "kw" and t.text in ("STARTS", "ENDS"):
+            self.i += 1
+            self.eat("kw", "WITH")
+            op = "STARTSWITH" if t.text == "STARTS" else "ENDSWITH"
+            return BinOp(op, left, self.add_expr())
+        if t.kind == "=~":
+            self.i += 1
+            return BinOp("REGEX", left, self.add_expr())
         if t.kind == "kw" and t.text == "IS":
             self.i += 1
             negated = self.opt("kw", "NOT")

@@ -851,3 +851,107 @@ def test_unwind_param_and_collected_list(g):
     ).collect()
     assert rows and all(r.n == len(rows) for r in rows)
     assert sorted(r.friend for r in rows) == [r.friend for r in sorted(rows, key=lambda r: r.friend)]
+
+
+def test_string_predicates(g):
+    names = {r.name for r in g.persons.select("name").collect()}
+    got = {
+        r.name
+        for r in run_cypher(
+            g,
+            "MATCH (p:Person) WHERE p.name STARTS WITH $pre "
+            "RETURN p.name as name",
+            {"pre": "Customer#00000001"},
+        ).collect()
+    }
+    assert got == {n for n in names if n.startswith("Customer#00000001")}
+    assert got  # non-vacuous
+    got = {
+        r.name
+        for r in run_cypher(
+            g,
+            "MATCH (p:Person) WHERE p.name ENDS WITH '00' "
+            "RETURN p.name as name",
+        ).collect()
+    }
+    assert got == {n for n in names if n.endswith("00")}
+    assert got
+    # =~ anchors the whole string, like Neo4j
+    got = {
+        r.name
+        for r in run_cypher(
+            g,
+            "MATCH (p:Person) WHERE p.name =~ 'Customer#0000000[12]7' "
+            "RETURN p.name as name",
+        ).collect()
+    }
+    assert got == {"Customer#000000017", "Customer#000000027"}
+
+
+def test_string_functions(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})
+        RETURN substring(p.name, 0, 8) as pre,
+               substring(p.name, 9) as digits,
+               replace(p.name, 'Customer', 'Person') as repl,
+               left(p.name, 4) as l4,
+               right(p.name, 2) as r2,
+               reverse(left(p.name, 3)) as rev,
+               trim('  x  ') as t,
+               split(p.name, '#') as parts,
+               toInteger(substring(p.name, 9)) as num,
+               toString(42) as s42,
+               toFloat('2.5') as f
+        """,
+    ).collect()[0]
+    assert row.pre == "Customer"
+    assert row.digits == "000000042"
+    assert row.repl == "Person#000000042"
+    assert row.l4 == "Cust"
+    assert row.r2 == "42"
+    assert row.rev == "suC"
+    assert row.t == "x"
+    assert list(row.parts) == ["Customer", "000000042"]
+    assert row.num == 42
+    assert row.s42 == "42"
+    assert row.f == 2.5
+
+
+def test_labels_type_head_last(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[r:FRIEND_OF]-(f:Person)
+        WITH p, r, f ORDER BY f.name LIMIT 1
+        RETURN labels(p) as lbls, type(r) as t
+        """,
+    ).collect()[0]
+    assert list(row.lbls) == ["Person"]
+    assert row.t == "FRIEND_OF"
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(f:Person)
+        WITH collect(f.name) as friends
+        RETURN head(friends) as first, last(friends) as last_
+        """,
+    ).collect()[0]
+    assert row.first <= row.last_
+
+
+def test_regex_full_string_anchoring(g):
+    # Neo4j's =~ must match the WHOLE string: a bare substring pattern
+    # that rlike would accept matches nothing here
+    got = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.name =~ '0042' RETURN p.name as name",
+    ).collect()
+    assert got == []
+    got = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.name =~ 'Customer#0+42' "
+        "RETURN p.name as name",
+    ).collect()
+    assert [r.name for r in got] == ["Customer#000000042"]
