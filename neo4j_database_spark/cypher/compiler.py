@@ -134,19 +134,69 @@ class Compiler:
         self-joins Catalyst handles like any other.
         """
         variants = self._expand_variable_length(path)
-        if len(variants) == 1:
+        if path.var is None and len(variants) == 1:
             return self._compile_concrete(variants[0], env, defer)
         outs = []
         named_env: dict[str, Binding] = {}
         for p in variants:
             df, local = self._compile_concrete(p, env)
             named = [v for v in local if not v.startswith("__anon")]
-            outs.append(df.select(*named))
+            sel = list(named)
+            if path.var is not None:
+                # the bound path value: hop count + the node-id sequence
+                # (a deviation from Neo4j's rich path object, but enough
+                # for length(p) / nodes(p), the common consumers)
+                node_ids = [
+                    F.col(f"{self._nvar(n)}.id") for n in p.nodes
+                ]
+                df = df.withColumn(
+                    path.var,
+                    F.struct(
+                        F.lit(len(p.rels)).cast("long").alias("length"),
+                        F.array(*node_ids).alias("nodes"),
+                    ),
+                )
+                sel.append(path.var)
+            outs.append(df.select(*sel))
             named_env = {v: local[v] for v in named}
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
+        if path.var is not None:
+            named_env[path.var] = Binding("path")
+            if path.shortest is not None:
+                out = self._shortest_select(out, path)
         return out, named_env
+
+    def _shortest_select(self, out: DataFrame, path: P.Path) -> DataFrame:
+        """shortestPath: keep, per endpoint pair, only the minimum-length
+        trail(s). 'one' keeps a single deterministic winner (shortest
+        length, then lexicographically-least node sequence — Neo4j picks
+        arbitrarily; we pin it); 'all' keeps every minimum-length trail.
+        The window partitions on the endpoint ids, so each pair's
+        candidate set is small (bounded by trails ≤ max_hops)."""
+        from pyspark.sql.window import Window
+
+        pv = path.var
+        ends = [
+            F.element_at(F.col(f"{pv}.nodes"), 1),
+            F.element_at(F.col(f"{pv}.nodes"), -1),
+        ]
+        if path.shortest == "one":
+            w = Window.partitionBy(*ends).orderBy(
+                F.col(f"{pv}.length"), F.col(f"{pv}.nodes")
+            )
+            return (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        w = Window.partitionBy(*ends)
+        return (
+            out.withColumn("__minlen", F.min(F.col(f"{pv}.length")).over(w))
+            .filter(F.col(f"{pv}.length") == F.col("__minlen"))
+            .drop("__minlen")
+        )
 
     def _expand_variable_length(self, path: P.Path) -> list[P.Path]:
         from itertools import product as iproduct
@@ -682,6 +732,15 @@ class Compiler:
                 return F.element_at(self._expr_or_var(e.args[0], env), 1)
             if e.name == "last":
                 return F.element_at(self._expr_or_var(e.args[0], env), -1)
+            if e.name == "length":
+                # length(p) on a bound path = hop count
+                v = e.args[0]
+                return F.col(f"{v.name}.length")
+            if e.name == "nodes":
+                # nodes(p) = the node-id sequence (deviation: ids, not
+                # full node objects — see compile_path docstring)
+                v = e.args[0]
+                return F.col(f"{v.name}.nodes")
             if e.name == "isnull":
                 return self._expr_or_var(e.args[0], env).isNull()
             if e.name == "isnotnull":

@@ -44,6 +44,10 @@ class Path:
     # nodes[0], then (rels[i], nodes[i+1]) hops
     nodes: list[NodePat]
     rels: list[RelPat]
+    # `p = (a)-[..]-(b)` binds p; shortest is None | 'one' | 'all' for
+    # shortestPath(...) / allShortestPaths(...)
+    var: str | None = None
+    shortest: str | None = None
 
 
 @dataclass
@@ -395,12 +399,38 @@ class Parser:
         return MatchClause(paths, optional, where)
 
     def path(self) -> Path:
+        # optional binding: `p = ...` / `p = shortestPath(...)`
+        var = None
+        shortest = None
+        if (
+            self.at("name")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "="
+        ):
+            var = self.eat("name").text
+            self.eat("=", "=")
+        if (
+            self.at("name")
+            and self.peek().text.lower() in ("shortestpath", "allshortestpaths")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "("
+        ):
+            shortest = (
+                "one" if self.eat("name").text.lower() == "shortestpath"
+                else "all"
+            )
+            self.eat("(", "(")
+            inner = self.path()
+            self.eat(")", ")")
+            if not inner.rels:
+                raise SyntaxError("cypher: shortestPath needs a relationship")
+            return Path(inner.nodes, inner.rels, var, shortest)
         nodes = [self.node_pat()]
         rels: list[RelPat] = []
         while self.at("<-") or self.at("-", "-"):
             rels.append(self.rel_pat())
             nodes.append(self.node_pat())
-        return Path(nodes, rels)
+        return Path(nodes, rels, var, shortest)
 
     def node_pat(self) -> NodePat:
         self.eat("(", "(")

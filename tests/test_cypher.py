@@ -955,3 +955,88 @@ def test_regex_full_string_anchoring(g):
         "RETURN p.name as name",
     ).collect()
     assert [r.name for r in got] == ["Customer#000000042"]
+
+
+def test_shortest_path_matches_bfs(g):
+    # shortestPath length ≡ the oracle-checked BFS distances (FRIEND_OF
+    # is per-house cliques, so cross-check on the typed SAME_FAMILY
+    # layer too via the untyped expansion)
+    from neo4j_database_spark.graph import algorithms as galg
+
+    src = "Customer#000000042"
+    rows = run_cypher(
+        g,
+        """
+        MATCH p = shortestPath(
+            (a:Person {name: $src})-[:FRIEND_OF*1..3]-(b:Person)
+        )
+        WHERE b.name <> $src
+        RETURN b.name as name, length(p) as hops
+        """,
+        {"src": src},
+    ).collect()
+    got = {r.name: r.hops for r in rows}
+    bfs = {
+        r.name: r.dist
+        for r in galg.bfs_distances(g, src, max_depth=3).collect()
+        if r.dist > 0
+    }
+    assert got == bfs
+    # every winner is a genuine path: endpoints consistent, no repeats
+    one = run_cypher(
+        g,
+        """
+        MATCH p = shortestPath(
+            (a:Person {name: $src})-[:FRIEND_OF*1..2]-(b:Person)
+        )
+        RETURN nodes(p) as ids, length(p) as hops
+        """,
+        {"src": src},
+    ).collect()
+    for r in one:
+        assert len(r.ids) == r.hops + 1
+        assert len(set(r.ids)) == len(r.ids)  # trail => simple here
+
+
+def test_all_shortest_paths_keeps_ties(g):
+    src = "Customer#000000042"
+    allp = run_cypher(
+        g,
+        """
+        MATCH p = allShortestPaths(
+            (a:Person {name: $src})-[:FRIEND_OF*2..2]-(b:Person)
+        )
+        RETURN b.name as name, nodes(p) as ids
+        """,
+        {"src": src},
+    ).collect()
+    one = run_cypher(
+        g,
+        """
+        MATCH p = shortestPath(
+            (a:Person {name: $src})-[:FRIEND_OF*2..2]-(b:Person)
+        )
+        RETURN b.name as name
+        """,
+        {"src": src},
+    ).collect()
+    # allShortestPaths covers the same endpoint set, with ≥ as many rows
+    assert {r.name for r in allp} == {r.name for r in one}
+    assert len(allp) >= len(one)
+    # in a clique there are many 2-hop trails between two members
+    from collections import Counter
+
+    counts = Counter(r.name for r in allp)
+    assert max(counts.values()) > 1
+
+
+def test_named_path_binding_concrete(g):
+    rows = run_cypher(
+        g,
+        """
+        MATCH p = (a:Person {name: $src})-[:FRIEND_OF]-(b:Person)
+        RETURN length(p) as hops, nodes(p) as ids, b.name as name
+        """,
+        {"src": "Customer#000000042"},
+    ).collect()
+    assert rows and all(r.hops == 1 and len(r.ids) == 2 for r in rows)
