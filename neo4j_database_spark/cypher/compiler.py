@@ -81,6 +81,23 @@ def _rel_struct(src: Column, dst: Column, rtype: Column) -> Column:
     return F.struct(src.alias("src"), dst.alias("dst"), rtype.alias("type"))
 
 
+def _walk_expr(e):
+    yield e
+    if isinstance(e, P.BinOp):
+        yield from _walk_expr(e.left)
+        yield from _walk_expr(e.right)
+    elif isinstance(e, P.Not):
+        yield from _walk_expr(e.expr)
+    elif isinstance(e, P.Func):
+        for a in e.args:
+            yield from _walk_expr(a)
+    elif isinstance(e, P.CaseWhen):
+        for c, v in e.whens:
+            yield from _walk_expr(c)
+            yield from _walk_expr(v)
+        yield from _walk_expr(e.default)
+
+
 @dataclass
 class Binding:
     kind: str  # 'node' | 'rel' | 'value'
@@ -424,7 +441,8 @@ class Compiler:
                 if cl.limit is not None:
                     df = df.limit(cl.limit)
                 if cl.where is not None:
-                    df = df.filter(self._expr(cl.where, env))
+                    df, w = self._rewrite_subs(df, env, cl.where)
+                    df = df.filter(self._expr(w, env))
             elif isinstance(cl, P.UnwindClause):
                 df, env = self._unwind(df, env, cl)
             elif isinstance(cl, P.ReturnClause):
@@ -454,29 +472,109 @@ class Compiler:
 
     def _split_pattern_preds(self, expr):
         """AND-decompose a WHERE tree into (plain predicates, pattern
-        predicates). Pattern predicates are only supported as top-level
-        conjuncts (the standard decomposable position)."""
+        predicates). Pattern predicates and EXISTS{} subqueries are
+        extracted at top-level conjuncts (the standard decomposable
+        position) and become semi/anti joins; anything else — including
+        subqueries under OR or in comparisons — stays a plain expression
+        and is resolved to a computed column by _rewrite_subs."""
         plain: list = []
-        pats: list[tuple[P.Path, bool]] = []  # (path, negated)
+        # (path, sub-WHERE or None, negated)
+        pats: list[tuple[P.Path, object, bool]] = []
 
         def walk(e):
             if isinstance(e, P.BinOp) and e.op == "AND":
                 walk(e.left)
                 walk(e.right)
             elif isinstance(e, P.PatternPred):
-                pats.append((e.path, False))
+                pats.append((e.path, None, False))
+            elif isinstance(e, P.ExistsSub):
+                pats.append((e.path, e.where, False))
             elif isinstance(e, P.Not) and isinstance(e.expr, P.PatternPred):
-                pats.append((e.expr.path, True))
+                pats.append((e.expr.path, None, True))
+            elif isinstance(e, P.Not) and isinstance(e.expr, P.ExistsSub):
+                pats.append((e.expr.path, e.expr.where, True))
             else:
                 plain.append(e)
 
         walk(expr)
         return plain, pats
 
-    def _apply_pattern_pred(self, df, env, path: P.Path, negated: bool):
-        """`WHERE [NOT] (a)-[:T]-(b)` ⇒ semi/anti join on the bound
-        endpoints — the existential never multiplies rows."""
+    def _rewrite_subs(self, df, env, e):
+        """Replace EXISTS{}/COUNT{} nodes inside an expression tree with
+        references to computed columns (boolean flag / per-key count),
+        joining the subquery result onto df. Returns (df', expr')."""
+        if isinstance(e, (P.ExistsSub, P.CountSub)):
+            df, col = self._sub_column(df, env, e)
+            return df, P.Var(col)
+        if isinstance(e, P.BinOp):
+            df, left = self._rewrite_subs(df, env, e.left)
+            df, right = self._rewrite_subs(df, env, e.right)
+            return df, P.BinOp(e.op, left, right)
+        if isinstance(e, P.Not):
+            df, x = self._rewrite_subs(df, env, e.expr)
+            return df, P.Not(x)
+        if isinstance(e, P.Func):
+            args = []
+            for a in e.args:
+                df, a2 = self._rewrite_subs(df, env, a)
+                args.append(a2)
+            return df, P.Func(e.name, args, e.distinct)
+        if isinstance(e, P.CaseWhen):
+            whens = []
+            for c, v in e.whens:
+                df, c2 = self._rewrite_subs(df, env, c)
+                df, v2 = self._rewrite_subs(df, env, v)
+                whens.append((c2, v2))
+            df, d2 = self._rewrite_subs(df, env, e.default)
+            return df, P.CaseWhen(whens, d2)
+        return df, e
+
+    def _sub_column(self, df, env, e):
+        """One EXISTS{}/COUNT{} subquery ⇒ one aggregated-left-join:
+        the subquery compiles standalone, aggregates per bound-variable
+        key (distinct for EXISTS, count for COUNT), and joins back —
+        never multiplying rows, the decorrelated plan shape."""
+        sub, local = self.compile_path(e.path, env)
+        if e.where is not None:
+            sub = sub.filter(self._expr(e.where, {**env, **local}))
+        shared = [
+            v for v in local if v in env and local[v].kind == "node"
+        ]
+        if not shared:
+            raise ValueError(
+                "cypher: subquery must reference a bound variable"
+            )
+        self._anon_counter = getattr(self, "_anon_counter", 0) + 1
+        col = f"__sub{self._anon_counter}"
+        keys = [F.col(f"{v}.id").alias(f"__k_{v}") for v in shared]
+        cond = None
+        for v in shared:
+            c = F.col(f"{v}.id") == F.col(f"__k_{v}")
+            cond = c if cond is None else (cond & c)
+        if isinstance(e, P.ExistsSub):
+            agg = sub.select(*keys).distinct().withColumn(col, F.lit(True))
+            fill = F.lit(False)
+        else:
+            agg = sub.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(col)
+            )
+            fill = F.lit(0).cast("long")
+        df = (
+            df.join(agg, cond, "left")
+            .withColumn(col, F.coalesce(F.col(col), fill))
+            .drop(*[f"__k_{v}" for v in shared])
+        )
+        return df, col
+
+    def _apply_pattern_pred(
+        self, df, env, path: P.Path, negated: bool, where=None
+    ):
+        """`WHERE [NOT] (a)-[:T]-(b)` / `WHERE [NOT] EXISTS {...}` ⇒
+        semi/anti join on the bound endpoints — the existential never
+        multiplies rows."""
         sub, local = self.compile_path(path, env)
+        if where is not None:
+            sub = sub.filter(self._expr(where, {**env, **local}))
         shared = [v for v in local if v in env and local[v].kind == "node"]
         if not shared:
             raise ValueError(
@@ -540,9 +638,10 @@ class Compiler:
         if not cl.optional and cl.where is not None:
             plain, pats = self._split_pattern_preds(cl.where)
             for e in plain:
+                df, e = self._rewrite_subs(df, env, e)
                 df = df.filter(self._expr(e, env))
-            for path, negated in pats:
-                df = self._apply_pattern_pred(df, env, path, negated)
+            for path, where, negated in pats:
+                df = self._apply_pattern_pred(df, env, path, negated, where)
         return df, env
 
     def _is_agg(self, e) -> bool:
@@ -559,6 +658,16 @@ class Compiler:
         raise ValueError("cypher: complex projection items need AS aliases")
 
     def _project(self, df, env, items: list[P.Item]):
+        if any(
+            isinstance(n, (P.ExistsSub, P.CountSub))
+            for it in items
+            for n in _walk_expr(it.expr)
+        ):
+            rewritten = []
+            for it in items:
+                df, e2 = self._rewrite_subs(df, env, it.expr)
+                rewritten.append(P.Item(e2, it.alias))
+            items = rewritten
         has_agg = any(self._is_agg(it.expr) for it in items)
         new_env: dict[str, Binding] = {}
         if not has_agg:

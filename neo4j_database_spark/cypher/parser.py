@@ -180,6 +180,20 @@ class CaseWhen:
 
 
 @dataclass
+class ExistsSub:
+    # EXISTS { [MATCH] pattern [WHERE expr] }
+    path: "Path"
+    where: object | None = None
+
+
+@dataclass
+class CountSub:
+    # COUNT { [MATCH] pattern [WHERE expr] }
+    path: "Path"
+    where: object | None = None
+
+
+@dataclass
 class PatternPred:
     """`WHERE [NOT] (a)-[:T]-(b)` — an existential pattern predicate."""
 
@@ -691,10 +705,18 @@ class Parser:
             return Lit(None)
         if t.kind == "kw" and t.text == "CASE":
             return self.case_expr()
-        if t.kind == "kw" and t.text == "COUNT":  # unreachable; count is a name
-            pass
+        if (
+            t.kind == "kw"
+            and t.text == "EXISTS"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "{"
+        ):
+            self.i += 1
+            return self.subquery(ExistsSub)
         if t.kind == "name":
             name = self.eat("name").text
+            if name.upper() == "COUNT" and self.at("{", "{"):
+                return self.subquery(CountSub)
             if self.at("(", "("):  # function call
                 self.eat("(")
                 distinct = self.opt("kw", "DISTINCT")
@@ -713,6 +735,15 @@ class Parser:
                 return Prop(name, prop)
             return Var(name)
         raise SyntaxError(f"cypher: unexpected token {t.text!r} in expression")
+
+    def subquery(self, cls):
+        # { [MATCH] pattern [WHERE expr] }
+        self.eat("{", "{")
+        self.opt("kw", "MATCH")
+        path = self.path()
+        where = self.expr() if self.opt("kw", "WHERE") else None
+        self.eat("}", "}")
+        return cls(path, where)
 
 
 import functools

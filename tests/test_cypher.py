@@ -1040,3 +1040,102 @@ def test_named_path_binding_concrete(g):
         {"src": "Customer#000000042"},
     ).collect()
     assert rows and all(r.hops == 1 and len(r.ids) == 2 for r in rows)
+
+
+def test_exists_subquery_with_where(g):
+    # EXISTS {} as a top-level conjunct = semi-join; with an inner WHERE
+    q = """
+        MATCH (p:Person)
+        WHERE p.name STARTS WITH 'Customer#0000000'
+          AND EXISTS { MATCH (p)-[:SAME_FAMILY]-(q:Person)
+                       WHERE q.house = $h }
+        RETURN p.name as name
+    """
+    h = "NATION_3"
+    got = {r.name for r in run_cypher(g, q, {"h": h}).collect()}
+    fam = g.sym_edges(("SAME_FAMILY",))
+    ids = g.persons.select("id", "name", "house")
+    want_df = (
+        ids.filter(F.col("name").startswith("Customer#0000000"))
+        .join(fam, F.col("id") == F.col("src"), "left_semi")
+    )
+    want = {
+        r.name
+        for r in ids.filter(F.col("name").startswith("Customer#0000000"))
+        .join(
+            fam.join(
+                ids.select(F.col("id").alias("dst"), F.col("house").alias("nh")),
+                "dst",
+            ).filter(F.col("nh") == h).select("src").distinct(),
+            F.col("id") == F.col("src"),
+            "left_semi",
+        )
+        .collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_count_subquery_in_return_and_where(g):
+    # COUNT {} per-row in RETURN ≡ the aggregate formulation
+    q = """
+        MATCH (p:Person)
+        WHERE p.name IN $names
+        RETURN p.name as name,
+               COUNT { (p)-[:FRIEND_OF]-(q:Person) } as friends
+    """
+    names = [f"Customer#{i:09d}" for i in range(20)]
+    got = {
+        r.name: r.friends for r in run_cypher(g, q, {"names": names}).collect()
+    }
+    agg = {
+        r.name: r.friends
+        for r in run_cypher(
+            g,
+            """
+            MATCH (p:Person)
+            WHERE p.name IN $names
+            OPTIONAL MATCH (p)-[:FRIEND_OF]-(q:Person)
+            RETURN p.name as name, count(q) as friends
+            """,
+            {"names": names},
+        ).collect()
+    }
+    assert got == agg
+    assert len(got) == len(names)
+    # COUNT {} in a WHERE comparison (non-conjunct-decomposable position)
+    q2 = """
+        MATCH (p:Person)
+        WHERE p.name IN $names AND
+              (COUNT { (p)-[:FRIEND_OF]-(q:Person) } > 50
+               OR p.house IS NULL)
+        RETURN p.name as name
+    """
+    got2 = {r.name for r in run_cypher(g, q2, {"names": names}).collect()}
+    want2 = {n for n, c in got.items() if c > 50} | {
+        r.name
+        for r in g.persons.filter(
+            F.col("name").isin(names) & F.col("house").isNull()
+        ).collect()
+    }
+    assert got2 == want2
+
+
+def test_not_exists_subquery(g):
+    q = """
+        MATCH (p:Person)
+        WHERE p.name IN $names
+          AND NOT EXISTS { (p)-[:ROMANTIC_WITH]-(q:Person) }
+        RETURN p.name as name
+    """
+    names = [f"Customer#{i:09d}" for i in range(150)]
+    got = {r.name for r in run_cypher(g, q, {"names": names}).collect()}
+    rom = g.sym_edges(("ROMANTIC_WITH",)).select("src").distinct()
+    want = {
+        r.name
+        for r in g.persons.filter(F.col("name").isin(names))
+        .join(rom, F.col("id") == F.col("src"), "left_anti")
+        .collect()
+    }
+    assert got == want
+    assert got != set(names)  # some romances exist in range
