@@ -108,6 +108,22 @@ class Compiler:
     def __init__(self, g: GraphModel, params: dict):
         self.g = g
         self.params = params or {}
+        # lambda-scoped variables for list comprehensions / reduce():
+        # maps a Cypher variable name to the higher-order-function
+        # argument Column while compiling the lambda body
+        self._lambda_vars: dict[str, Column] = {}
+
+    def _with_lambda(self, bindings: dict[str, Column], body, env) -> Column:
+        old = {k: self._lambda_vars.get(k) for k in bindings}
+        self._lambda_vars.update(bindings)
+        try:
+            return self._scalar(body, env)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    self._lambda_vars.pop(k, None)
+                else:
+                    self._lambda_vars[k] = v
 
     # ---------------- edge sources (string endpoints) ----------------
 
@@ -758,6 +774,8 @@ class Compiler:
 
     def _expr_or_var(self, e, env) -> Column:
         if isinstance(e, P.Var):
+            if e.name in self._lambda_vars:
+                return self._lambda_vars[e.name]
             return F.col(e.name)
         return self._expr(e, env)
 
@@ -771,10 +789,54 @@ class Compiler:
         if isinstance(e, P.ListLit):
             return e  # only valid on the right of IN
         if isinstance(e, P.Var):
+            if e.name in self._lambda_vars:
+                return self._lambda_vars[e.name]
             return F.col(e.name)
         if isinstance(e, P.Prop):
             field = _PROP_MAP.get(e.name, e.name)
+            if e.var in self._lambda_vars:
+                return self._lambda_vars[e.var][field]
             return F.col(f"{e.var}.{field}")
+        if isinstance(e, P.ListComp):
+            col = self._list_col(e.src, env)
+            if e.where is not None:
+                col = F.filter(
+                    col,
+                    lambda x: self._with_lambda({e.var: x}, e.where, env),
+                )
+            if e.map_expr is not None:
+                col = F.transform(
+                    col,
+                    lambda x: self._with_lambda({e.var: x}, e.map_expr, env),
+                )
+            return col
+        if isinstance(e, P.QuantPred):
+            col = self._list_col(e.src, env)
+
+            def pred(x):
+                return self._with_lambda({e.var: x}, e.where, env)
+
+            if e.kind == "any":
+                return F.exists(col, pred)
+            if e.kind == "all":
+                return F.forall(col, pred)
+            if e.kind == "none":
+                return ~F.exists(col, pred)
+            return F.size(F.filter(col, pred)) == F.lit(1)  # single
+        if isinstance(e, P.ReduceExpr):
+            col = self._list_col(e.src, env)
+            init = self._scalar(e.init, env)
+            if isinstance(e.init, P.Lit) and isinstance(e.init.value, int):
+                # integer arithmetic in the engine is BIGINT; aggregate()
+                # requires the init to match the merge lambda's type
+                init = init.cast("long")
+            return F.aggregate(
+                col,
+                init,
+                lambda acc, x: self._with_lambda(
+                    {e.acc: acc, e.var: x}, e.body, env
+                ),
+            )
         if isinstance(e, P.Func):
             if e.name == "tolower":
                 return F.lower(self._scalar(e.args[0], env))
@@ -837,6 +899,12 @@ class Compiler:
                 return self._scalar(e.args[0], env).cast("long")
             if e.name == "tofloat":
                 return self._scalar(e.args[0], env).cast("double")
+            if e.name == "range":
+                # both Cypher range() and Spark sequence() are
+                # inclusive on both ends
+                return F.sequence(
+                    *[self._scalar(a, env).cast("long") for a in e.args]
+                )
             if e.name == "head":
                 return F.element_at(self._expr_or_var(e.args[0], env), 1)
             if e.name == "last":
@@ -862,6 +930,11 @@ class Compiler:
                 return F.abs(self._scalar(e.args[0], env))
             if e.name == "size":
                 return F.size(self._expr_or_var(e.args[0], env)).cast("long")
+            if e.name in ("char_length", "character_length"):
+                # Neo4j 5's string-length functions (size(STRING) is
+                # deprecated there and unsupported here — Spark's size()
+                # is list-only and the compiler has no static types)
+                return F.length(self._expr_or_var(e.args[0], env)).cast("long")
             if e.name in P.AGG_FUNCS:
                 raise ValueError(
                     f"cypher: aggregate {e.name}() only valid in WITH/RETURN"
@@ -926,6 +999,16 @@ class Compiler:
             }
             return ops[e.op](left, right)
         raise ValueError(f"cypher: cannot compile {e!r}")
+
+    def _list_col(self, e, env) -> Column:
+        """A list-valued source (for comprehensions / quantifiers /
+        reduce): a $param or literal list inlines, anything else is a
+        bound array column/expression."""
+        if isinstance(e, P.Param):
+            return F.lit(list(self.params[e.name]))
+        if isinstance(e, P.ListLit):
+            return F.array(*[self._scalar(i, env) for i in e.items])
+        return self._expr_or_var(e, env)
 
     def _scalar(self, e, env) -> Column:
         c = self._expr(e, env)

@@ -180,6 +180,34 @@ class CaseWhen:
 
 
 @dataclass
+class ListComp:
+    # [var IN src WHERE where | map_expr]
+    var: str
+    src: object
+    where: object | None = None
+    map_expr: object | None = None
+
+
+@dataclass
+class QuantPred:
+    # any/all/none/single(var IN src WHERE where)
+    kind: str
+    var: str
+    src: object
+    where: object = None
+
+
+@dataclass
+class ReduceExpr:
+    # reduce(acc = init, var IN src | body)
+    acc: str
+    init: object
+    var: str
+    src: object
+    body: object = None
+
+
+@dataclass
 class ExistsSub:
     # EXISTS { [MATCH] pattern [WHERE expr] }
     path: "Path"
@@ -681,6 +709,20 @@ class Parser:
             return e
         if t.kind == "[":
             self.eat("[")
+            # list comprehension: [x IN xs WHERE pred | expr]
+            if (
+                self.at("name")
+                and self.peek(1) is not None
+                and self.peek(1).kind == "kw"
+                and self.peek(1).text == "IN"
+            ):
+                var = self.eat("name").text
+                self.eat("kw", "IN")
+                src = self.expr()
+                where = self.expr() if self.opt("kw", "WHERE") else None
+                map_expr = self.expr() if self.opt("|", "|") else None
+                self.eat("]", "]")
+                return ListComp(var, src, where, map_expr)
             items = []
             if not self.at("]"):
                 items.append(self.expr())
@@ -717,6 +759,37 @@ class Parser:
             name = self.eat("name").text
             if name.upper() == "COUNT" and self.at("{", "{"):
                 return self.subquery(CountSub)
+            low = name.lower()
+            if (
+                low in ("any", "all", "none", "single")
+                and self.at("(", "(")
+                and self.peek(1) is not None
+                and self.peek(1).kind == "name"
+                and self.peek(2) is not None
+                and self.peek(2).kind == "kw"
+                and self.peek(2).text == "IN"
+            ):
+                self.eat("(")
+                var = self.eat("name").text
+                self.eat("kw", "IN")
+                src = self.expr()
+                self.eat("kw", "WHERE")
+                pred = self.expr()
+                self.eat(")", ")")
+                return QuantPred(low, var, src, pred)
+            if low == "reduce" and self.at("(", "("):
+                self.eat("(")
+                acc = self.eat("name").text
+                self.eat("=", "=")
+                init = self.expr()
+                self.eat(",", ",")
+                var = self.eat("name").text
+                self.eat("kw", "IN")
+                src = self.expr()
+                self.eat("|", "|")
+                body = self.expr()
+                self.eat(")", ")")
+                return ReduceExpr(acc, init, var, src, body)
             if self.at("(", "("):  # function call
                 self.eat("(")
                 distinct = self.opt("kw", "DISTINCT")

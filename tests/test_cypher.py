@@ -1139,3 +1139,50 @@ def test_not_exists_subquery(g):
     }
     assert got == want
     assert got != set(names)  # some romances exist in range
+
+
+def test_list_comprehension_and_quantifiers(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(f:Person)
+        WITH p, collect(f.name) as friends
+        RETURN size([x IN friends WHERE x ENDS WITH '3']) as n3,
+               [x IN friends WHERE x ENDS WITH '3' | toUpper(x)] as up3,
+               any(x IN friends WHERE x ENDS WITH '3') as has3,
+               all(x IN friends WHERE x STARTS WITH 'Customer') as allc,
+               none(x IN friends WHERE x = 'nope') as noneX,
+               single(x IN friends WHERE x = head(friends)) as uniq,
+               reduce(acc = 0, x IN friends | acc + char_length(x)) as total_len,
+               [i IN range(1, 4) | i * 10] as tens
+        """,
+    ).collect()[0]
+    friends_df = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[:FRIEND_OF]-(f:Person)
+        RETURN f.name as name
+        """,
+    ).collect()
+    friends = [r.name for r in friends_df]
+    want3 = [x for x in friends if x.endswith("3")]
+    assert row.n3 == len(want3)
+    assert sorted(row.up3) == sorted(x.upper() for x in want3)
+    assert row.has3 == (len(want3) > 0)
+    assert row.allc is True
+    assert row.noneX is True
+    assert row.uniq is True
+    assert row.total_len == sum(len(x) for x in friends)
+    assert list(row.tens) == [10, 20, 30, 40]
+
+
+def test_list_comprehension_over_param(g):
+    rows = run_cypher(
+        g,
+        """
+        UNWIND [x IN $xs WHERE x % 2 = 0 | x * x] AS sq
+        RETURN sq ORDER BY sq
+        """,
+        {"xs": [1, 2, 3, 4, 5, 6]},
+    ).collect()
+    assert [r.sq for r in rows] == [4, 16, 36]
