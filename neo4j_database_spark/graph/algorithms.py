@@ -98,6 +98,9 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # nbr_min is node-sized; broadcasting it in small mode spares
+        # labels a shuffle every superstep (same trick as pagerank)
+        nbr_min = F.broadcast(nbr_min) if small else nbr_min
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -199,6 +202,9 @@ def pagerank(
             )
         )
         teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
+        # contribs is node-sized; in small mode broadcasting it spares
+        # nodes a shuffle every superstep
+        contribs = F.broadcast(contribs) if small else contribs
         ranks = nodes.join(contribs, "id", "left").select(
             "id",
             (
