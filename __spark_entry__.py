@@ -303,6 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_skyline": rel.part_skyline,  # Pareto frontier
         "customer_hierarchy_rollup": rel.customer_hierarchy_rollup,
         "monthly_revenue_growth": rel.monthly_revenue_growth,
+        # -- round-5 additions: remaining classic TPC-H shapes --
+        "volume_shipping": rel.volume_shipping,  # Q7
+        "product_profit": rel.product_profit,  # Q9
+        "promo_revenue_share": rel.promo_revenue_share,  # Q14
+        "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
+        "important_parts": rel.important_parts,  # Q11
+        "promo_part_suppliers": rel.promo_part_suppliers,  # Q20
     }
 
 
@@ -3214,6 +3221,113 @@ JOIN supplier s ON li.l_suppkey = s.s_suppkey
 WHERE p.p_type = 'PROMO'
 ORDER BY partkey ASC, supplier ASC
 LIMIT 25
+""",
+        # Q7 shape: two-nation bidirectional shipping volume by year.
+        "volume_shipping": """
+WITH supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+),
+custn AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+)
+SELECT s.supp_nation, c.cust_nation,
+  year(l.l_shipdate) AS l_year,
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supp s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN custn c ON o.o_custkey = c.c_custkey
+WHERE s.supp_nation <> c.cust_nation
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        # Q9 shape: profit (revenue minus retailprice-x-qty cost proxy)
+        # per supplier nation and order year, parts matching a token.
+        "product_profit": """
+SELECT sn.n_name AS supp_nation, year(o.o_orderdate) AS o_year,
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY supp_nation ASC, o_year DESC
+""",
+        # Q14 shape: PROMO revenue share of one shipdate month.
+        "promo_revenue_share": """
+SELECT
+  CAST(100.0 AS DOUBLE)
+  * COALESCE(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) END)
+    AS DECIMAL(28,6)) AS DOUBLE), CAST(0.0 AS DOUBLE))
+  / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS promo_share_pct,
+  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-10-01 00:00:00'
+""",
+        # Q15 shape: max-revenue supplier(s) of one quarter, decimal-
+        # exact max join-back (ties surface).
+        "top_supplier_revenue": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      AS DECIMAL(28,6)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier,
+  CAST(p.rev AS DOUBLE) AS total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev = (SELECT MAX(rev) FROM per_supp)
+ORDER BY suppkey
+""",
+        # Q11 shape: parts above a fixed fraction of one nation's total,
+        # exact-decimal cross-multiplied threshold.
+        "important_parts": """
+WITH per_part AS (
+  SELECT l.l_partkey,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+      AS DECIMAL(28,6)) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+FROM per_part
+WHERE val * 10000 > (SELECT CAST(SUM(val) AS DECIMAL(28,6)) FROM per_part)
+ORDER BY value DESC, partkey ASC
+""",
+        # Q20 shape: suppliers above the mean PROMO-part quantity,
+        # integer cross-multiplied threshold.
+        "promo_part_suppliers": """
+WITH per_supp AS (
+  SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS BIGINT)) AS promo_qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  GROUP BY l.l_suppkey
+),
+stats AS (
+  SELECT SUM(promo_qty) AS total_qty, COUNT(*) AS n_supp FROM per_supp
+)
+SELECT s.s_name AS supplier, n.n_name AS nation, p.promo_qty
+FROM per_supp p, stats
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.promo_qty * stats.n_supp > stats.total_qty
+ORDER BY supplier
 """,
         # Local clustering coefficient over SAME_FAMILY: exact integer
         # triangle/degree counts, one correctly-rounded double division.

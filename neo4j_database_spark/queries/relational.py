@@ -2095,3 +2095,224 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / prev.cast("double"),
         ).alias("growth"),
     ).orderBy("y", "m")
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue shipped between two
+    nations, in both directions, by ship year.
+
+    The supplier dim filters to the two nations BEFORE the fact join and
+    broadcasts; orders->customer is the one node-sized shuffle join; the
+    (supp_nation, cust_nation) pair filter keeps only the two cross
+    directions. Group keys are tiny (2 nations x years), so the final
+    aggregate is one small exchange.
+    """
+    n1, n2 = "NATION_3", "NATION_7"
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    custn = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(custn, orders.o_custkey == custn.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_money_out(F.sum(revenue)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    year) profit over parts whose name matches a token.
+
+    The schema has no partsupp, so supply cost is proxied by
+    p_retailprice x l_quantity (same double product in both engines —
+    identical operand order, one decimal cast of the result). The part
+    filter broadcasts; supplier nation broadcasts; orders joins on the
+    fact key.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").contains("red")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    amount = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_money_out(F.sum(amount)).alias("profit"))
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the percentage of one
+    month's revenue coming from PROMO-type parts.
+
+    One conditional-sum / total-sum ratio in a single aggregate over the
+    month's lineitems (shipdate filter pushes to the scan; part type
+    broadcasts) — the division is the only double op, after both sums
+    accumulated exactly.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1998-09-01"))
+        & (F.col("l_shipdate") < F.lit("1998-10-01"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", revenue)
+    ).cast(MONEY_SUM).cast("double")
+    total = F.sum(revenue).cast(MONEY_SUM).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy()
+        .agg(
+            (F.lit(100.0) * F.coalesce(promo, F.lit(0.0)) / total).alias(
+                "promo_share_pct"
+            ),
+            total.alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue in one quarter — the VIEW + scalar-subquery formulation
+    decorrelated to an aggregate + max join-back on the exact decimal
+    revenue (ties all surface, like the spec demands).
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(revenue).cast(MONEY_SUM).alias("rev"))
+    )
+    max_rev = per_supp.groupBy().agg(F.max("rev").alias("max_rev"))
+    return (
+        per_supp.join(
+            F.broadcast(max_rev), per_supp.rev == F.col("max_rev")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue from one
+    nation's suppliers exceeds a fixed fraction of that nation's total.
+
+    The global total is a 1-row aggregate broadcast into the per-part
+    filter; the threshold compare cross-multiplies exact decimals
+    (value x 10000 > total) so no double compare can drift. Per-part
+    aggregation is the one fact-sized shuffle.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    value = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).cast(MONEY_SUM).alias("val"))
+    )
+    total = per_part.groupBy().agg(F.sum("val").cast(MONEY_SUM).alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") * 10000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    an above-average quantity of PROMO-type parts — the nested-IN
+    subquery chain decorrelated to one HAVING aggregate + joins.
+
+    The above-average threshold cross-multiplies integers
+    (qty x n_suppliers > total) — engine-exact, scale-free. PROMO parts
+    broadcast into the fact scan; the supplier enrich broadcasts.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    per_supp = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("promo_qty"))
+    )
+    stats = per_supp.groupBy().agg(
+        F.sum("promo_qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    return (
+        per_supp.join(F.broadcast(stats))
+        .filter(F.col("promo_qty") * F.col("n_supp") > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "promo_qty",
+        )
+        .orderBy("supplier")
+    )
