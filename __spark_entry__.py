@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_jaccard_similarity": on_graph(
             lambda g: galg.jaccard_similarity(g)
         ),
+        "g_hits": on_graph(lambda g: galg.hits(g)),
         "cypher_search": _cypher_search,
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
         "events_audience_overlap": rel.events_audience_overlap,
@@ -829,6 +830,66 @@ ORDER BY r.rank DESC, p.name ASC
 """
 
 
+def _hits_sql(max_iter: int = 5) -> str:
+    """Exact oracle for galg.hits: the iteration unrolled as chained
+    CTEs with the identical arithmetic contract — contributions AND
+    squared norms nano-quantized to LONG (order-independent integer
+    sums), sqrt/divisions as single correctly-rounded IEEE double ops,
+    initial hub = the same IEEE 1/n division."""
+    S = "CAST(1000000000 AS DOUBLE)"
+    ctes = [
+        "ht_e AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "ht_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM persons)",
+        "ht_h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) / n AS hub "
+        "FROM persons, ht_n)",
+    ]
+    for k in range(1, max_iter + 1):
+        p = k - 1
+        ctes.append(
+            f"""ht_ar{k} AS MATERIALIZED (
+  SELECT p.id, COALESCE(i.raw, CAST(0 AS DOUBLE)) AS raw
+  FROM persons p LEFT JOIN (
+    SELECT e.dst AS id,
+      CAST(SUM(CAST(round(h.hub * {S}) AS BIGINT)) AS DOUBLE) / {S} AS raw
+    FROM ht_e e JOIN ht_h{p} h ON e.src = h.id GROUP BY e.dst
+  ) i ON i.id = p.id)"""
+        )
+        ctes.append(
+            f"ht_an{k} AS (SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {S}) "
+            f"AS BIGINT)) AS DOUBLE) / {S}) AS nrm FROM ht_ar{k})"
+        )
+        ctes.append(
+            f"ht_a{k} AS MATERIALIZED (SELECT id, raw / nrm AS auth "
+            f"FROM ht_ar{k}, ht_an{k})"
+        )
+        ctes.append(
+            f"""ht_hr{k} AS MATERIALIZED (
+  SELECT p.id, COALESCE(i.raw, CAST(0 AS DOUBLE)) AS raw
+  FROM persons p LEFT JOIN (
+    SELECT e.src AS id,
+      CAST(SUM(CAST(round(a.auth * {S}) AS BIGINT)) AS DOUBLE) / {S} AS raw
+    FROM ht_e e JOIN ht_a{k} a ON e.dst = a.id GROUP BY e.src
+  ) i ON i.id = p.id)"""
+        )
+        ctes.append(
+            f"ht_hn{k} AS (SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {S}) "
+            f"AS BIGINT)) AS DOUBLE) / {S}) AS nrm FROM ht_hr{k})"
+        )
+        ctes.append(
+            f"ht_h{k} AS MATERIALIZED (SELECT id, raw / nrm AS hub "
+            f"FROM ht_hr{k}, ht_hn{k})"
+        )
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT p.name, h.hub, a.auth AS authority
+FROM persons p
+JOIN ht_h{max_iter} h ON h.id = p.id
+JOIN ht_a{max_iter} a ON a.id = p.id
+ORDER BY authority DESC, h.hub DESC, p.name ASC
+"""
+
+
 def _ppr_sql(
     seed_name: str, max_iter: int = 10, damping: float = 0.85
 ) -> str:
@@ -1285,6 +1346,7 @@ FROM (
 )
 """,
         "g_pagerank": _pagerank_sql(),
+        "g_hits": _hits_sql(),
         "g_link_pred_scores": f"""{GRAPH_CTES}
 , nbr AS (
   SELECT DISTINCT src, dst FROM sym_edges

@@ -1004,3 +1004,90 @@ def jaccard_similarity(
         .orderBy(F.desc("jaccard"), F.asc("name_a"), F.asc("name_b"))
         .limit(k)
     )
+
+
+def hits(
+    g: GraphModel,
+    types: tuple[str, ...] | None = None,
+    max_iter: int = 5,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """HITS (hubs & authorities) over the DIRECTED stored edges
+    (canonical one-way FRIEND_OF/SAME_FAMILY, both-way ENEMY/ROMANCE —
+    the direction structure the reference materializes,
+    get_insert.py:122-163).
+
+    Per iteration: authority(v) = Σ_{u→v} hub(u), L2-normalized; then
+    hub(u) = Σ_{u→v} authority(v), L2-normalized. Determinism contract
+    (same as pagerank): every addend — contributions AND the squared
+    norms — is nano-quantized to LONG before summing, so the sums are
+    order/partition independent; sqrt and the divisions are single
+    correctly-rounded IEEE ops. Hash-matches the unrolled DuckDB oracle.
+
+    Scale: the edge table is static (broadcast the node-sized frames
+    below the limit; co-partitioned copies keyed by src AND dst above
+    it — each superstep then shuffles only node-sized frames).
+    """
+    nodes = g.persons.select("id").localCheckpoint()
+    n = nodes.count()
+    small = n <= broadcast_node_limit
+    edges = g.edges if types is None else g.edges.filter(
+        F.col("type").isin(list(types))
+    )
+    edges = edges.select("src", "dst")
+    if small:
+        e_src = e_dst = edges.localCheckpoint()
+    else:
+        e_src = _copartition(edges, "src")
+        e_dst = _copartition(edges, "dst")
+
+    def _step(scores: DataFrame, col: str, e: DataFrame,
+              join_key: str, out_key: str, out: str) -> DataFrame:
+        """One half-iteration: sum quantized scores over edges into
+        out_key, then L2-normalize."""
+        side = F.broadcast(scores) if small else scores
+        raw = (
+            e.join(side, F.col(join_key) == scores.id)
+            .groupBy(F.col(out_key).alias("id"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col(col) * CONTRIB_SCALE).cast("long")
+                    ).cast("double")
+                    / F.lit(CONTRIB_SCALE)
+                ).alias("raw")
+            )
+        )
+        raw = F.broadcast(raw) if small else raw
+        full = nodes.join(raw, "id", "left").select(
+            "id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("raw")
+        )
+        norm = full.groupBy().agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        F.col("raw") * F.col("raw") * CONTRIB_SCALE
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(CONTRIB_SCALE)
+            ).alias("nrm")
+        )
+        return full.crossJoin(F.broadcast(norm)).select(
+            "id", (F.col("raw") / F.col("nrm")).alias(out)
+        )
+
+    hub = nodes.select("id", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for it in range(max_iter):
+        auth = _step(hub, "hub", e_src, "src", "dst", "auth")
+        hub = _step(auth, "auth", e_dst, "dst", "src", "hub")
+        if it % 2 == 1 or it == max_iter - 1:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return (
+        g.persons.select("id", "name")
+        .join(hub, "id")
+        .join(auth, "id")
+        .select("name", "hub", F.col("auth").alias("authority"))
+        .orderBy(F.desc("authority"), F.desc("hub"), F.asc("name"))
+    )

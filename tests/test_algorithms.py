@@ -373,3 +373,42 @@ def test_jaccard_similarity_max_degree_prunes_hub(tiny):
     assert ("Bob B", "Dan D") not in pairs  # only common neighbor was 1
     # Alice-Bob still share Cara (degree 2 ≤ cap)
     assert ("Alice A", "Bob B") in pairs
+
+
+def test_hits_matches_python_reference(tiny):
+    """HITS on the tiny directed fixture ≡ a plain-Python implementation
+    of the identical quantized recurrence (same op order)."""
+    got = {
+        r["name"]: (r["hub"], r["authority"])
+        for r in alg.hits(tiny).collect()
+    }
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (5, 6)]
+    ids = [1, 2, 3, 4, 5, 6, 7]
+    names = {1: "Alice A", 2: "Bob B", 3: "Cara C", 4: "Dan D",
+             5: "Eve E", 6: "Fay F", 7: "Gus G"}
+    S = 1.0e9
+
+    def quant_sum(vals):
+        return float(sum(int(round(v * S)) for v in vals)) / S
+
+    hub = {i: 1.0 / len(ids) for i in ids}
+    for _ in range(5):
+        raw_a = {
+            v: quant_sum(hub[u] for (u, w) in edges if w == v) for v in ids
+        }
+        nrm = (quant_sum((raw_a[v] * raw_a[v]) for v in ids)) ** 0.5
+        auth = {v: raw_a[v] / nrm for v in ids}
+        raw_h = {
+            u: quant_sum(auth[w] for (x, w) in edges if x == u) for u in ids
+        }
+        nrm = (quant_sum((raw_h[u] * raw_h[u]) for u in ids)) ** 0.5
+        hub = {u: raw_h[u] / nrm for u in ids}
+    for i in ids:
+        gh, ga = got[names[i]]
+        assert gh == pytest.approx(hub[i], abs=1e-12)
+        assert ga == pytest.approx(auth[i], abs=1e-12)
+    # structure sanity: Alice is the dominant hub, Cara the dominant
+    # authority; the isolated node is zero on both
+    assert max(got, key=lambda n: got[n][0]) == "Alice A"
+    assert max(got, key=lambda n: got[n][1]) == "Cara C"
+    assert got["Gus G"] == (0.0, 0.0)
