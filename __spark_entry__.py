@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_hierarchy_rollup": rel.customer_hierarchy_rollup,
         "monthly_revenue_growth": rel.monthly_revenue_growth,
         # -- round-5 additions: remaining classic TPC-H shapes --
+        "doc_lm_coverage": text.lm_coverage,  # KenLM-lite quality score
         "volume_shipping": rel.volume_shipping,  # Q7
         "product_profit": rel.product_profit,  # Q9
         "promo_revenue_share": rel.promo_revenue_share,  # Q14
@@ -1511,6 +1512,39 @@ SELECT doc_id,
   + (CASE WHEN len(list_filter(t, x -> lower(x) IN ({stop}))) * 25 >= len(t)
      THEN 1 ELSE 0 END) AS INT) AS quality_score
 FROM toks ORDER BY doc_id
+""",
+        # KenLM-lite bigram coverage vs the doc_id%13==0 reference slice;
+        # integer matched/total + one correctly-rounded double division.
+        "doc_lm_coverage": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+refb AS (SELECT DISTINCT bigram FROM bg WHERE doc_id % 13 = 0),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+    CAST(SUM(CASE WHEN r.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_matched
+  FROM bg b LEFT JOIN refb r ON b.bigram = r.bigram
+  WHERE b.doc_id % 13 <> 0
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS n_matched,
+  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+       THEN CAST(COALESCE(s.n_matched, 0) AS DOUBLE)
+            / CAST(s.n_bigrams AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS coverage
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 13 <> 0
+ORDER BY d.doc_id
 """,
         "doc_lang_id": f"""
 WITH toks AS (

@@ -539,3 +539,74 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def lm_coverage(
+    spark: SparkSession, sf_dir: str, ref_mod: int = 13
+) -> DataFrame:
+    """KenLM-lite quality scoring: bigram coverage against a reference
+    corpus model.
+
+    The CCNet/RedPajama recipe scores documents with a language model
+    trained on a trusted corpus and filters by perplexity. True
+    perplexity needs log-probabilities, and libm log is not correctly
+    rounded — not engine-portable — so the engine-exact counterpart is
+    COVERAGE: the fraction of a document's word bigrams present in the
+    reference model's vocabulary (an integer ratio; the one double
+    division is correctly rounded). Low coverage ≡ high perplexity for
+    filtering purposes.
+
+    The reference model here is the deterministic doc_id % ref_mod == 0
+    slice (a stand-in for a Wikipedia dump). Scale shape: the model's
+    distinct-bigram dictionary is tiny versus a 100 TB corpus, so it
+    BROADCASTS and the corpus is scanned once map-side; matched/total
+    aggregate per doc_id is the only shuffle. A dictionary too big to
+    broadcast degrades to a shuffle join on the bigram key.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    is_ref = (F.col("doc_id") % ref_mod) == 0
+    ref_bigrams = bigrams.where(is_ref).select("bigram").distinct()
+    scored = (
+        bigrams.where(~is_ref)
+        .join(
+            F.broadcast(ref_bigrams.withColumn("__hit", F.lit(1))),
+            "bigram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_matched"),
+        )
+    )
+    return (
+        docs.where(~is_ref)
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
