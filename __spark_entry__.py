@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_growth": rel.monthly_revenue_growth,
         # -- round-5 additions: remaining classic TPC-H shapes --
         "doc_lm_coverage": text.lm_coverage,  # KenLM-lite quality score
+        "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
+            spark, sf_dir
+        ),  # rows-only (iterative merge loop); test: ≡ Python trainer
         "volume_shipping": rel.volume_shipping,  # Q7
         "product_profit": rel.product_profit,  # Q9
         "promo_revenue_share": rel.promo_revenue_share,  # Q14

@@ -610,3 +610,92 @@ def lm_coverage(
         )
         .orderBy("doc_id")
     )
+
+
+def _merge_pair(sym: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right BPE merge of adjacent (a, b) into a||b —
+    a single fold over the symbol array (the overlap semantics of the
+    classic implementation: after a merge the new symbol cannot
+    re-merge with the consumed right element)."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 6
+) -> DataFrame:
+    """BPE tokenizer TRAINING: the iterative merge loop (Sennrich-style),
+    not just one round of pair counts (bpe_pair_counts is the single
+    round).
+
+    Per round: count weighted adjacent symbol pairs over the vocabulary,
+    pick the most frequent (ties broken lexicographically — Neo4j-free
+    determinism), apply the merge greedily left-to-right to every word.
+    The pair argmax is a 1-row driver collect per round (like
+    pagerank's dangling scalar); everything else stays distributed.
+
+    Scale shape: the corpus collapses to the (word, count) vocabulary in
+    ONE fact-sized shuffle up front; all merge rounds then run on the
+    vocabulary frame, which is corpus-size-independent (Heaps' law: a
+    100 TB corpus has ~10^7-10^8 distinct words — a small frame). The
+    per-round pair aggregate is a vocab-sized shuffle.
+
+    Returns the merge table: (round, left, right, pair_count).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("sym"), "n")
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("sym"),
+                        F.lit(1),
+                        F.greatest(F.size("sym") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("sym"),
+                        F.lit(2),
+                        F.greatest(F.size("sym") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .first()
+        )
+        if best is None:
+            break
+        left, right, cnt = best["p"]["l"], best["p"]["r"], int(best["cnt"])
+        merges.append((r, left, right, cnt))
+        words = words.select(
+            _merge_pair(F.col("sym"), left, right).alias("sym"), "n"
+        )
+        if r % 2 == 1 or r == n_merges - 1:
+            words = words.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count long"
+    )

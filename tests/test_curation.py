@@ -170,3 +170,52 @@ def test_training_shuffle_invariants(spark, sf_dir):
     again = {r.doc_id: r.shard for r in
              curation.training_shuffle(spark, sf_dir, n_shards=8).collect()}
     assert all(again[r.doc_id] == r.shard for r in rows)
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed merge loop ≡ the classic single-machine BPE
+    trainer on the same word counts."""
+    from collections import Counter
+
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.pipeline.text import bpe_train
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(spark, sf_dir, n_merges=5).collect()
+    ]
+
+    docs = load_table(spark, "documents", sf_dir).select("text").collect()
+    counts = Counter()
+    for row in docs:
+        for w in (row.text or "").split():
+            counts[w] += 1
+    vocab = {tuple(w): n for w, n in counts.items()}
+    want = []
+    for r in range(5):
+        pc = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += n
+        if not pc:
+            break
+        (l, rr), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((r, l, rr, cnt))
+        new_vocab = Counter()
+        for sym, n in vocab.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == l and x == rr:
+                    out[-1] = l + rr
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    assert got == want
+    assert len(got) == 5
+    # the argmax sequence is non-increasing (each round consumes the
+    # current best pair)
+    cnts = [c for _, _, _, c in got]
+    assert cnts == sorted(cnts, reverse=True)
