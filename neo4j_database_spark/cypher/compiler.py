@@ -516,11 +516,15 @@ class Compiler:
         return plain, pats
 
     def _rewrite_subs(self, df, env, e):
-        """Replace EXISTS{}/COUNT{} nodes inside an expression tree with
-        references to computed columns (boolean flag / per-key count),
-        joining the subquery result onto df. Returns (df', expr')."""
+        """Replace EXISTS{}/COUNT{}/pattern-comprehension nodes inside an
+        expression tree with references to computed columns (boolean flag
+        / per-key count / collected list), joining the subquery result
+        onto df. Returns (df', expr')."""
         if isinstance(e, (P.ExistsSub, P.CountSub)):
             df, col = self._sub_column(df, env, e)
+            return df, P.Var(col)
+        if isinstance(e, P.PatternComp):
+            df, col = self._pattern_comp_column(df, env, e)
             return df, P.Var(col)
         if isinstance(e, P.BinOp):
             df, left = self._rewrite_subs(df, env, e.left)
@@ -581,6 +585,38 @@ class Compiler:
             .drop(*[f"__k_{v}" for v in shared])
         )
         return df, col
+
+    def _pattern_comp_column(self, df, env, e: P.PatternComp):
+        """`[(a)-[:T]-(b) | expr]` ⇒ per-bound-key collect_list joined
+        back (one aggregated left join; unmatched keys get []). The
+        list is SORTED — Neo4j leaves comprehension order unspecified,
+        the engine pins it for determinism, same as collect()."""
+        sub, local = self.compile_path(e.path, env)
+        inner_env = {**env, **local}
+        if e.where is not None:
+            sub = sub.filter(self._expr(e.where, inner_env))
+        shared = [v for v in local if v in env and local[v].kind == "node"]
+        if not shared:
+            raise ValueError(
+                "cypher: pattern comprehension must reference a bound variable"
+            )
+        self._anon_counter = getattr(self, "_anon_counter", 0) + 1
+        col = f"__sub{self._anon_counter}"
+        keys = [F.col(f"{v}.id").alias(f"__k_{v}") for v in shared]
+        agg = (
+            sub.withColumn("__pc_val", self._scalar(e.map_expr, inner_env))
+            .groupBy(*keys)
+            .agg(F.sort_array(F.collect_list("__pc_val")).alias(col))
+        )
+        cond = None
+        for v in shared:
+            c = F.col(f"{v}.id") == F.col(f"__k_{v}")
+            cond = c if cond is None else (cond & c)
+        return (
+            df.join(agg, cond, "left")
+            .withColumn(col, F.coalesce(F.col(col), F.array()))
+            .drop(*[f"__k_{v}" for v in shared])
+        ), col
 
     def _apply_pattern_pred(
         self, df, env, path: P.Path, negated: bool, where=None
@@ -674,8 +710,9 @@ class Compiler:
         raise ValueError("cypher: complex projection items need AS aliases")
 
     def _project(self, df, env, items: list[P.Item]):
+        items = self._expand_star(items, env)
         if any(
-            isinstance(n, (P.ExistsSub, P.CountSub))
+            isinstance(n, (P.ExistsSub, P.CountSub, P.PatternComp))
             for it in items
             for n in _walk_expr(it.expr)
         ):
@@ -704,6 +741,23 @@ class Compiler:
                 new_env[name] = self._binding_of(it.expr, env)
         grouped = df.groupBy(*keys) if keys else df.groupBy()
         return grouped.agg(*aggs), new_env
+
+    def _expand_star(self, items: list[P.Item], env) -> list[P.Item]:
+        """RETURN * / WITH * ⇒ every named binding in scope, in binding
+        order (Cypher's rule), followed by any explicit extra items."""
+        if not any(isinstance(it.expr, P.Star) for it in items):
+            return items
+        out: list[P.Item] = []
+        for it in items:
+            if isinstance(it.expr, P.Star):
+                out.extend(
+                    P.Item(P.Var(v), None)
+                    for v in env
+                    if not v.startswith("__")
+                )
+            else:
+                out.append(it)
+        return out
 
     def _binding_of(self, e, env) -> Binding:
         if isinstance(e, P.Var) and e.name in env:

@@ -208,6 +208,20 @@ class ReduceExpr:
 
 
 @dataclass
+class PatternComp:
+    # [(a)-[:T]-(b) WHERE pred | expr] — pattern comprehension
+    path: "Path"
+    where: object | None
+    map_expr: object
+
+
+@dataclass
+class Star:
+    # the `*` in RETURN * / WITH * — expanded to all bound variables
+    pass
+
+
+@dataclass
 class ExistsSub:
     # EXISTS { [MATCH] pattern [WHERE expr] }
     path: "Path"
@@ -558,7 +572,11 @@ class Parser:
         return RelPat(var, rtype, direction, min_hops, max_hops)
 
     def items(self) -> list[Item]:
-        out = [self.item()]
+        if self.at("*", "*"):
+            self.eat("*")
+            out = [Item(Star(), None)]
+        else:
+            out = [self.item()]
         while self.opt(",", ","):
             out.append(self.item())
         return out
@@ -709,6 +727,24 @@ class Parser:
             return e
         if t.kind == "[":
             self.eat("[")
+            # pattern comprehension: [(a)-[:T]-(b) WHERE pred | expr]
+            if self.at("(", "("):
+                save = self.i
+                try:
+                    path = self.path()
+                    if path.rels and (
+                        self.at("|", "|") or self.at("kw", "WHERE")
+                    ):
+                        where = (
+                            self.expr() if self.opt("kw", "WHERE") else None
+                        )
+                        self.eat("|", "|")
+                        map_expr = self.expr()
+                        self.eat("]", "]")
+                        return PatternComp(path, where, map_expr)
+                except SyntaxError:
+                    pass
+                self.i = save
             # list comprehension: [x IN xs WHERE pred | expr]
             if (
                 self.at("name")

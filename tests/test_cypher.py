@@ -1186,3 +1186,52 @@ def test_list_comprehension_over_param(g):
         {"xs": [1, 2, 3, 4, 5, 6]},
     ).collect()
     assert [r.sq for r in rows] == [4, 16, 36]
+
+
+def test_return_star_and_with_star(g):
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000042'})-[r:FRIEND_OF]-(f:Person)
+        WITH * ORDER BY f.name LIMIT 2
+        RETURN *
+        """,
+    ).collect()
+    assert len(rows) == 2
+    assert set(rows[0].asDict().keys()) == {"p", "r", "f"}
+    assert rows[0].p.name == "Customer#000000042"
+    assert rows[0].r["type"] == "FRIEND_OF"
+
+
+def test_pattern_comprehension(g):
+    # the common serving idiom: a node plus an inline neighbor list
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person)
+        WHERE p.name IN $names
+        RETURN p.name as name,
+               [(p)-[:FRIEND_OF]-(q:Person) WHERE q.name ENDS WITH '2'
+                | q.name] as friends2
+        ORDER BY name
+        """,
+        {"names": [f"Customer#{i:09d}" for i in range(5)]},
+    ).collect()
+    assert len(rows) == 5
+    want = {
+        r.name: sorted(
+            x.friend
+            for x in run_cypher(
+                g,
+                """
+                MATCH (p:Person {name: $n})-[:FRIEND_OF]-(q:Person)
+                WHERE q.name ENDS WITH '2'
+                RETURN q.name as friend
+                """,
+                {"n": r.name},
+            ).collect()
+        )
+        for r in rows
+    }
+    for r in rows:
+        assert list(r.friends2) == want[r.name]
