@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_growth": rel.monthly_revenue_growth,
         # -- round-5 additions: remaining classic TPC-H shapes --
         "doc_lm_coverage": text.lm_coverage,  # KenLM-lite quality score
+        "emb_ivf_pq_knn": similarity.ivf_pq_knn,  # FAISS IVF-PQ shape
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer
@@ -3078,6 +3079,76 @@ SELECT c.vec_id,
 FROM codes c
 JOIN lut l ON l.subspace = c.subspace AND l.cid = c.code + 1
 WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY adc_d2 ASC, c.vec_id ASC
+LIMIT 10
+""",
+        # IVF-PQ: the ADC lut scan restricted to the query's coarse
+        # list — composes the emb_ivf_knn coarse assignment with the
+        # emb_pq_adc_knn code/lut arithmetic, both already exact.
+        "emb_ivf_pq_knn": """
+WITH comp AS (
+  SELECT e.vec_id, t.j,
+         CAST(e.embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e
+  CROSS JOIN UNNEST(generate_series(0, len(e.embedding) - 1)) AS t(j)
+),
+cass AS (
+  SELECT v.vec_id, c.vec_id AS cent_id,
+    SUM(CAST(v.x * c.x AS DECIMAL(20,9))) AS dot,
+    SUM(CAST(v.x * v.x AS DECIMAL(20,9))) AS n2v,
+    SUM(CAST(c.x * c.x AS DECIMAL(20,9))) AS n2c
+  FROM comp v
+  JOIN comp c ON v.j = c.j
+  WHERE c.vec_id < 8
+  GROUP BY 1, 2
+),
+ranked_c AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(dot AS DOUBLE) * abs(CAST(dot AS DOUBLE))
+               / (CAST(n2v AS DOUBLE) * CAST(n2c AS DOUBLE)) DESC,
+               cent_id ASC) AS rn
+  FROM cass
+),
+assigned AS (SELECT vec_id, cent_id FROM ranked_c WHERE rn = 1),
+qc AS (SELECT cent_id AS q_cent FROM assigned WHERE vec_id = 0),
+members AS (
+  SELECT a.vec_id FROM assigned a, qc
+  WHERE a.cent_id = qc.q_cent AND a.vec_id <> 0
+),
+cents AS (
+  SELECT vec_id AS cid, j, x FROM comp WHERE vec_id IN (1, 2, 3, 4)
+),
+dists AS (
+  SELECT c.vec_id, CAST(c.j // 16 AS INT) AS subspace, ct.cid,
+         SUM(CAST((c.x - ct.x) * (c.x - ct.x) AS DECIMAL(20,9))) AS d2
+  FROM comp c JOIN cents ct ON ct.j = c.j
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, subspace, cid,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, cid) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, subspace, CAST(cid - 1 AS INT) AS code
+  FROM ranked WHERE rn = 1
+),
+lut AS (
+  SELECT CAST(q.j // 16 AS INT) AS subspace, ct.cid,
+         SUM(CAST((q.x - ct.x) * (q.x - ct.x) AS DECIMAL(20,9))) AS d2
+  FROM comp q JOIN cents ct ON ct.j = q.j
+  WHERE q.vec_id = 0
+  GROUP BY 1, 2
+)
+SELECT c.vec_id,
+  CAST(CAST(SUM(l.d2) AS DECIMAL(30,9)) AS DOUBLE) AS adc_d2
+FROM codes c
+JOIN members m ON m.vec_id = c.vec_id
+JOIN lut l ON l.subspace = c.subspace AND l.cid = c.code + 1
 GROUP BY c.vec_id
 ORDER BY adc_d2 ASC, c.vec_id ASC
 LIMIT 10

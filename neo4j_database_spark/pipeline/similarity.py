@@ -555,3 +555,71 @@ def pq_adc_knn(
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_pq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+) -> DataFrame:
+    """IVF-PQ top-k — the standard FAISS index shape, composing the two
+    halves already in the engine: the IVF coarse quantizer bounds the
+    candidate set to the query's list (1/n_lists of the corpus), and the
+    ADC lookup-table scan scores ONLY those candidates against the
+    query, never touching stored float vectors.
+
+    Plan: coarse membership is a left-semi join of the codes frame
+    against the query-list vec_ids (at 100 TB the coarse assignment is a
+    write-time partition column, so the semi-join becomes partition
+    pruning); the surviving codes fold through the same CASE-expression
+    lut as pq_adc_knn; one per-vector decimal sum; TakeOrderedAndProject.
+    Exact decimal lut arithmetic keeps it oracle-checkable end to end.
+    """
+    assigned = _ivf_assign(spark, sf_dir, n_lists)
+    q_cent = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("cent_id").alias("q_cent")
+    )
+    members = (
+        assigned.join(F.broadcast(q_cent), F.col("cent_id") == F.col("q_cent"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    codes, cb_rows, sub = _pq_assign(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+
+    def lut(s: int, cid: int) -> Column:
+        qslice = q[s * sub : (s + 1) * sub]
+        cslice = cb_rows[cid][s * sub : (s + 1) * sub]
+        return F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(x) for x in qslice]),
+                F.array(*[F.lit(c) for c in cslice]),
+                lambda x, c: ((x - c) * (x - c)).cast(ACC),
+            ),
+            F.lit(0).cast(ACC),
+            lambda acc, v: (acc + v).cast(ACC),
+        )
+
+    dval = F.lit(None).cast(ACC)
+    for s in range(PQ_SUBSPACES):
+        for ci in range(len(PQ_CENTROID_IDS)):
+            dval = F.when(
+                (F.col("subspace") == s) & (F.col("code") == ci),
+                lut(s, PQ_CENTROID_IDS[ci]),
+            ).otherwise(dval)
+    return (
+        codes.join(members, "vec_id", "left_semi")
+        .select("vec_id", dval.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("decimal(30,9)").cast("double").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
