@@ -1079,4 +1079,13 @@ def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFra
     training queries). The result is lazy — callers .collect() / write
     like any DataFrame."""
     ast = P.parse(query)
+    if isinstance(ast, P.UnionQuery):
+        # each part compiles independently (fresh variable scope, like
+        # Cypher); unionByName requires the same output columns, which
+        # Cypher also requires
+        dfs = [Compiler(g, params or {}).run(part) for part in ast.queries]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct() if ast.distinct else out
     return Compiler(g, params or {}).run(ast)

@@ -127,6 +127,17 @@ class Query:
         return any(isinstance(c, WRITE_CLAUSES) for c in self.clauses)
 
 
+@dataclass
+class UnionQuery:
+    # part UNION [ALL] part ... — homogenous mode (Cypher forbids mixing)
+    queries: list["Query"]
+    distinct: bool  # UNION = True, UNION ALL = False
+
+    @property
+    def is_write(self) -> bool:
+        return False
+
+
 # Expressions
 @dataclass
 class Var:
@@ -276,7 +287,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
-    "UNWIND", "STARTS", "ENDS",
+    "UNWIND", "STARTS", "ENDS", "UNION",
 }
 
 
@@ -364,9 +375,32 @@ class Parser:
         return False
 
     # -- grammar --
-    def parse(self) -> Query:
+    def parse(self):
+        q = self.single_query()
+        if not self.at("kw", "UNION"):
+            return q
+        parts = [q]
+        mode = None  # True = UNION ALL, False = UNION (distinct)
+        while self.opt("kw", "UNION"):
+            is_all = False
+            if self.at("name") and self.peek().text.upper() == "ALL":
+                self.eat("name")
+                is_all = True
+            if mode is None:
+                mode = is_all
+            elif mode != is_all:
+                raise SyntaxError(
+                    "cypher: cannot mix UNION and UNION ALL"
+                )
+            parts.append(self.single_query())
+        for p in parts:
+            if p.is_write:
+                raise SyntaxError("cypher: UNION of write queries")
+        return UnionQuery(parts, distinct=not mode)
+
+    def single_query(self) -> Query:
         clauses = []
-        while self.peek() is not None:
+        while self.peek() is not None and not self.at("kw", "UNION"):
             t = self.peek()
             if t.kind == ";":
                 self.i += 1

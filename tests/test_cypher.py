@@ -1235,3 +1235,31 @@ def test_pattern_comprehension(g):
     }
     for r in rows:
         assert list(r.friends2) == want[r.name]
+
+
+def test_union_and_union_all(g):
+    q_all = """
+        MATCH (p:Person) WHERE p.name ENDS WITH '11' RETURN p.name as name
+        UNION ALL
+        MATCH (p:Person) WHERE p.name ENDS WITH '11' RETURN p.name as name
+    """
+    rows = run_cypher(g, q_all).collect()
+    base = run_cypher(
+        g, "MATCH (p:Person) WHERE p.name ENDS WITH '11' RETURN p.name as name"
+    ).collect()
+    assert len(rows) == 2 * len(base) and len(base) > 0
+    q_dist = q_all.replace("UNION ALL", "UNION")
+    rows = run_cypher(g, q_dist).collect()
+    assert sorted(r.name for r in rows) == sorted(r.name for r in base)
+    # mixing modes is an error, like Neo4j
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        parse(q_all + " UNION MATCH (p:Person) RETURN p.name as name")
+    # `all(...)` quantifier still parses after UNION keyword-ization
+    row = run_cypher(
+        g,
+        "MATCH (p:Person {name: 'Customer#000000042'}) "
+        "RETURN all(x IN [1, 2] WHERE x > 0) as ok",
+    ).collect()[0]
+    assert row.ok is True
