@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_coverage": text.lm_coverage,  # KenLM-lite quality score
         "emb_ivf_knn": similarity.ivf_knn,  # rotated out of the window
         # in favor of the combined emb_ivf_pq_knn (same coarse machinery)
+        "mm_image_resize": _mm_resize,  # rows-only (generated input)
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer
@@ -682,6 +683,26 @@ def _mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_video_features(synthetic_media(spark, n=96)).orderBy("media_id")
+
+
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.pipeline.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    return (
+        resize_images(synthetic_media(spark, n=96), 8, 8)
+        # payload bytes stay in the frame for downstream stages but are
+        # summarized for the rows-only check (binary columns don't hash)
+        .select(
+            "media_id", "width", "height", "decoded",
+            F.length("payload").alias("n_bytes"),
+        )
+        .orderBy("media_id")
+    )
 
 
 def _mm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
