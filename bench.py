@@ -28,6 +28,8 @@ from neo4j_database_spark.session import get_spark
 # scale-critical pipeline ops.
 HEADLINE = (
     "g_winder",
+    "cypher_winder",  # the same flagship through the Cypher front end —
+    # pinned next to g_winder so compiler overhead is directly visible
     "g_feature_matrix",
     "g_rule_edge_counts",
     "g_connected_components",

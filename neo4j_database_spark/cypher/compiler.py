@@ -152,7 +152,7 @@ class Compiler:
     # ---------------- pattern compilation ----------------
 
     def compile_path(
-        self, path: P.Path, env: dict[str, Binding], defer=None
+        self, path: P.Path, env: dict[str, Binding], defer=None, start=None
     ):
         """Compile one path standalone: returns (df, local_env).
 
@@ -168,13 +168,19 @@ class Compiler:
         """
         variants = self._expand_variable_length(path)
         if path.var is None and len(variants) == 1:
-            return self._compile_concrete(variants[0], env, defer)
+            return self._compile_concrete(variants[0], env, defer, start)
         outs = []
         named_env: dict[str, Binding] = {}
         for p in variants:
-            df, local = self._compile_concrete(p, env)
+            df, local = self._compile_concrete(p, env, start=start)
             named = [v for v in local if not v.startswith("__anon")]
             sel = list(named)
+            if start is not None:
+                # continuation keeps every caller column; new named vars
+                # append (same projection per variant so the union lines up)
+                sel = list(start.columns) + [
+                    v for v in named if v not in start.columns
+                ]
             if path.var is not None:
                 # the bound path value: hop count + the node-id sequence
                 # (a deviation from Neo4j's rich path object, but enough
@@ -282,12 +288,34 @@ class Compiler:
         )
 
     def _compile_concrete(
-        self, path: P.Path, env: dict[str, Binding], defer=None
+        self, path: P.Path, env: dict[str, Binding], defer=None, start=None
     ):
         local: dict[str, Binding] = {}
         n0 = path.nodes[0]
-        df = self._node_source(n0, env)
-        local[self._nvar(n0)] = Binding("node", n0.label)
+        cont = (
+            start is not None
+            and n0.var is not None
+            and n0.var in env
+            and env[n0.var].kind == "node"
+        )
+        if cont:
+            # CONTINUATION: the path's anchor is already bound in the
+            # caller's frame — extend it with hops instead of compiling
+            # standalone and equi-joining afterwards. This is the join
+            # order a hand-written plan uses: the (usually filtered,
+            # small) bound frame drives the edge expansion, rather than
+            # expanding ALL nodes and pruning at the final join.
+            df = self._apply_props(start, n0.var, n0.props)
+            prebound = {
+                v
+                for v, b in env.items()
+                if b.kind == "node" and v in start.columns
+            }
+            local[n0.var] = Binding("node", n0.label or env[n0.var].label)
+        else:
+            df = self._node_source(n0, env)
+            prebound = set()
+            local[self._nvar(n0)] = Binding("node", n0.label)
         prev = n0
         rel_cols: list[str] = []
         for i, (rel, node) in enumerate(zip(path.rels, path.nodes[1:])):
@@ -298,7 +326,7 @@ class Compiler:
             # compiles (parser.parse lru_cache), so a var assigned on a
             # previous run must still count as hidden
             hidden = rel.var.startswith("__rel")
-            df = self._hop(df, prev, rel, node, env, local)
+            df = self._hop(df, prev, rel, node, env, local, prebound)
             rel_cols.append((rel.var, hidden))
             prev = node
         if defer is not None:
@@ -345,7 +373,7 @@ class Compiler:
         return df
 
     def _hop(self, df, prev: P.NodePat, rel: P.RelPat, node: P.NodePat,
-             env, local) -> DataFrame:
+             env, local, prebound=frozenset()) -> DataFrame:
         pvar = self._nvar(prev)
         nvar = self._nvar(node)
         nlabel = node.label or (env[nvar].label if nvar in env else None)
@@ -407,7 +435,9 @@ class Compiler:
             )
             branches.append((self._belongs_edges().limit(0), target))
 
-        cycle = nvar in local  # path revisits a bound var: (a)-(b)-(a)
+        # path revisits a bound var: (a)-(b)-(a), or (in continuation)
+        # targets a var bound by an earlier clause already in the frame
+        cycle = nvar in local or nvar in prebound
         outs = []
         for e, target in branches:
             j = df.join(e, F.col(f"{pvar}.id") == F.col("__src"))
@@ -652,6 +682,24 @@ class Compiler:
         clause_rels: list[tuple[str, bool]] = []
         for path in cl.paths:
             defer = None if cl.optional else clause_rels
+            first = path.nodes[0].var
+            if (
+                df is not None
+                and not cl.optional
+                and path.var is None
+                and first is not None
+                and first in env
+                and env[first].kind == "node"
+                and first in df.columns
+            ):
+                # continuation: extend the bound frame directly (see
+                # _compile_concrete) — no standalone compile, no re-join
+                df, local = self.compile_path(path, env, defer, start=df)
+                env = {
+                    **env,
+                    **{k: v for k, v in local.items() if k not in env},
+                }
+                continue
             sub, local = self.compile_path(path, env, defer)
             if cl.optional and cl.where is not None:
                 sub = sub.filter(self._expr(cl.where, {**env, **local}))
