@@ -1263,3 +1263,58 @@ def test_union_and_union_all(g):
         "RETURN all(x IN [1, 2] WHERE x > 0) as ok",
     ).collect()[0]
     assert row.ok is True
+
+
+def test_continuation_with_variable_length_and_bound_target(g):
+    # second MATCH anchors on bound p AND is variable-length — the
+    # continuation path must union variants while keeping prior columns
+    src = "Customer#000000042"
+    rows = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: $src})
+        MATCH (p)-[:FRIEND_OF*1..2]-(q:Person)
+        RETURN p.name as pname, q.name as qname
+        """,
+        {"src": src},
+    ).collect()
+    single = run_cypher(
+        g,
+        """
+        MATCH (pq:Person {name: $src})-[:FRIEND_OF*1..2]-(q:Person)
+        RETURN pq.name as pname, q.name as qname
+        """,
+        {"src": src},
+    ).collect()
+    assert sorted((r.pname, r.qname) for r in rows) == sorted(
+        (r.pname, r.qname) for r in single
+    )
+    # both-bound second MATCH binds back instead of re-joining
+    rows = run_cypher(
+        g,
+        """
+        MATCH (a:Person {name: $src})-[:FRIEND_OF]-(b:Person)
+        MATCH (a)-[:SAME_FAMILY]-(b)
+        RETURN b.name as name
+        """,
+        {"src": src},
+    ).collect()
+    fam = {
+        r.name
+        for r in run_cypher(
+            g,
+            "MATCH (a:Person {name: $src})-[:SAME_FAMILY]-(b:Person) "
+            "RETURN b.name as name",
+            {"src": src},
+        ).collect()
+    }
+    fr = {
+        r.name
+        for r in run_cypher(
+            g,
+            "MATCH (a:Person {name: $src})-[:FRIEND_OF]-(b:Person) "
+            "RETURN b.name as name",
+            {"src": src},
+        ).collect()
+    }
+    assert {r.name for r in rows} == fam & fr
