@@ -41,6 +41,8 @@ ROWS_ONLY = {
     "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
     "mm_video_features",  # generated media input — no SQL twin
     "g_betweenness_landmarks",  # float path-ratio dependencies
+    "doc_bpe_train",  # iterative merge loop — fold not SQL-expressible
+    "mm_image_resize",  # generated media input — no SQL twin
 }
 
 
