@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_knn": similarity.ivf_knn,  # rotated out of the window
         # in favor of the combined emb_ivf_pq_knn (same coarse machinery)
         "mm_image_resize": _mm_resize,  # rows-only (generated input)
+        "orders_incremental_rollup": rel.orders_incremental_rollup,  # IVM
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer
@@ -3415,6 +3416,20 @@ JOIN supplier s ON li.l_suppkey = s.s_suppkey
 WHERE p.p_type = 'PROMO'
 ORDER BY partkey ASC, supplier ASC
 LIMIT 25
+""",
+        # IVM: two-batch mergeable-state maintenance must equal the full
+        # recompute — which is what this oracle is.
+        "orders_incremental_rollup": """
+SELECT year(o_orderdate) AS o_year, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+    AS total_price,
+  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+    AS max_price,
+  CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+    AS min_price
+FROM orders
+GROUP BY 1, 2 ORDER BY o_year, o_orderpriority
 """,
         # Q7 shape: two-nation bidirectional shipping volume by year.
         "volume_shipping": """

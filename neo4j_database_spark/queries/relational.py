@@ -2316,3 +2316,45 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end: the orders rollup
+    maintained as mergeable state (operators/ivm.py) across two batch
+    arrivals must equal the full recompute — which is exactly what the
+    DuckDB oracle computes.
+
+    Batch 1 = orders before 1999, batch 2 = the rest; each aggregates
+    independently (linear in the batch) and merges via one state-sized
+    fold. Decimal sum partials keep the merged state hash-exact.
+    """
+    from neo4j_database_spark.operators.ivm import (
+        aggregate_batch,
+        merge_state,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    spec = {
+        "n_orders": ("count", F.lit(1)),
+        "total_price": ("sum", _dec(F.col("o_totalprice"))),
+        "max_price": ("max", _dec(F.col("o_totalprice"))),
+        "min_price": ("min", _dec(F.col("o_totalprice"))),
+    }
+    keys = ["o_year", "o_orderpriority"]
+    batch1 = orders.filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    batch2 = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    state = aggregate_batch(batch1, keys, spec)
+    state = merge_state(state, aggregate_batch(batch2, keys, spec), keys, spec)
+    return state.select(
+        "o_year",
+        "o_orderpriority",
+        "n_orders",
+        _money_out(F.col("total_price")).alias("total_price"),
+        _money_out(F.col("max_price")).alias("max_price"),
+        _money_out(F.col("min_price")).alias("min_price"),
+    ).orderBy("o_year", "o_orderpriority")

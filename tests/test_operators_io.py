@@ -311,3 +311,58 @@ def test_count_min_never_undercounts_and_merges(spark):
         merged.exceptAll(whole).count() == 0
         and whole.exceptAll(merged).count() == 0
     )
+
+
+def test_ivm_merge_equals_recompute_random_batches(spark):
+    """Mergeable-state maintenance across arbitrary batch splits equals
+    the one-shot aggregate, including retraction (negative) deltas for
+    sum/count."""
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.operators.ivm import (
+        aggregate_batch,
+        merge_state,
+    )
+
+    rows = [(i % 7, float(i * 3 % 101), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v double, i int")
+    spec = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", F.col("v").cast("decimal(18,6)")),
+        "mx": ("max", F.col("v")),
+        "mn": ("min", F.col("v")),
+    }
+    full = {
+        r.k: (r.n, r.s, r.mx, r.mn)
+        for r in aggregate_batch(df, ["k"], spec).collect()
+    }
+    # three uneven batches
+    b1, b2, b3 = (
+        df.filter(F.col("i") % 5 < 2),
+        df.filter(F.col("i") % 5 == 2),
+        df.filter(F.col("i") % 5 > 2),
+    )
+    state = aggregate_batch(b1, ["k"], spec)
+    for b in (b2, b3):
+        state = merge_state(state, aggregate_batch(b, ["k"], spec), ["k"], spec)
+    got = {r.k: (r.n, r.s, r.mx, r.mn) for r in state.collect()}
+    assert got == full
+    # retraction: re-merging a negated batch cancels sum and count
+    neg = b3.select(
+        "k", (-F.col("v")).alias("v"), "i"
+    )
+    neg_state = aggregate_batch(neg, ["k"], spec).select(
+        "k", (-F.col("n")).alias("n"), "s", "mx", "mn"
+    )
+    reverted = merge_state(state, neg_state, ["k"], spec)
+    want = {
+        r.k: (r.n, r.s)
+        for r in merge_state(
+            aggregate_batch(b1, ["k"], spec),
+            aggregate_batch(b2, ["k"], spec),
+            ["k"],
+            spec,
+        ).collect()
+    }
+    got2 = {r.k: (r.n, r.s) for r in reverted.collect()}
+    assert got2 == want
