@@ -569,3 +569,72 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def run_foreach_batch_ivm(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    spec: dict,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming MATERIALIZED VIEW sink: each micro-batch aggregates to
+    mergeable partials (operators/ivm.aggregate_batch — linear in the
+    batch) and folds into the persisted aggregate state
+    (ivm.merge_state — one state-sized merge), committed as a snapshot
+    version. History is never re-read: the view stays current at
+    per-batch cost, which is the whole point of incremental view
+    maintenance over a stream.
+
+    Exactly-once reasoning differs from the upsert sink: a replayed
+    AGGREGATE merge would double-count, so each epoch's fold is guarded
+    by recording the epoch id in the snapshot's commit marker — a
+    replayed epoch that already committed is skipped (the
+    read-epoch-then-merge is the idempotence ledger a transaction log
+    provides in Delta/Iceberg).
+    """
+    from neo4j_database_spark.operators.ivm import (
+        aggregate_batch,
+        merge_state,
+    )
+    from neo4j_database_spark.sources import snapshots
+
+    import json
+    import os
+
+    marker = os.path.join(state_dir, "_applied_epochs.json")
+
+    def _applied() -> set:
+        if not os.path.exists(marker):
+            return set()
+        with open(marker) as f:
+            return set(json.load(f))
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _applied()
+        if epoch_id in done:
+            return  # crash-replayed epoch: already folded in
+        delta = aggregate_batch(batch_df, keys, spec)
+        if snapshots.latest_version(state_dir) is None:
+            snapshots.write_snapshot(delta, state_dir)
+        else:
+            state = snapshots.read_snapshot(spark, state_dir)
+            snapshots.write_snapshot(
+                merge_state(state, delta, keys, spec), state_dir
+            )
+        done.add(epoch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done), f)
+        os.replace(tmp, marker)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -107,3 +107,48 @@ def test_pruned_read_skips_files_and_keeps_rows(spark, tmp_path):
     # empty intersection -> zero files, empty frame, schema intact
     got0, read0, _ = pruned_read(spark, path, stats, "id", 10**9, 2 * 10**9)
     assert read0 == 0 and got0.count() == 0 and got0.columns == ["id", "payload"]
+
+
+def test_streaming_ivm_sink_maintains_aggregate_view(spark, sf_dir, tmp_path):
+    """The streaming materialized view equals the batch aggregate over
+    the whole input, and a checkpoint restart folds nothing twice."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.streaming import events as sev
+
+    t = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+    spec = {
+        "n": ("count", F.lit(1)),
+        "total": ("sum", F.col("value").cast("decimal(18,6)")),
+        "max_v": ("max", F.col("value")),
+    }
+    stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sev.run_foreach_batch_ivm(stream, t, ckpt, ["event_type"], spec)
+
+    got = {
+        r.event_type: (r.n, r.total, r.max_v)
+        for r in snap.read_snapshot(spark, t).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        r.event_type: (r.n, r.total, r.max_v)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+            F.max("value").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # restart: no new input, no double-folding, no new version
+    n_before = len(snap.history(t))
+    stream2 = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sev.run_foreach_batch_ivm(stream2, t, ckpt, ["event_type"], spec)
+    assert len(snap.history(t)) == n_before
+    got2 = {
+        r.event_type: (r.n, r.total, r.max_v)
+        for r in snap.read_snapshot(spark, t).collect()
+    }
+    assert got2 == want
