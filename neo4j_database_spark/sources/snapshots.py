@@ -145,3 +145,31 @@ def snapshot_diff(
             "new_vals",
         )
     )
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete version directories older than the newest
+    ``keep_last``, never touching the version `_latest` points at (a
+    rolled-back pointer must stay readable). Returns removed versions.
+
+    The snapshot counterpart of Delta's VACUUM: old CoW versions are
+    the storage cost of time travel; retention bounds it. Removal is
+    safe against concurrent readers of RETAINED versions (directories
+    are immutable); readers of a vacuumed version fail like any
+    time-travel past the retention window.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("vacuum: keep_last must be >= 1")
+    versions = _versions(table_dir)
+    current = latest_version(table_dir)
+    keep = set(versions[-keep_last:])
+    if current is not None:
+        keep.add(current)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+            removed.append(v)
+    return removed

@@ -152,3 +152,21 @@ def test_streaming_ivm_sink_maintains_aggregate_view(spark, sf_dir, tmp_path):
         for r in snap.read_snapshot(spark, t).collect()
     }
     assert got2 == want
+
+
+def test_vacuum_retention(spark, tmp_path):
+    t = str(tmp_path / "vac")
+    for i in range(5):
+        snap.write_snapshot(_df(spark, [(i, "x", float(i))]), t)
+    assert snap.history(t) == [1, 2, 3, 4, 5]
+    removed = snap.vacuum(t, keep_last=2)
+    assert removed == [1, 2, 3]
+    assert snap.history(t) == [4, 5]
+    # retained versions stay readable
+    assert {r.k for r in snap.read_snapshot(spark, t, version=4).collect()} == {3}
+    # the pointer's version is never vacuumed even if old
+    snap.rollback(t, 4)
+    assert snap.vacuum(t, keep_last=1) == []
+    assert snap.history(t) == [4, 5]
+    with pytest.raises(ValueError):
+        snap.vacuum(t, keep_last=0)
