@@ -96,11 +96,14 @@ class UnwindClause:
 @dataclass
 class MergeClause:
     path: Path
+    on_create: list = field(default_factory=list)  # [SetClause]
+    on_match: list = field(default_factory=list)  # [SetClause]
 
 
 @dataclass
 class SetClause:
     assigns: list  # [(Prop, Expr)]
+    map_assigns: list = field(default_factory=list)  # [(var, Expr)] for +=
 
 
 @dataclass
@@ -435,20 +438,37 @@ class Parser:
 
     def merge_clause(self) -> MergeClause:
         self.eat("kw", "MERGE")
-        return MergeClause(self.path())
+        path = self.path()
+        on_create: list[SetClause] = []
+        on_match: list[SetClause] = []
+        while self.at("kw", "ON"):
+            self.eat("kw", "ON")
+            if self.opt("kw", "CREATE"):
+                on_create.append(self.set_clause())
+            else:
+                self.eat("kw", "MATCH")
+                on_match.append(self.set_clause())
+        return MergeClause(path, on_create, on_match)
 
     def set_clause(self) -> SetClause:
         self.eat("kw", "SET")
         assigns = []
+        map_assigns = []
         while True:
             var = self.eat("name").text
-            self.eat(".", ".")
-            prop = self.eat("name").text
-            self.eat("=", "=")
-            assigns.append((Prop(var, prop), self.expr()))
+            if self.at("+", "+"):
+                # SET n += $props — map merge
+                self.eat("+")
+                self.eat("=", "=")
+                map_assigns.append((var, self.expr()))
+            else:
+                self.eat(".", ".")
+                prop = self.eat("name").text
+                self.eat("=", "=")
+                assigns.append((Prop(var, prop), self.expr()))
             if not self.opt(",", ","):
                 break
-        return SetClause(assigns)
+        return SetClause(assigns, map_assigns)
 
     def delete_clause(self) -> DetachDeleteClause:
         self.eat("kw", "DETACH")

@@ -132,15 +132,43 @@ def apply_cypher_write(
 
     # 3/4. node MERGE (single-node path, no MATCH prefix)
     if not matches and len(merges) == 1 and not merges[0].path.rels:
-        return _merge_node(g, merges[0].path.nodes[0], sets, params)
+        return _merge_node(g, merges[0], sets, params)
 
-    # 5/6. MATCH ... MERGE edges
+    # 5/6. MATCH ... MERGE edges (relationships carry no properties in
+    # this model, so conditional SET on an edge MERGE is meaningless)
+    for m in merges:
+        if m.on_create or m.on_match:
+            raise CypherWriteError(
+                "ON CREATE/ON MATCH SET is only supported on node MERGE "
+                "(relationships carry no properties)"
+            )
     return _merge_edges(g, matches, merges, params)
 
 
+def _collect_assigns(set_clauses, params) -> dict[str, object]:
+    """Flatten SET clauses (prop assignments + `+=` map merges) into a
+    field→value dict; engine-managed id is skipped (module docstring)."""
+    out: dict[str, object] = {}
+    for sc in set_clauses:
+        for prop, expr in sc.assigns:
+            field = _PROP_MAP.get(prop.name, prop.name)
+            if field != "id":
+                out[field] = _scalar(expr, params)
+        for _var, expr in sc.map_assigns:
+            m = _scalar(expr, params)
+            if not isinstance(m, dict):
+                raise CypherWriteError("SET n += needs a map value")
+            for k, v in m.items():
+                field = _PROP_MAP.get(k, k)
+                if field != "id":
+                    out[field] = v
+    return out
+
+
 def _merge_node(
-    g: GraphModel, node: P.NodePat, sets: list[P.SetClause], params
+    g: GraphModel, merge: P.MergeClause, sets: list[P.SetClause], params
 ) -> GraphModel:
+    node = merge.path.nodes[0]
     if "name" not in node.props:
         raise CypherWriteError("node MERGE requires a {name: ...} key")
     name = _scalar(node.props["name"], params)
@@ -163,18 +191,16 @@ def _merge_node(
 
     # Person upsert: SET only the listed props; create-if-absent with a
     # deterministic engine id. `SET p.id = ...` is identity-managed (see
-    # module docstring) and therefore skipped.
-    assigns: dict[str, object] = {}
-    for sc in sets:
-        for prop, expr in sc.assigns:
-            field = _PROP_MAP.get(prop.name, prop.name)
-            if field == "id":
-                continue
-            assigns[field] = _scalar(expr, params)
-
+    # module docstring) and therefore skipped. ON CREATE SET / ON MATCH
+    # SET apply conditionally on whether the name already exists —
+    # checked once, before any frame mutation.
     persons = g.persons
-    cols = persons.columns
     name_col = F.col("name")
+    exists = persons.filter(name_col == name).limit(1).count() > 0
+    conditional = merge.on_match if exists else merge.on_create
+    assigns = _collect_assigns(list(sets) + list(conditional), params)
+
+    cols = persons.columns
     updated = persons
     for field, value in assigns.items():
         if field not in cols:
@@ -185,7 +211,6 @@ def _merge_node(
             F.when(name_col == name, F.lit(value)).otherwise(F.col(field)),
         )
 
-    exists = persons.filter(name_col == name).limit(1).count() > 0
     if not exists:
         row = {c: None for c in cols}
         row["id"] = _new_id(name)

@@ -1318,3 +1318,46 @@ def test_continuation_with_variable_length_and_bound_target(g):
         ).collect()
     }
     assert {r.name for r in rows} == fam & fr
+
+
+def test_merge_on_create_on_match_and_map_set(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    q = """
+        MERGE (p:Person {name: $name})
+        ON CREATE SET p.house = $house, p.species = 'human'
+        ON MATCH SET p.segment = 'RETURNING'
+        SET p += $extra
+    """
+    # first run: node absent -> ON CREATE branch + the unconditional +=
+    s.run(q, {"name": "Newbie X", "house": "NATION_5",
+              "extra": {"gender": "female", "isUser": True}})
+    row = s.run(
+        "MATCH (p:Person {name: 'Newbie X'}) "
+        "RETURN p.house as house, p.species as species, "
+        "p.segment as segment, p.gender as gender, p.isUser as is_user"
+    ).collect()[0]
+    assert (row.house, row.species) == ("NATION_5", "human")
+    assert row.segment is None  # ON MATCH did not fire
+    assert (row.gender, row.is_user) == ("female", True)
+    # second run: node exists -> ON MATCH branch; ON CREATE must not fire
+    s.run(q, {"name": "Newbie X", "house": "NATION_9",
+              "extra": {"gender": "male"}})
+    row = s.run(
+        "MATCH (p:Person {name: 'Newbie X'}) "
+        "RETURN p.house as house, p.segment as segment, p.gender as gender"
+    ).collect()[0]
+    assert row.house == "NATION_5"  # ON CREATE skipped on match
+    assert row.segment == "RETURNING"
+    assert row.gender == "male"  # unconditional += applied
+    # conditional SET on an edge MERGE is rejected
+    import pytest as _pytest
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+
+    with _pytest.raises(CypherWriteError):
+        s.run(
+            "MATCH (a:Person {name: 'Newbie X'}), (b:Person) "
+            "WHERE b.name = 'Customer#000000001' "
+            "MERGE (a)-[:FRIEND_OF]->(b) ON CREATE SET a.house = 'X'"
+        )
