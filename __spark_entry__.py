@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda g: galg.jaccard_similarity(g)
         ),
         "g_hits": on_graph(lambda g: galg.hits(g)),
+        "g_ktruss": on_graph(lambda g: galg.ktruss_edges(g)),
         "cypher_search": _cypher_search,
         "sales_marginals": rel.sales_marginals,  # GROUPING SETS
         "events_audience_overlap": rel.events_audience_overlap,
@@ -860,6 +861,57 @@ ORDER BY r.rank DESC, p.name ASC
 """
 
 
+def _ktruss_sql(k: int = 5, rounds: int = 5) -> str:
+    """Exact oracle for galg.ktruss_edges: the peel unrolled, canonical
+    (least,greatest) FRIEND_OF edges, per-round triangle support via
+    the a<b<c wedge join, final support on the surviving subgraph.
+    Pure integer logic — engine-exact at a fixed round budget."""
+    ms = k - 2
+    ctes = [
+        "kt_e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM edges WHERE type = 'FRIEND_OF')",
+    ]
+
+    def tri(p: int) -> str:
+        return (
+            f"kt_t{p} AS MATERIALIZED (SELECT ab.src AS a, ab.dst AS b, "
+            f"bc.dst AS c FROM kt_e{p} ab "
+            f"JOIN kt_e{p} bc ON ab.dst = bc.src "
+            f"JOIN kt_e{p} ac ON ac.src = ab.src AND ac.dst = bc.dst)"
+        )
+
+    def sup(p: int) -> str:
+        return (
+            f"kt_s{p} AS (SELECT src, dst, COUNT(*) AS support FROM ("
+            f"SELECT a AS src, b AS dst FROM kt_t{p} "
+            f"UNION ALL SELECT b, c FROM kt_t{p} "
+            f"UNION ALL SELECT a, c FROM kt_t{p}) GROUP BY 1, 2)"
+        )
+
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(tri(p))
+        ctes.append(sup(p))
+        ctes.append(
+            f"kt_e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM kt_e{p} e "
+            f"LEFT JOIN kt_s{p} s ON s.src = e.src AND s.dst = e.dst "
+            f"WHERE COALESCE(s.support, 0) >= {ms})"
+        )
+    ctes.append(tri(rounds))
+    ctes.append(sup(rounds))
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT pa.name AS a_name, pb.name AS b_name,
+  CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM kt_e{rounds} e
+LEFT JOIN kt_s{rounds} s ON s.src = e.src AND s.dst = e.dst
+JOIN persons pa ON pa.id = e.src
+JOIN persons pb ON pb.id = e.dst
+ORDER BY a_name, b_name
+"""
+
+
 def _hits_sql(max_iter: int = 5) -> str:
     """Exact oracle for galg.hits: the iteration unrolled as chained
     CTEs with the identical arithmetic contract — contributions AND
@@ -1377,6 +1429,7 @@ FROM (
 """,
         "g_pagerank": _pagerank_sql(),
         "g_hits": _hits_sql(),
+        "g_ktruss": _ktruss_sql(),
         "g_link_pred_scores": f"""{GRAPH_CTES}
 , nbr AS (
   SELECT DISTINCT src, dst FROM sym_edges

@@ -1091,3 +1091,89 @@ def hits(
         .select("name", "hub", F.col("auth").alias("authority"))
         .orderBy(F.desc("authority"), F.desc("hub"), F.asc("name"))
     )
+
+
+def ktruss_edges(
+    g: GraphModel,
+    k: int = 5,
+    types: tuple[str, ...] = ("FRIEND_OF",),
+    max_rounds: int = 5,
+) -> DataFrame:
+    """k-truss decomposition: iteratively peel edges with fewer than
+    k-2 triangles in the surviving subgraph — the edge-level sibling of
+    k-core (kcore_members), keeping only cohesive neighborhoods.
+
+    Per round: one canonical wedge join (a<b<c ordering, each triangle
+    counted once) + a three-way corner unpivot + an edge-keyed count —
+    all integer arithmetic, so the fixed-round result is engine-exact
+    and the unrolled DuckDB oracle hash-matches. Fixed ``max_rounds``
+    bounds the peel (cascades on clique-ish rule graphs settle in 1-2
+    rounds); early exit when a round removes nothing.
+
+    Scale: each round is E-sized joins on edge keys — the same profile
+    as triangle_count; peeling only shrinks E. Returns surviving edges
+    with their final-round support, by name.
+    """
+    e = (
+        g.edges.filter(F.col("type").isin(list(types)))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    min_sup = k - 2
+
+    def _support(edges: DataFrame) -> DataFrame:
+        ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+        ac = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+        tri = (
+            ab.join(bc, F.col("b") == F.col("b2"))
+            .join(
+                ac,
+                (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+            )
+            .select("a", "b", "c")
+        )
+        corners = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(
+                tri.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+            )
+            .unionAll(
+                tri.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            )
+        )
+        return corners.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    for _ in range(max_rounds):
+        kept = (
+            e.join(_support(e), ["src", "dst"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= min_sup)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        done = kept.count() == e.count()
+        e = kept
+        if done:
+            break
+    # report support measured on the FINAL surviving subgraph — well
+    # defined whether or not the peel converged within max_rounds, and
+    # exactly what the unrolled oracle computes
+    out = e.join(_support(e), ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+    pa = g.persons.select(F.col("id").alias("src"), F.col("name").alias("a_name"))
+    pb = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("b_name"))
+    return (
+        out.join(pa, "src")
+        .join(pb, "dst")
+        .select("a_name", "b_name", "support")
+        .orderBy("a_name", "b_name")
+    )

@@ -412,3 +412,28 @@ def test_hits_matches_python_reference(tiny):
     assert max(got, key=lambda n: got[n][0]) == "Alice A"
     assert max(got, key=lambda n: got[n][1]) == "Cara C"
     assert got["Gus G"] == (0.0, 0.0)
+
+
+def test_ktruss_peeling_cascades(spark):
+    """k=4 truss: a full 4-clique survives (every edge in 2 triangles);
+    two triangles sharing an edge cascade to empty (peeling the weak
+    edges drops the shared edge's support to 0 next round)."""
+    persons = spark.createDataFrame(
+        [(i, f"N{i}", "H", "S", 0.0) for i in range(1, 9)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    clique = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in clique + bowtie],
+        "src long, dst long, type string",
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    g = GraphModel(persons=persons, houses=houses, edges=edges)
+    got = {
+        (r.a_name, r.b_name): r.support
+        for r in alg.ktruss_edges(g, k=4).collect()
+    }
+    assert got == {
+        (f"N{a}", f"N{b}"): 2 for a, b in clique
+    }
