@@ -117,8 +117,13 @@ class CreateConstraintClause:
     prop: str
 
 
+@dataclass
+class RemoveClause:
+    props: list  # [Prop]
+
+
 WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
-                 CreateConstraintClause)
+                 CreateConstraintClause, RemoveClause)
 
 
 @dataclass
@@ -290,7 +295,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
-    "UNWIND", "STARTS", "ENDS", "UNION",
+    "UNWIND", "STARTS", "ENDS", "UNION", "REMOVE",
 }
 
 
@@ -423,6 +428,8 @@ class Parser:
                 clauses.append(self.merge_clause())
             elif t.kind == "kw" and t.text == "SET":
                 clauses.append(self.set_clause())
+            elif t.kind == "kw" and t.text == "REMOVE":
+                clauses.append(self.remove_clause())
             elif t.kind == "kw" and t.text == "DETACH":
                 clauses.append(self.delete_clause())
             elif t.kind == "kw" and t.text == "CREATE":
@@ -469,6 +476,17 @@ class Parser:
             if not self.opt(",", ","):
                 break
         return SetClause(assigns, map_assigns)
+
+    def remove_clause(self) -> RemoveClause:
+        self.eat("kw", "REMOVE")
+        props = []
+        while True:
+            var = self.eat("name").text
+            self.eat(".", ".")
+            props.append(Prop(var, self.eat("name").text))
+            if not self.opt(",", ","):
+                break
+        return RemoveClause(props)
 
     def delete_clause(self) -> DetachDeleteClause:
         self.eat("kw", "DETACH")

@@ -127,6 +127,54 @@ def apply_cypher_write(
     matches = [c for c in clauses if isinstance(c, P.MatchClause)]
     merges = [c for c in clauses if isinstance(c, P.MergeClause)]
     sets = [c for c in clauses if isinstance(c, P.SetClause)]
+    removes = [c for c in clauses if isinstance(c, P.RemoveClause)]
+
+    # 2b. MATCH ... REMOVE n.prop — property removal (⇒ NULL; Cypher's
+    # absent-property reads as null, so the observable semantics match)
+    if removes:
+        if merges or sets:
+            raise CypherWriteError(
+                "REMOVE cannot be combined with MERGE/SET in one statement"
+            )
+        if not matches:
+            raise CypherWriteError("REMOVE needs a MATCH prefix")
+        comp = Compiler(g, params)
+        df, env = None, {}
+        for m in matches:
+            df, env = comp._match(df, env, m)
+        persons = g.persons
+        for rc in removes:
+            for prop in rc.props:
+                field = _PROP_MAP.get(prop.name, prop.name)
+                if field in ("id", "name"):
+                    raise CypherWriteError(
+                        f"cannot REMOVE identity property {field!r}"
+                    )
+                if field not in persons.columns:
+                    continue
+                targets = (
+                    df.select(
+                        F.col(f"{prop.var}.id").cast("long").alias("__rid")
+                    ).distinct()
+                )
+                dtype = persons.schema[field].dataType
+                persons = (
+                    persons.join(
+                        F.broadcast(targets),
+                        persons.id == F.col("__rid"),
+                        "left",
+                    )
+                    .withColumn(
+                        field,
+                        F.when(
+                            F.col("__rid").isNotNull(),
+                            F.lit(None).cast(dtype),
+                        ).otherwise(F.col(field)),
+                    )
+                    .drop("__rid")
+                )
+        return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
+
     if not merges:
         raise CypherWriteError(f"unsupported write statement: {query!r}")
 

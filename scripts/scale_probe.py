@@ -1,0 +1,120 @@
+"""Scale probe: replicate the sf0.1 fact tables N-fold (disjoint key
+spaces, so join/group cardinalities scale too) and time the heavy
+relational plans at 1x/4x/16x. Near-linear growth = the plan has no
+super-linear stage (quadratic join, driver collect, broadcast of a
+growing side) — the local evidence behind the 100 TB scaling claims in
+ARCHITECTURE.md.
+
+Usage: python scripts/scale_probe.py [sf_dir]  (writes SCALE_PROBE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.catalog import load_table
+from neo4j_database_spark.session import get_spark
+
+
+def replicate(df, n, key_cols, shift):
+    """n disjoint copies: key columns shifted per copy so keys stay
+    unique and group-bys/joins scale in cardinality, not just rows."""
+    parts = []
+    for i in range(n):
+        p = df
+        for c in key_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * shift))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    base = "/tmp/scale_probe"
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    results = {}
+    for mult in (1, 4, 16):
+        d = os.path.join(base, f"x{mult}")
+        if not os.path.exists(os.path.join(d, "_done")):
+            replicate(li, mult, ["l_orderkey"], 100_000_000).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, "lineitem"))
+            replicate(orders, mult, ["o_orderkey", "o_custkey"], 100_000_000)\
+                .write.mode("overwrite").parquet(os.path.join(d, "orders"))
+            replicate(ev, mult, ["event_id", "user_id"], 100_000_000)\
+                .write.mode("overwrite").parquet(os.path.join(d, "events"))
+            open(os.path.join(d, "_done"), "w").write("ok")
+        L = spark.read.parquet(os.path.join(d, "lineitem"))
+        O = spark.read.parquet(os.path.join(d, "orders"))
+        E = spark.read.parquet(os.path.join(d, "events"))
+
+        def q1():  # Q1 shape: full-scan aggregate
+            return (
+                L.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+
+        def q3():  # big fact-fact join + aggregate
+            return (
+                L.join(O, L.l_orderkey == O.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        .cast("decimal(18,6)")
+                    ).alias("rev")
+                )
+            )
+
+        def sess():  # event-time session windows
+            return (
+                E.withWatermark("ts", "0 seconds") if False else
+                E.groupBy(
+                    "user_id", F.session_window("ts", "30 minutes")
+                ).agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        for name, fn in (("q1_scan_agg", q1), ("q3_join_agg", q3),
+                         ("session_windows", sess)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[mult] = round(best, 2)
+            print(f"x{mult} {name} {best:.2f}s", flush=True)
+
+    with open("/root/repo/SCALE_PROBE.md", "w") as f:
+        f.write(
+            "# SCALE_PROBE — replicated-input scaling, local[32]\n\n"
+            "Disjoint-key replication of the sf0.1 facts; best-of-2 per "
+            "cell, seconds. Near-linear growth ⇒ no super-linear stage "
+            "in the plan (see ARCHITECTURE.md scale audit).\n\n"
+            "| query | 1x | 4x | 16x | 16x/1x |\n|---|---|---|---|---|\n"
+        )
+        for name, row in results.items():
+            f.write(
+                f"| {name} | {row[1]} | {row[4]} | {row[16]} | "
+                f"{round(row[16] / row[1], 1)} |\n"
+            )
+    print("wrote SCALE_PROBE.md")
+
+
+if __name__ == "__main__":
+    main()

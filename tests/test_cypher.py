@@ -1361,3 +1361,33 @@ def test_merge_on_create_on_match_and_map_set(g):
             "WHERE b.name = 'Customer#000000001' "
             "MERGE (a)-[:FRIEND_OF]->(b) ON CREATE SET a.house = 'X'"
         )
+
+
+def test_remove_property(g):
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+
+    s = CypherSession(g)
+    name = "Customer#000000042"
+    before = s.run(
+        "MATCH (p:Person {name: $n}) RETURN p.image as image, p.house as house",
+        {"n": name},
+    ).collect()[0]
+    assert before.image is not None
+    s.run("MATCH (p:Person {name: $n}) REMOVE p.image", {"n": name})
+    after = s.run(
+        "MATCH (p:Person {name: $n}) RETURN p.image as image, p.house as house",
+        {"n": name},
+    ).collect()[0]
+    assert after.image is None
+    assert after.house == before.house  # untouched property
+    # other rows untouched
+    other = s.run(
+        "MATCH (p:Person {name: 'Customer#000000043'}) RETURN p.image as image"
+    ).collect()[0]
+    assert other.image is not None
+    # identity properties are protected
+    import pytest as _pytest
+
+    with _pytest.raises(CypherWriteError):
+        s.run("MATCH (p:Person {name: $n}) REMOVE p.name", {"n": name})
