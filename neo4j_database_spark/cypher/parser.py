@@ -122,8 +122,13 @@ class RemoveClause:
     props: list  # [Prop]
 
 
+@dataclass
+class CreateClause:
+    path: Path
+
+
 WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
-                 CreateConstraintClause, RemoveClause)
+                 CreateConstraintClause, RemoveClause, CreateClause)
 
 
 @dataclass
@@ -433,7 +438,12 @@ class Parser:
             elif t.kind == "kw" and t.text == "DETACH":
                 clauses.append(self.delete_clause())
             elif t.kind == "kw" and t.text == "CREATE":
-                clauses.append(self.create_constraint())
+                nxt = self.peek(1)
+                if nxt is not None and nxt.kind == "kw" and nxt.text == "CONSTRAINT":
+                    clauses.append(self.create_constraint())
+                else:
+                    self.eat("kw", "CREATE")
+                    clauses.append(CreateClause(self.path()))
             else:
                 raise SyntaxError(f"cypher: unexpected {t.text!r}")
         if not clauses:

@@ -175,6 +175,29 @@ def apply_cypher_write(
                 )
         return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
 
+    creates = [c for c in clauses if isinstance(c, P.CreateClause)]
+    if creates and not merges:
+        # CREATE under the app's uniqueness constraint (get_insert.py:71):
+        # a node CREATE on an existing name is a constraint violation
+        # (exactly Neo4j's behavior once the constraint exists); edge
+        # CREATE deduplicates like MERGE — a deliberate deviation, since
+        # the edge model has no parallel-edge identity to preserve.
+        if not matches and len(creates) == 1 and not creates[0].path.rels:
+            node = creates[0].path.nodes[0]
+            if "name" not in node.props:
+                raise CypherWriteError("node CREATE requires a {name: ...} key")
+            nm = _scalar(node.props["name"], params)
+            frame = g.houses if node.label == "House" else g.persons
+            if frame.filter(F.col("name") == nm).limit(1).count() > 0:
+                raise CypherWriteError(
+                    f"uniqueness constraint violated: {node.label or 'Person'} "
+                    f"name {nm!r} already exists"
+                )
+            return _merge_node(g, P.MergeClause(creates[0].path), sets, params)
+        return _merge_edges(
+            g, matches, [P.MergeClause(c.path) for c in creates], params
+        )
+
     if not merges:
         raise CypherWriteError(f"unsupported write statement: {query!r}")
 

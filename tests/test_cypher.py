@@ -1391,3 +1391,34 @@ def test_remove_property(g):
 
     with _pytest.raises(CypherWriteError):
         s.run("MATCH (p:Person {name: $n}) REMOVE p.name", {"n": name})
+
+
+def test_create_node_and_edge(g):
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+
+    s = CypherSession(g)
+    s.run(
+        "CREATE (p:Person {name: $n}) SET p.house = 'NATION_2'",
+        {"n": "Created One"},
+    )
+    row = s.run(
+        "MATCH (p:Person {name: 'Created One'}) RETURN p.house as house"
+    ).collect()[0]
+    assert row.house == "NATION_2"
+    # CREATE of an existing name violates the uniqueness constraint
+    import pytest as _pytest
+
+    with _pytest.raises(CypherWriteError):
+        s.run("CREATE (p:Person {name: $n})", {"n": "Created One"})
+    # edge CREATE behaves like MERGE (deduplicated edge model)
+    s.run(
+        "MATCH (a:Person {name: 'Created One'}), (b:Person) "
+        "WHERE b.name = 'Customer#000000001' "
+        "CREATE (a)-[:FRIEND_OF]->(b)"
+    )
+    friends = s.run(
+        "MATCH (a:Person {name: 'Created One'})-[:FRIEND_OF]-(b:Person) "
+        "RETURN b.name as name"
+    ).collect()
+    assert [r.name for r in friends] == ["Customer#000000001"]
