@@ -313,6 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in favor of the combined emb_ivf_pq_knn (same coarse machinery)
         "mm_image_resize": _mm_resize,  # rows-only (generated input)
         "orders_incremental_rollup": rel.orders_incremental_rollup,  # IVM
+        # production MinHash path (seeded xxhash64 mins — engine-specific
+        # hashes, so rows-only; the md5 twin above is the oracle path)
+        "doc_minhash_lsh_prod": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
+            spark, sf_dir, hash_fn="xxhash64"
+        ),
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer

@@ -40,6 +40,7 @@ HEADLINE = (
     "events_sessionized",
     "asof_order_events",
     "doc_minhash_lsh",
+    "doc_minhash_lsh_prod",  # xxhash64 production path vs the md5 oracle path
     "emb_knn_bruteforce",
 )
 

@@ -43,6 +43,7 @@ ROWS_ONLY = {
     "g_betweenness_landmarks",  # float path-ratio dependencies
     "doc_bpe_train",  # iterative merge loop — fold not SQL-expressible
     "mm_image_resize",  # generated media input — no SQL twin
+    "doc_minhash_lsh_prod",  # seeded xxhash64 — engine-specific hashes
 }
 
 
