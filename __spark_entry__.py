@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
         "important_parts": rel.important_parts,  # Q11
         "promo_part_suppliers": rel.promo_part_suppliers,  # Q20
+        "forecast_revenue_change": rel.forecast_revenue_change,  # Q6
+        "customer_order_distribution": rel.customer_order_distribution,  # Q13
     }
 
 
@@ -3595,6 +3597,34 @@ JOIN supplier s ON p.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE p.promo_qty * stats.n_supp > stats.total_qty
 ORDER BY supplier
+""",
+        # Q6 shape: selective single-group scan aggregate.
+        "forecast_revenue_change": """
+SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+    AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        # Q13 shape: aggregation of an aggregation (order-count histogram
+        # including zero-order customers via the outer join).
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (
+    SELECT * FROM orders WHERE o_orderpriority <> '5-LOW'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
 """,
         # Local clustering coefficient over SAME_FAMILY: exact integer
         # triangle/degree counts, one correctly-rounded double division.

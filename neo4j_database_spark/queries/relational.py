@@ -2358,3 +2358,62 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money_out(F.col("max_price")).alias("max_price"),
         _money_out(F.col("min_price")).alias("min_price"),
     ).orderBy("o_year", "o_orderpriority")
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the classic selective
+    single-group scan aggregate — every predicate (shipdate year,
+    discount band, quantity cap) pushes down to the parquet scan, the
+    projection prunes to 2 columns, and the result is one row of
+    map-side partials. The canary query for pushdown health: at 100 TB
+    a date-partitioned layout turns the year predicate into partition
+    pruning and the scan touches ~1/7 of the files.
+
+    Reference parity: BeanEden app.py has no revenue forecast, but this
+    is the canonical "filter hard, aggregate once" OLAP primitive every
+    engine must do without a shuffle of raw rows.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast(MONEY_SUM)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): aggregation OF an
+    aggregation. Left outer join keeps order-less customers (c_count=0),
+    the first groupBy shuffles on custkey, the second on the tiny
+    c_count domain (≤ max orders per customer) — so the expensive
+    shuffle happens once on the join key and the histogram step is
+    near-free. No o_comment column exists in this schema, so the
+    "not like special requests" anti-filter is approximated by
+    excluding low-priority orders (same operator surface: a pushed-down
+    negative predicate on the orders scan before the outer join).
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
