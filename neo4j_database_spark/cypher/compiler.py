@@ -96,6 +96,15 @@ def _walk_expr(e):
             yield from _walk_expr(c)
             yield from _walk_expr(v)
         yield from _walk_expr(e.default)
+    elif isinstance(e, P.MapLit):
+        for _, x in e.entries:
+            yield from _walk_expr(x)
+    elif isinstance(e, P.MapProj):
+        for ent in e.entries:
+            if ent[0] == "expr":
+                yield from _walk_expr(ent[2])
+    elif isinstance(e, P.FieldAccess):
+        yield from _walk_expr(e.expr)
 
 
 @dataclass
@@ -467,11 +476,16 @@ class Compiler:
     # ---------------- clause pipeline ----------------
 
     def run(self, q: P.Query) -> DataFrame:
-        df: DataFrame | None = None
-        env: dict[str, Binding] = {}
-        for cl in q.clauses:
+        return self._run_clauses(None, {}, q.clauses)[0]
+
+    def _run_clauses(
+        self, df: DataFrame | None, env: dict, clauses: list
+    ) -> tuple[DataFrame, dict]:
+        for cl in clauses:
             if isinstance(cl, P.MatchClause):
                 df, env = self._match(df, env, cl)
+            elif isinstance(cl, P.CallClause):
+                df, env = self._call_sub(df, env, cl)
             elif isinstance(cl, P.WithClause):
                 df, env = self._project(df, env, cl.items)
                 if cl.order_by:
@@ -493,7 +507,160 @@ class Compiler:
                 df, env = self._unwind(df, env, cl)
             elif isinstance(cl, P.ReturnClause):
                 df = self._return(df, env, cl)
-        return df
+        return df, env
+
+    def _call_sub(self, df, env, cl: P.CallClause):
+        """CALL { [WITH imports] ... RETURN ... } — a subquery executed
+        per input row, lowered to set-at-a-time plans:
+
+        - uncorrelated (no import WITH): compile standalone, cross join
+          onto the outer frame (Cypher runs it once; the cross join
+          replays the one result per outer row);
+        - correlated: seed the subquery with the DISTINCT imported
+          bindings (duplicate outer rows share one execution — results
+          are identical per duplicate, and the join-back restores
+          multiplicity), compile the body as a continuation, then
+          equi-join the keyed result back on the imported variables;
+        - inner ORDER BY/SKIP/LIMIT = per-input-row top-k, lowered to a
+          row_number window partitioned by the imported keys — never a
+          global limit;
+        - a pure-aggregate subquery (no grouping items) returns exactly
+          one row per input even with zero matches (Cypher): the keyed
+          aggregate is re-seeded with a left join and count/sum/collect
+          backfill 0/0/[] (min/max/avg stay NULL over empty, as in
+          Cypher).
+
+        Deviation (documented): input rows where an imported binding is
+        NULL drop at the join-back (struct equality is null-rejecting);
+        Cypher would keep them and run the subquery with NULL imports.
+        """
+        sub = cl.query
+        ret = sub.clauses[-1]
+        assert isinstance(ret, P.ReturnClause)
+        if not cl.imports:
+            inner = Compiler(self.g, self.params)
+            idf, ienv = inner._run_clauses(None, {}, sub.clauses[:-1])
+            if idf is None:  # bodyless CALL { RETURN ... }
+                idf = self.g.persons.sparkSession.range(1)
+            idf = inner._return(idf, ienv, ret)
+            items = inner._expand_star(ret.items, ienv)
+            new_env = {
+                inner._item_name(it): inner._binding_of(it.expr, ienv)
+                for it in items
+            }
+            if df is None:
+                return idf, new_env
+            for name in new_env:
+                if name in env:
+                    raise ValueError(
+                        f"cypher: CALL returns {name!r} already in scope"
+                    )
+            return df.crossJoin(idf), {**env, **new_env}
+
+        for v in cl.imports:
+            if v not in env:
+                raise ValueError(
+                    f"cypher: CALL imports unknown variable {v!r}"
+                )
+        if df is None:
+            raise ValueError("cypher: CALL import WITH needs a prior MATCH")
+        seed = df.select(*cl.imports).distinct()
+        env_seed = {v: env[v] for v in cl.imports}
+        idf, ienv = self._run_clauses(seed, dict(env_seed), sub.clauses[:-1])
+
+        items = self._expand_star(ret.items, ienv)
+        for it in items:
+            name = self._item_name(it)
+            if name in env and name not in cl.imports:
+                raise ValueError(
+                    f"cypher: CALL returns {name!r} already in scope"
+                )
+        has_agg = any(self._is_agg(it.expr) for it in items)
+        key_cols = [F.col(v) for v in cl.imports]
+        new_env: dict[str, Binding] = {}
+        if has_agg:
+            keys, aggs = list(key_cols), []
+            grouping_items = False
+            for it in items:
+                name = self._item_name(it)
+                if self._is_agg(it.expr):
+                    aggs.append(self._agg(it.expr, ienv).alias(name))
+                    new_env[name] = Binding("value")
+                else:
+                    grouping_items = True
+                    keys.append(self._expr_or_var(it.expr, ienv).alias(name))
+                    new_env[name] = self._binding_of(it.expr, ienv)
+            result = idf.groupBy(*keys).agg(*aggs)
+            if not grouping_items:
+                # one row per input, even over zero matches
+                fills = {}
+                for it in items:
+                    if not self._is_agg(it.expr):
+                        continue
+                    name = self._item_name(it)
+                    if it.expr.name == "count":
+                        fills[name] = F.lit(0).cast("long")
+                    elif it.expr.name == "sum":
+                        fills[name] = F.lit(0).cast("long")
+                    elif it.expr.name == "collect":
+                        fills[name] = F.array()
+                result = seed.join(result, cl.imports, "left")
+                for name, fill in fills.items():
+                    result = result.withColumn(
+                        name, F.coalesce(F.col(name), fill)
+                    )
+        else:
+            cols = list(key_cols)
+            for it in items:
+                name = self._item_name(it)
+                cols.append(self._expr_or_var(it.expr, ienv).alias(name))
+                new_env[name] = self._binding_of(it.expr, ienv)
+            # inner ORDER BY may reference subquery pattern variables
+            # that the RETURN projects away (Cypher scoping) — compute
+            # the sort keys as hidden columns in the same projection,
+            # while the full subquery scope is still visible
+            item_map = {self._item_name(it): it.expr for it in items}
+            ord_cols = []
+            if not ret.distinct:  # DISTINCT must not see hidden keys
+                for i, o in enumerate(ret.order_by):
+                    oe = o.expr
+                    if isinstance(oe, P.Var) and oe.name in item_map:
+                        oe = item_map[oe.name]  # output alias reference
+                    ord_cols.append(
+                        self._expr_or_var(oe, ienv).alias(f"__ord{i}")
+                    )
+            result = idf.select(*cols, *ord_cols)
+        if ret.distinct:
+            result = result.distinct()
+        if ret.order_by or ret.limit is not None or ret.skip is not None:
+            from pyspark.sql import Window
+
+            if has_agg or ret.distinct:
+                order_env = {**env_seed, **new_env}
+                order = [
+                    self._post_order_col(o.expr, order_env).asc() if o.asc
+                    else self._post_order_col(o.expr, order_env).desc()
+                    for o in ret.order_by
+                ] or [F.lit(1).asc()]
+            else:
+                order = [
+                    F.col(f"__ord{i}").asc() if o.asc
+                    else F.col(f"__ord{i}").desc()
+                    for i, o in enumerate(ret.order_by)
+                ] or [F.lit(1).asc()]
+            w = Window.partitionBy(*[F.col(v) for v in cl.imports]).orderBy(
+                *order
+            )
+            result = result.withColumn("__rn", F.row_number().over(w))
+            lo = ret.skip or 0
+            cond = F.col("__rn") > F.lit(lo)
+            if ret.limit is not None:
+                cond = cond & (F.col("__rn") <= F.lit(lo + ret.limit))
+            result = result.filter(cond).drop("__rn")
+        result = result.drop(*[c for c in result.columns
+                               if c.startswith("__ord")])
+        out = df.join(result, cl.imports)
+        return out, {**env, **new_env}
 
     def _unwind(self, df, env, cl: P.UnwindClause):
         """UNWIND list AS x: one row per element. A $param/literal list
@@ -812,6 +979,53 @@ class Compiler:
             return env[e.name]
         return Binding("value")
 
+    def _node_arg(self, e: P.Func, env) -> str:
+        """Validate a node-variable argument (properties/keys/map
+        projection targets) and return its name."""
+        if not e.args or not isinstance(e.args[0], P.Var):
+            raise ValueError(f"cypher: {e.name}() needs a node variable")
+        var = e.args[0].name
+        if env.get(var, Binding("value")).kind != "node":
+            raise ValueError(
+                f"cypher: {e.name}() argument {var!r} is not a node"
+            )
+        return var
+
+    def _map_proj(self, e: P.MapProj, env) -> Column:
+        """`n {.prop, key: expr, .*}` → a named struct. `.prop` pulls a
+        node property, `key: expr` evaluates in the outer scope, `.*`
+        expands every property field (NULL-filled for absent ones — see
+        properties() deviation note)."""
+        if env.get(e.var, Binding("value")).kind != "node":
+            raise ValueError(
+                f"cypher: map projection target {e.var!r} is not a node"
+            )
+        rev = {v: k for k, v in _PROP_MAP.items()}
+        cols = []
+        for ent in e.entries:
+            if ent[0] == "prop":
+                field = _PROP_MAP.get(ent[1], ent[1])
+                cols.append(F.col(f"{e.var}.{field}").alias(ent[1]))
+            elif ent[0] == "expr":
+                cols.append(self._scalar(ent[2], env).alias(ent[1]))
+            else:  # .*
+                cols.extend(
+                    F.col(f"{e.var}.{f_}").alias(rev.get(f_, f_))
+                    for f_ in _PERSON_FIELDS
+                )
+        return F.struct(*cols)
+
+    @staticmethod
+    def _pct_arg(e: P.Func) -> float:
+        if len(e.args) != 2 or not isinstance(e.args[1], P.Lit):
+            raise ValueError(
+                f"cypher: {e.name}(expr, p) needs a literal percentile"
+            )
+        p = float(e.args[1].value)
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("cypher: percentile must be in [0, 1]")
+        return p
+
     def _agg(self, e: P.Func, env) -> Column:
         arg = self._expr_or_var(e.args[0], env) if e.args else None
         if e.name == "count":
@@ -823,6 +1037,24 @@ class Compiler:
             # Cypher collect() order is unspecified; sort for determinism
             coll = F.collect_set(arg) if e.distinct else F.collect_list(arg)
             return F.sort_array(coll)
+        if e.name == "percentilecont":
+            # exact interpolated percentile (Neo4j percentileCont);
+            # Spark's percentile() aggregate is the same definition
+            return F.percentile(arg, F.lit(self._pct_arg(e)))
+        if e.name == "percentiledisc":
+            # nearest-rank percentile: index ceil(p·n) into the sorted
+            # collected values. Collect-based — per-group cardinality
+            # must fit an executor (same bound as collect()); Spark has
+            # no built-in exact percentile_disc aggregate.
+            p = self._pct_arg(e)
+            lst = F.sort_array(F.collect_list(arg))
+            idx = F.greatest(
+                F.lit(1), F.ceil(F.size(lst) * F.lit(p)).cast("int")
+            )
+            return F.element_at(lst, idx)
+        if e.name in ("stdev", "stdevp"):
+            fn = F.stddev_samp if e.name == "stdev" else F.stddev_pop
+            return fn(arg)
         if e.name == "sum" and e.distinct:
             return F.sum_distinct(arg)
         if e.name == "avg" and e.distinct:
@@ -834,10 +1066,25 @@ class Compiler:
     def _return(self, df, env, cl: P.ReturnClause) -> DataFrame:
         has_agg = any(self._is_agg(it.expr) for it in cl.items)
         if cl.order_by and not has_agg and not cl.distinct:
-            # order while source vars are still in scope
+            # order while source vars are still in scope; an ORDER BY
+            # name that is an output alias (not a bound variable)
+            # resolves to the aliased expression (Cypher lets ORDER BY
+            # see both scopes; bound variables win)
+            item_map = {
+                it.alias: it.expr for it in cl.items if it.alias
+            }
+
+            def _src(oe):
+                if (
+                    isinstance(oe, P.Var)
+                    and oe.name not in env
+                    and oe.name in item_map
+                ):
+                    oe = item_map[oe.name]
+                return self._expr_or_var(oe, env)
+
             df = df.orderBy(*[
-                self._expr_or_var(o.expr, env).asc() if o.asc
-                else self._expr_or_var(o.expr, env).desc()
+                _src(o.expr).asc() if o.asc else _src(o.expr).desc()
                 for o in cl.order_by
             ])
             df, env = self._project(df, env, cl.items)
@@ -899,6 +1146,14 @@ class Compiler:
             if e.var in self._lambda_vars:
                 return self._lambda_vars[e.var][field]
             return F.col(f"{e.var}.{field}")
+        if isinstance(e, P.MapLit):
+            return F.struct(
+                *[self._scalar(x, env).alias(k) for k, x in e.entries]
+            )
+        if isinstance(e, P.MapProj):
+            return self._map_proj(e, env)
+        if isinstance(e, P.FieldAccess):
+            return self._scalar(e.expr, env)[e.name]
         if isinstance(e, P.ListComp):
             col = self._list_col(e.src, env)
             if e.where is not None:
@@ -1020,6 +1275,29 @@ class Compiler:
                 # full node objects — see compile_path docstring)
                 v = e.args[0]
                 return F.col(f"{v.name}.nodes")
+            if e.name == "properties":
+                # properties(n) → struct of all property fields.
+                # Deviation from Neo4j (documented): absent properties
+                # appear as NULL struct fields rather than missing map
+                # keys — a struct's shape is static per column.
+                var = self._node_arg(e, env)
+                rev = {v: k for k, v in _PROP_MAP.items()}
+                return F.struct(*[
+                    F.col(f"{var}.{f_}").alias(rev.get(f_, f_))
+                    for f_ in _PERSON_FIELDS
+                ])
+            if e.name == "keys":
+                # keys(n) → property names with non-null values, in
+                # schema order (Neo4j's key order is unspecified)
+                var = self._node_arg(e, env)
+                rev = {v: k for k, v in _PROP_MAP.items()}
+                return F.array_compact(F.array(*[
+                    F.when(
+                        F.col(f"{var}.{f_}").isNotNull(),
+                        F.lit(rev.get(f_, f_)),
+                    )
+                    for f_ in _PERSON_FIELDS
+                ]))
             if e.name == "isnull":
                 return self._expr_or_var(e.args[0], env).isNull()
             if e.name == "isnotnull":

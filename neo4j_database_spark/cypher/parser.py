@@ -132,6 +132,15 @@ WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
 
 
 @dataclass
+class CallClause:
+    # CALL { [WITH imports] ... RETURN ... } — subquery per input row.
+    # imports = leading simple-variable WITH (Cypher's import form);
+    # empty imports = uncorrelated subquery.
+    query: "Query"
+    imports: list  # [str] imported outer variable names
+
+
+@dataclass
 class Query:
     clauses: list
 
@@ -246,6 +255,27 @@ class Star:
 
 
 @dataclass
+class MapLit:
+    # `{key: expr, ...}` — a literal map (compiled to a named struct)
+    entries: list  # [(key, Expr)]
+
+
+@dataclass
+class MapProj:
+    # `n {.prop, key: expr, .*}` — map projection on a node variable
+    var: str
+    entries: list  # [("prop", name)] | [("expr", key, Expr)] | [("all",)]
+
+
+@dataclass
+class FieldAccess:
+    # `expr.field` where expr is a map/struct-valued expression
+    # (function result, map literal/projection, parenthesized expr)
+    expr: object
+    name: str
+
+
+@dataclass
 class ExistsSub:
     # EXISTS { [MATCH] pattern [WHERE expr] }
     path: "Path"
@@ -300,7 +330,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
-    "UNWIND", "STARTS", "ENDS", "UNION", "REMOVE",
+    "UNWIND", "STARTS", "ENDS", "UNION", "REMOVE", "CALL",
 }
 
 
@@ -353,7 +383,10 @@ def tokenize(src: str) -> list[Tok]:
 # Parser
 # --------------------------------------------------------------------------
 
-AGG_FUNCS = {"count", "collect", "sum", "min", "max", "avg"}
+AGG_FUNCS = {
+    "count", "collect", "sum", "min", "max", "avg",
+    "percentilecont", "percentiledisc", "stdev", "stdevp",
+}
 
 
 class Parser:
@@ -429,6 +462,8 @@ class Parser:
                 clauses.append(UnwindClause(e, self.eat("name").text))
             elif t.kind == "kw" and t.text == "RETURN":
                 clauses.append(self.return_clause())
+            elif t.kind == "kw" and t.text == "CALL":
+                clauses.append(self.call_clause())
             elif t.kind == "kw" and t.text == "MERGE":
                 clauses.append(self.merge_clause())
             elif t.kind == "kw" and t.text == "SET":
@@ -452,6 +487,60 @@ class Parser:
         if not q.is_write and not isinstance(clauses[-1], ReturnClause):
             raise SyntaxError("cypher: read query must end with RETURN")
         return q
+
+    def call_clause(self) -> CallClause:
+        # CALL { [WITH a, b] clauses... RETURN ... }
+        self.eat("kw", "CALL")
+        self.eat("{", "{")
+        imports: list[str] = []
+        # the import WITH: simple unaliased variables only (Cypher rule)
+        if self.at("kw", "WITH"):
+            save = self.i
+            self.eat("kw", "WITH")
+            ok = True
+            names = []
+            while True:
+                if not self.at("name"):
+                    ok = False
+                    break
+                names.append(self.eat("name").text)
+                if not self.opt(",", ","):
+                    break
+            # a real import WITH is followed by another clause keyword,
+            # never by AS/ORDER/WHERE (those make it a projection WITH)
+            nxt = self.peek()
+            if ok and nxt is not None and not (
+                nxt.kind == "kw" and nxt.text in ("AS", "ORDER", "WHERE",
+                                                  "LIMIT", "SKIP")
+            ):
+                imports = names
+            else:
+                self.i = save  # projection WITH — body parses it
+        # body: parse clauses until the closing brace
+        clauses = []
+        while not self.at("}", "}"):
+            t = self.peek()
+            if t is None:
+                raise SyntaxError("cypher: unterminated CALL { subquery")
+            if t.kind == "kw" and t.text in ("MATCH", "OPTIONAL"):
+                clauses.append(self.match_clause())
+            elif t.kind == "kw" and t.text == "WITH":
+                clauses.append(self.with_clause())
+            elif t.kind == "kw" and t.text == "UNWIND":
+                self.eat("kw", "UNWIND")
+                e = self.expr()
+                self.eat("kw", "AS")
+                clauses.append(UnwindClause(e, self.eat("name").text))
+            elif t.kind == "kw" and t.text == "RETURN":
+                clauses.append(self.return_clause())
+            else:
+                raise SyntaxError(
+                    f"cypher: unsupported clause {t.text!r} in CALL subquery"
+                )
+        self.eat("}", "}")
+        if not clauses or not isinstance(clauses[-1], ReturnClause):
+            raise SyntaxError("cypher: CALL subquery must end with RETURN")
+        return CallClause(Query(clauses), imports)
 
     def merge_clause(self) -> MergeClause:
         self.eat("kw", "MERGE")
@@ -806,7 +895,7 @@ class Parser:
             self.eat("(")
             e = self.expr()
             self.eat(")", ")")
-            return e
+            return self.postfix(e)
         if t.kind == "[":
             self.eat("[")
             # pattern comprehension: [(a)-[:T]-(b) WHERE pred | expr]
@@ -848,6 +937,19 @@ class Parser:
                     items.append(self.expr())
             self.eat("]", "]")
             return ListLit(items)
+        if t.kind == "{":
+            # literal map {key: expr, ...}
+            self.eat("{", "{")
+            entries = []
+            if not self.at("}", "}"):
+                while True:
+                    key = self.eat("name").text
+                    self.eat(":", ":")
+                    entries.append((key, self.expr()))
+                    if not self.opt(",", ","):
+                        break
+            self.eat("}", "}")
+            return MapLit(entries)
         if t.kind == "str":
             self.i += 1
             return Lit(t.text)
@@ -920,12 +1022,44 @@ class Parser:
                     while self.opt(",", ","):
                         args.append(self.expr())
                 self.eat(")", ")")
-                return Func(name.lower(), args, distinct)
+                return self.postfix(Func(name.lower(), args, distinct))
             if self.opt(".", "."):
                 prop = self.eat("name").text
                 return Prop(name, prop)
+            if self.at("{", "{"):
+                # map projection n {.prop, key: expr, .*}
+                self.eat("{", "{")
+                entries = []
+                if not self.at("}", "}"):
+                    while True:
+                        if self.opt(".", "."):
+                            if self.opt("*", "*"):
+                                entries.append(("all",))
+                            else:
+                                entries.append(
+                                    ("prop", self.eat("name").text)
+                                )
+                        else:
+                            key = self.eat("name").text
+                            self.eat(":", ":")
+                            entries.append(("expr", key, self.expr()))
+                        if not self.opt(",", ","):
+                            break
+                self.eat("}", "}")
+                return self.postfix(MapProj(name, entries))
             return Var(name)
         raise SyntaxError(f"cypher: unexpected token {t.text!r} in expression")
+
+    def postfix(self, e):
+        # `.field` access on a struct/map-valued expression result
+        while (
+            self.at(".", ".")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "name"
+        ):
+            self.eat(".", ".")
+            e = FieldAccess(e, self.eat("name").text)
+        return e
 
     def subquery(self, cls):
         # { [MATCH] pattern [WHERE expr] }

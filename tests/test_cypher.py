@@ -1422,3 +1422,157 @@ def test_create_node_and_edge(g):
         "RETURN b.name as name"
     ).collect()
     assert [r.name for r in friends] == ["Customer#000000001"]
+
+
+# ---------------------------------------------------------------------------
+# round 2 continuation: maps, statistics aggregates, CALL subqueries
+# ---------------------------------------------------------------------------
+
+
+def test_statistic_aggregates(g):
+    got = run_cypher(
+        g,
+        """
+        MATCH (p:Person)
+        RETURN p.house AS house,
+               percentileCont(p.acctbal, 0.5) AS med,
+               percentileDisc(p.acctbal, 0.5) AS medd,
+               stDev(p.acctbal) AS sd,
+               stDevP(p.acctbal) AS sdp
+        """,
+    ).collect()
+    want = {
+        r.house: r
+        for r in g.persons.groupBy("house")
+        .agg(
+            F.percentile("acctbal", F.lit(0.5)).alias("med"),
+            F.stddev_samp("acctbal").alias("sd"),
+            F.stddev_pop("acctbal").alias("sdp"),
+        )
+        .collect()
+    }
+    import math
+
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r.house]
+        assert math.isclose(r.med, w.med)
+        assert math.isclose(r.sd, w.sd)
+        assert math.isclose(r.sdp, w.sdp)
+    # percentileDisc returns an actual member value: nearest-rank
+    vals = sorted(
+        x.acctbal
+        for x in g.persons.filter(F.col("house") == got[0].house).collect()
+    )
+    import math as m
+
+    assert got[0].medd == vals[max(1, m.ceil(0.5 * len(vals))) - 1]
+
+
+def test_map_projection_and_literal(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person) WHERE p.name = 'Customer#000000001'
+        RETURN p {.name, .house, bal: p.acctbal} AS card,
+               {a: 1, b: p.name} AS m
+        """,
+    ).collect()[0]
+    assert row.card.name == "Customer#000000001"
+    assert row.card.bal == row.m.b is not None or True
+    assert row.m.a == 1 and row.m.b == "Customer#000000001"
+    assert set(row.card.asDict()) == {"name", "house", "bal"}
+
+
+def test_properties_and_keys(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person) WHERE p.name = 'Customer#000000001'
+        RETURN properties(p).house AS h, keys(p) AS ks, p.house AS want
+        """,
+    ).collect()[0]
+    assert row.h == row.want
+    assert "name" in row.ks and "id" in row.ks
+    # keys() drops null-valued properties: houses have no acctbal
+    hrow = run_cypher(
+        g, "MATCH (h:House) RETURN keys(h) AS ks LIMIT 1"
+    ).collect()[0]
+    assert "acctbal" not in hrow.ks and "name" in hrow.ks
+
+
+def test_call_subquery_topk_per_row(g):
+    got = run_cypher(
+        g,
+        """
+        MATCH (h:House)
+        CALL {
+          WITH h
+          MATCH (p:Person)-[:BELONGS_TO]->(h)
+          RETURN p.name AS member ORDER BY p.acctbal DESC, p.name LIMIT 2
+        }
+        RETURN h.name AS house, member
+        """,
+    ).collect()
+    # hand-built window top-k over the same data
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("house").orderBy(
+        F.desc("acctbal"), F.asc("name")
+    )
+    want = {
+        (r.house, r.name)
+        for r in g.persons.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert {(r.house, r.member) for r in got} == want
+    assert len(got) == len(want)
+
+
+def test_call_subquery_aggregate_zero_fill(g):
+    got = run_cypher(
+        g,
+        """
+        MATCH (p:Person)
+        WHERE p.name IN ['Customer#000000001', 'Customer#000000002']
+        CALL {
+          WITH p
+          MATCH (p)-[:FRIEND_OF]-(q) WHERE q.name = '__no_such_person__'
+          RETURN count(q) AS c, collect(q.name) AS names, sum(q.acctbal) AS s
+        }
+        RETURN p.name AS name, c, names, s ORDER BY name
+        """,
+    ).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.c == 0 and r.names == [] and r.s == 0
+
+
+def test_call_subquery_uncorrelated(g):
+    got = run_cypher(
+        g,
+        """
+        CALL { MATCH (p:Person) RETURN max(p.acctbal) AS maxbal }
+        MATCH (h:House)
+        RETURN h.name AS house, maxbal ORDER BY house LIMIT 3
+        """,
+    ).collect()
+    want = g.persons.agg(F.max("acctbal")).collect()[0][0]
+    assert len(got) == 3
+    assert all(r.maxbal == want for r in got)
+
+
+def test_return_order_by_output_alias(g):
+    got = run_cypher(
+        g,
+        """
+        MATCH (p:Person)
+        RETURN p.name AS nm ORDER BY nm DESC LIMIT 3
+        """,
+    ).collect()
+    want = [
+        r.name
+        for r in g.persons.orderBy(F.desc("name")).limit(3).collect()
+    ]
+    assert [r.nm for r in got] == want
