@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- Cypher front end (round-4: reference statements compiled) --
         "cypher_winder": _cypher_winder,
         "cypher_house_counts": _cypher_house_counts,
+        "cypher_call_topk": _cypher_call_topk,
         # -- behavioral analytics over the event log --
         "events_funnel": rel.events_funnel,
         "brand_association_rules": rel.brand_association_rules,  # itemsets
@@ -422,6 +423,28 @@ def _cypher_winder(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     out = run_cypher(g, _CYPHER_WINDER, {"friends": WINDER_SEEDS})
     return out.withColumn("shared_with", F.array_join("shared_with", ","))
+
+
+def _cypher_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL {} subquery with per-input-row ORDER BY/LIMIT: the top-3
+    members of every house by balance, compiled to a row_number window
+    partitioned on the imported key (never a global limit)."""
+    from neo4j_database_spark.cypher import run_cypher
+
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        """
+        MATCH (h:House)
+        CALL {
+          WITH h
+          MATCH (p:Person)-[:BELONGS_TO]->(h)
+          RETURN p.name AS member ORDER BY p.acctbal DESC, p.name LIMIT 3
+        }
+        RETURN h.name AS house, member
+        ORDER BY house, member
+        """,
+    )
 
 
 def _customer_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3735,6 +3758,16 @@ WHERE s.name IN ({_sql_list(list(WINDER_SEEDS))})
   AND p.name NOT IN ({_sql_list(list(WINDER_SEEDS))})
   AND e.type = 'FRIEND_OF'
 GROUP BY p.name, p.house, p.image
+""",
+        # Cypher CALL {} per-row top-k ≡ partitioned window
+        "cypher_call_topk": f"""{GRAPH_CTES}
+SELECT house, member FROM (
+  SELECT p.house AS house, p.name AS member,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.house ORDER BY p.acctbal DESC, p.name
+         ) AS rn
+  FROM persons p WHERE p.house IS NOT NULL
+) t WHERE rn <= 3 ORDER BY house, member
 """,
         # GROUPING SETS 1-D marginals with an explicit grouping bitmask
         "sales_marginals": """
