@@ -34,5 +34,17 @@ class CypherSession:
             return None
         return run_cypher(self.graph, query, params)
 
+    def explain(self, query: str, params: dict | None = None,
+                mode: str = "formatted") -> str:
+        """Neo4j ``EXPLAIN``-shaped: compile the read statement and
+        return the physical plan Catalyst chose (without executing).
+        The Spark plan is the engine's honest answer to "how will this
+        run" — join strategies, pushed filters, exchanges — where Neo4j
+        would show its operator pipeline."""
+        df = run_cypher(self.graph, query, params)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
 
 __all__ = ["run_cypher", "apply_cypher_write", "CypherSession"]

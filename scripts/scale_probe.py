@@ -44,10 +44,12 @@ def main():
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     ev = load_table(spark, "events", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
     results = {}
     for mult in (1, 4, 16):
         d = os.path.join(base, f"x{mult}")
-        if not os.path.exists(os.path.join(d, "_done")):
+        if not os.path.exists(os.path.join(d, "_done2")):
             replicate(li, mult, ["l_orderkey"], 100_000_000).write.mode(
                 "overwrite"
             ).parquet(os.path.join(d, "lineitem"))
@@ -55,10 +57,34 @@ def main():
                 .write.mode("overwrite").parquet(os.path.join(d, "orders"))
             replicate(ev, mult, ["event_id", "user_id"], 100_000_000)\
                 .write.mode("overwrite").parquet(os.path.join(d, "events"))
-            open(os.path.join(d, "_done"), "w").write("ok")
+            # documents: shift the key AND salt every shingle (a
+            # copy-specific token between every word) so replicas are
+            # distinct documents — otherwise each copy set is a
+            # 16-clique of true duplicates and LSH pair output grows
+            # quadratically by construction of the input, not the plan
+            dparts = []
+            for i in range(mult):
+                dparts.append(
+                    docs.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+                    ).withColumn(
+                        "text",
+                        F.regexp_replace("text", " ", f" c{i} ")
+                        if i else F.col("text"),
+                    )
+                )
+            dout = dparts[0]
+            for p in dparts[1:]:
+                dout = dout.unionByName(p)
+            dout.write.mode("overwrite").parquet(os.path.join(d, "documents"))
+            replicate(emb, mult, ["vec_id"], 100_000_000)\
+                .write.mode("overwrite").parquet(os.path.join(d, "embeddings"))
+            open(os.path.join(d, "_done2"), "w").write("ok")
         L = spark.read.parquet(os.path.join(d, "lineitem"))
         O = spark.read.parquet(os.path.join(d, "orders"))
         E = spark.read.parquet(os.path.join(d, "events"))
+        D = spark.read.parquet(os.path.join(d, "documents"))
+        V = spark.read.parquet(os.path.join(d, "embeddings"))
 
         def q1():  # Q1 shape: full-scan aggregate
             return (
@@ -90,8 +116,49 @@ def main():
                 ).agg(F.count(F.lit(1)).alias("n"))
             )
 
+        def lsh():  # MinHash-LSH candidate pairs (production xxhash64)
+            from neo4j_database_spark.pipeline.dedup import band_keys
+
+            ex = band_keys(D, hash_fn="xxhash64")
+            a = ex.select(F.col("doc_id").alias("id_a"), "band_idx",
+                          "band_key")
+            b = ex.select(F.col("doc_id").alias("id_b"), "band_idx",
+                          "band_key")
+            return (
+                a.join(b, ["band_idx", "band_key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+            )
+
+        def knn():  # brute-force cosine top-k, 1-row broadcast query
+            q = V.filter(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("qv")
+            )
+            dot = F.aggregate(
+                F.zip_with("embedding", "qv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            norm = F.sqrt(F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ))
+            qnorm = F.sqrt(F.aggregate(
+                F.transform("qv", lambda x: x * x),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ))
+            return (
+                V.crossJoin(F.broadcast(q))
+                .select("vec_id", (dot / (norm * qnorm)).alias("cos"))
+                .orderBy(F.desc("cos"), F.asc("vec_id"))
+                .limit(10)
+            )
+
         for name, fn in (("q1_scan_agg", q1), ("q3_join_agg", q3),
-                         ("session_windows", sess)):
+                         ("session_windows", sess),
+                         ("minhash_lsh_pairs", lsh),
+                         ("knn_bruteforce", knn)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -1576,3 +1576,18 @@ def test_return_order_by_output_alias(g):
         for r in g.persons.orderBy(F.desc("name")).limit(3).collect()
     ]
     assert [r.nm for r in got] == want
+
+
+def test_explain_shows_pushdown(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    plan = CypherSession(g).explain(
+        "MATCH (p:Person) WHERE p.house = 'NATION_1' "
+        "RETURN p.name AS name ORDER BY name LIMIT 5"
+    )
+    # the struct-per-node design must not defeat scan optimizations:
+    # the house predicate reaches the parquet scan and only the two
+    # referenced property columns are read
+    assert "PushedFilters" in plan and "EqualTo(house,NATION_1)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "acctbal" not in plan  # column pruning held
