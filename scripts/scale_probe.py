@@ -172,7 +172,11 @@ def main():
             "# SCALE_PROBE — replicated-input scaling, local[32]\n\n"
             "Disjoint-key replication of the sf0.1 facts; best-of-2 per "
             "cell, seconds. Near-linear growth ⇒ no super-linear stage "
-            "in the plan (see ARCHITECTURE.md scale audit).\n\n"
+            "in the plan (see ARCHITECTURE.md scale audit). Document "
+            "copies are shingle-salted (a copy token between every "
+            "word) so LSH sees distinct documents — replicating "
+            "identical texts would grow true-duplicate cliques, and "
+            "pair output, quadratically by construction.\n\n"
             "| query | 1x | 4x | 16x | 16x/1x |\n|---|---|---|---|---|\n"
         )
         for name, row in results.items():
