@@ -48,6 +48,14 @@ _PERSON_FIELDS = (
 )
 
 
+def _extra_person_fields(g: GraphModel) -> list[str]:
+    """Dynamic properties beyond the unified schema (added by Cypher
+    writes — SET/FOREACH on a fresh name). Sorted for a deterministic
+    struct shape; both node builders must agree field-for-field so
+    untyped expansions can union."""
+    return sorted(c for c in g.persons.columns if c not in _PERSON_FIELDS)
+
+
 def _person_nodes(g: GraphModel) -> DataFrame:
     p = g.persons
     cols = [
@@ -59,6 +67,7 @@ def _person_nodes(g: GraphModel) -> DataFrame:
             cols.append(F.col(f_))
         else:
             cols.append(F.lit(None).alias(f_))
+    cols += [F.col(f_) for f_ in _extra_person_fields(g)]
     return p.select(F.struct(*cols).alias("__node"))
 
 
@@ -74,6 +83,11 @@ def _house_nodes(g: GraphModel) -> DataFrame:
         F.col("name").alias("id"),
         F.col("name").alias("name"),
     ] + [F.lit(None).cast(t).alias(f_) for f_, t in null_types.items()]
+    pschema = g.persons.schema
+    cols += [
+        F.lit(None).cast(pschema[f_].dataType).alias(f_)
+        for f_ in _extra_person_fields(g)
+    ]
     return g.houses.select(F.struct(*cols).alias("__node"))
 
 
@@ -1009,9 +1023,10 @@ class Compiler:
             elif ent[0] == "expr":
                 cols.append(self._scalar(ent[2], env).alias(ent[1]))
             else:  # .*
+                fields = list(_PERSON_FIELDS) + _extra_person_fields(self.g)
                 cols.extend(
                     F.col(f"{e.var}.{f_}").alias(rev.get(f_, f_))
-                    for f_ in _PERSON_FIELDS
+                    for f_ in fields
                 )
         return F.struct(*cols)
 
@@ -1282,21 +1297,23 @@ class Compiler:
                 # keys — a struct's shape is static per column.
                 var = self._node_arg(e, env)
                 rev = {v: k for k, v in _PROP_MAP.items()}
+                fields = list(_PERSON_FIELDS) + _extra_person_fields(self.g)
                 return F.struct(*[
                     F.col(f"{var}.{f_}").alias(rev.get(f_, f_))
-                    for f_ in _PERSON_FIELDS
+                    for f_ in fields
                 ])
             if e.name == "keys":
                 # keys(n) → property names with non-null values, in
                 # schema order (Neo4j's key order is unspecified)
                 var = self._node_arg(e, env)
                 rev = {v: k for k, v in _PROP_MAP.items()}
+                fields = list(_PERSON_FIELDS) + _extra_person_fields(self.g)
                 return F.array_compact(F.array(*[
                     F.when(
                         F.col(f"{var}.{f_}").isNotNull(),
                         F.lit(rev.get(f_, f_)),
                     )
-                    for f_ in _PERSON_FIELDS
+                    for f_ in fields
                 ]))
             if e.name == "isnull":
                 return self._expr_or_var(e.args[0], env).isNull()

@@ -127,8 +127,18 @@ class CreateClause:
     path: Path
 
 
+@dataclass
+class ForeachClause:
+    # FOREACH (var IN src | SET ...) — batch property updates over a
+    # bound list (collected nodes, nodes(path), ...)
+    var: str
+    src: object
+    body: list  # [SetClause]
+
+
 WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
-                 CreateConstraintClause, RemoveClause, CreateClause)
+                 CreateConstraintClause, RemoveClause, CreateClause,
+                 ForeachClause)
 
 
 @dataclass
@@ -330,7 +340,7 @@ KEYWORDS = {
     # write-side subset (get_insert.py / app.py predict writeback)
     "MERGE", "SET", "DELETE", "DETACH", "CREATE", "CONSTRAINT",
     "FOR", "REQUIRE", "IS", "UNIQUE", "IF", "EXISTS", "ON", "SKIP",
-    "UNWIND", "STARTS", "ENDS", "UNION", "REMOVE", "CALL",
+    "UNWIND", "STARTS", "ENDS", "UNION", "REMOVE", "CALL", "FOREACH",
 }
 
 
@@ -470,6 +480,8 @@ class Parser:
                 clauses.append(self.set_clause())
             elif t.kind == "kw" and t.text == "REMOVE":
                 clauses.append(self.remove_clause())
+            elif t.kind == "kw" and t.text == "FOREACH":
+                clauses.append(self.foreach_clause())
             elif t.kind == "kw" and t.text == "DETACH":
                 clauses.append(self.delete_clause())
             elif t.kind == "kw" and t.text == "CREATE":
@@ -575,6 +587,26 @@ class Parser:
             if not self.opt(",", ","):
                 break
         return SetClause(assigns, map_assigns)
+
+    def foreach_clause(self) -> ForeachClause:
+        # FOREACH (x IN expr | SET ... [SET ...])
+        self.eat("kw", "FOREACH")
+        self.eat("(", "(")
+        var = self.eat("name").text
+        self.eat("kw", "IN")
+        src = self.expr()
+        self.eat("|", "|")
+        body = []
+        while self.at("kw", "SET"):
+            body.append(self.set_clause())
+        if not body:
+            t = self.peek()
+            raise SyntaxError(
+                "cypher: FOREACH body supports SET only, got "
+                f"{(t.kind, t.text) if t else 'EOF'}"
+            )
+        self.eat(")", ")")
+        return ForeachClause(var, src, body)
 
     def remove_clause(self) -> RemoveClause:
         self.eat("kw", "REMOVE")

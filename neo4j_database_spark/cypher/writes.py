@@ -175,6 +175,86 @@ def apply_cypher_write(
                 )
         return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
 
+    # 2c. MATCH ... FOREACH (x IN list | SET x.prop = v ...) — batch
+    # property updates over a bound list. Set-at-a-time lowering: the
+    # list column explodes to target ids (one distinct per FOREACH) and
+    # each SET becomes a broadcast conditional update on persons — no
+    # per-element loop, exactly the REMOVE machinery's shape.
+    foreaches = [c for c in clauses if isinstance(c, P.ForeachClause)]
+    if foreaches:
+        if merges or sets or removes:
+            raise CypherWriteError(
+                "FOREACH cannot be combined with top-level MERGE/SET/"
+                "REMOVE in one statement"
+            )
+        if not matches:
+            raise CypherWriteError("FOREACH needs a MATCH prefix")
+        # the prefix is a full read pipeline (MATCH/WITH/UNWIND — e.g.
+        # `WITH collect(q) AS friends`), compiled by the read compiler
+        prefix = []
+        for c in clauses:
+            if isinstance(c, P.ForeachClause):
+                break
+            if not isinstance(
+                c, (P.MatchClause, P.WithClause, P.UnwindClause)
+            ):
+                raise CypherWriteError(
+                    f"unsupported clause before FOREACH: {c!r}"
+                )
+            prefix.append(c)
+        comp = Compiler(g, params)
+        df, env = comp._run_clauses(None, {}, prefix)
+        persons = g.persons
+        for fc in foreaches:
+            lst = comp._expr_or_var(fc.src, env)
+            x = df.select(F.explode(lst).alias("__x"))
+            elem_t = x.schema["__x"].dataType
+            from pyspark.sql import types as T
+
+            if isinstance(elem_t, T.StructType) and "id" in elem_t.names:
+                idc = F.col("__x.id")  # list of node structs (collect(p))
+            else:
+                idc = F.col("__x")  # list of node ids (nodes(path))
+            targets = x.select(
+                idc.cast("long").alias("__fid")
+            ).distinct()
+            assigns = {}
+            for sc in fc.body:
+                if sc.map_assigns:
+                    raise CypherWriteError(
+                        "FOREACH SET += is not supported"
+                    )
+                for prop, expr in sc.assigns:
+                    if prop.var != fc.var:
+                        raise CypherWriteError(
+                            f"FOREACH SET target {prop.var!r} must be the "
+                            f"loop variable {fc.var!r}"
+                        )
+                    field = _PROP_MAP.get(prop.name, prop.name)
+                    if field == "id":
+                        continue  # identity is engine-managed
+                    assigns[field] = _scalar(expr, params)
+            for field, value in assigns.items():
+                if field not in persons.columns:
+                    persons = persons.withColumn(
+                        field, F.lit(None).cast("string")
+                    )
+                persons = (
+                    persons.join(
+                        F.broadcast(targets),
+                        persons.id == F.col("__fid"),
+                        "left",
+                    )
+                    .withColumn(
+                        field,
+                        F.when(
+                            F.col("__fid").isNotNull(), F.lit(value)
+                        ).otherwise(F.col(field)),
+                    )
+                    .drop("__fid")
+                )
+        return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
+
     creates = [c for c in clauses if isinstance(c, P.CreateClause)]
     if creates and not merges:
         # CREATE under the app's uniqueness constraint (get_insert.py:71):

@@ -1591,3 +1591,70 @@ def test_explain_shows_pushdown(g):
     assert "PushedFilters" in plan and "EqualTo(house,NATION_1)" in plan
     assert "TakeOrderedAndProject" in plan
     assert "acctbal" not in plan  # column pruning held
+
+
+def test_foreach_set_over_collected_nodes(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    s.run(
+        """
+        MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q)
+        WITH collect(q) AS friends
+        FOREACH (f IN friends | SET f.flagged = 'yes' SET f.tier = 'A')
+        """
+    )
+    got = s.run(
+        "MATCH (p:Person) WHERE p.flagged = 'yes' "
+        "RETURN count(p) AS n, collect(DISTINCT p.tier) AS tiers"
+    ).collect()[0]
+    want = run_cypher(
+        g,
+        "MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q) "
+        "RETURN count(q) AS n",
+    ).collect()[0].n
+    assert got.n == want and got.tiers == ["A"]
+    # dynamic property flows through the full node surface
+    row = s.run(
+        "MATCH (p:Person) WHERE p.flagged = 'yes' "
+        "RETURN keys(p) AS ks LIMIT 1"
+    ).collect()[0]
+    assert "flagged" in row.ks
+
+
+def test_foreach_over_path_nodes(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    nm = run_cypher(
+        g,
+        "MATCH (a:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(b) "
+        "RETURN b.name AS nm ORDER BY nm LIMIT 1",
+    ).collect()[0].nm
+    s.run(
+        "MATCH p = shortestPath((a:Person {name: 'Customer#000000001'})"
+        f"-[:FRIEND_OF*1..2]-(b:Person {{name: '{nm}'}})) "
+        "FOREACH (n IN nodes(p) | SET n.on_path = 'true')"
+    )
+    marked = {
+        r.nm
+        for r in s.run(
+            "MATCH (x:Person) WHERE x.on_path = 'true' "
+            "RETURN x.name AS nm"
+        ).collect()
+    }
+    assert marked == {"Customer#000000001", nm}
+
+
+def test_foreach_requires_loop_var_target(g):
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.cypher.writes import CypherWriteError
+
+    with pytest.raises(CypherWriteError):
+        CypherSession(g).run(
+            """
+            MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q)
+            WITH p, collect(q) AS friends
+            FOREACH (f IN friends | SET p.x = 1)
+            """
+        )
