@@ -569,6 +569,13 @@ class Compiler:
                     raise ValueError(
                         f"cypher: CALL returns {name!r} already in scope"
                     )
+            if cl.optional:
+                # OPTIONAL CALL: an empty subquery result keeps every
+                # outer row, null-extended (left join on true)
+                return (
+                    df.join(idf, F.lit(True), "left"),
+                    {**env, **new_env},
+                )
             return df.crossJoin(idf), {**env, **new_env}
 
         for v in cl.imports:
@@ -673,7 +680,7 @@ class Compiler:
             result = result.filter(cond).drop("__rn")
         result = result.drop(*[c for c in result.columns
                                if c.startswith("__ord")])
-        out = df.join(result, cl.imports)
+        out = df.join(result, cl.imports, "left" if cl.optional else "inner")
         return out, {**env, **new_env}
 
     def _unwind(self, df, env, cl: P.UnwindClause):

@@ -145,9 +145,11 @@ WRITE_CLAUSES = (MergeClause, SetClause, DetachDeleteClause,
 class CallClause:
     # CALL { [WITH imports] ... RETURN ... } — subquery per input row.
     # imports = leading simple-variable WITH (Cypher's import form);
-    # empty imports = uncorrelated subquery.
+    # empty imports = uncorrelated subquery. optional = OPTIONAL CALL
+    # (zero-row subquery results keep the input row, null-extended).
     query: "Query"
     imports: list  # [str] imported outer variable names
+    optional: bool = False
 
 
 @dataclass
@@ -461,7 +463,14 @@ class Parser:
             if t.kind == ";":
                 self.i += 1
                 continue
-            if t.kind == "kw" and t.text in ("MATCH", "OPTIONAL"):
+            if t.kind == "kw" and t.text == "OPTIONAL" and (
+                self.peek(1) is not None
+                and self.peek(1).kind == "kw"
+                and self.peek(1).text == "CALL"
+            ):
+                self.eat("kw", "OPTIONAL")
+                clauses.append(self.call_clause(optional=True))
+            elif t.kind == "kw" and t.text in ("MATCH", "OPTIONAL"):
                 clauses.append(self.match_clause())
             elif t.kind == "kw" and t.text == "WITH":
                 clauses.append(self.with_clause())
@@ -500,7 +509,7 @@ class Parser:
             raise SyntaxError("cypher: read query must end with RETURN")
         return q
 
-    def call_clause(self) -> CallClause:
+    def call_clause(self, optional: bool = False) -> CallClause:
         # CALL { [WITH a, b] clauses... RETURN ... }
         self.eat("kw", "CALL")
         self.eat("{", "{")
@@ -552,7 +561,7 @@ class Parser:
         self.eat("}", "}")
         if not clauses or not isinstance(clauses[-1], ReturnClause):
             raise SyntaxError("cypher: CALL subquery must end with RETURN")
-        return CallClause(Query(clauses), imports)
+        return CallClause(Query(clauses), imports, optional)
 
     def merge_clause(self) -> MergeClause:
         self.eat("kw", "MERGE")

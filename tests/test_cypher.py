@@ -1658,3 +1658,23 @@ def test_foreach_requires_loop_var_target(g):
             FOREACH (f IN friends | SET p.x = 1)
             """
         )
+
+
+def test_optional_call_keeps_unmatched(g):
+    base = """
+    MATCH (p:Person)
+    WHERE p.name IN ['Customer#000000001', 'Customer#000000002']
+    {KW} {{
+      WITH p
+      MATCH (p)-[:ENEMY_OF]-(q) WHERE q.name = '__nope__'
+      RETURN q.name AS en
+    }}
+    RETURN p.name AS name, en ORDER BY name
+    """
+    inner = run_cypher(g, base.format(KW="CALL")).collect()
+    opt = run_cypher(g, base.format(KW="OPTIONAL CALL")).collect()
+    assert len(inner) == 0  # CALL drops zero-result inputs
+    assert [(r.name, r.en) for r in opt] == [
+        ("Customer#000000001", None),
+        ("Customer#000000002", None),
+    ]
