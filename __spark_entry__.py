@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_winder": _cypher_winder,
         "cypher_house_counts": _cypher_house_counts,
         "cypher_call_topk": _cypher_call_topk,
+        "cypher_write_roundtrip": _cypher_write_roundtrip,
         # -- behavioral analytics over the event log --
         "events_funnel": rel.events_funnel,
         "brand_association_rules": rel.brand_association_rules,  # itemsets
@@ -444,6 +445,40 @@ def _cypher_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         RETURN h.name AS house, member
         ORDER BY house, member
         """,
+    )
+
+
+def _cypher_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-surface round trip, driver-checkable because every write is
+    deterministic: MERGE a user node (engine-managed id, SET props),
+    FOREACH-flag the friends of a seed person, then read the bucket
+    histogram back through the same session. The oracle recomputes the
+    expected buckets from the edge rule: flagged = FRIEND_OF neighbors
+    of the seed, user = the merged node, rest = everyone else."""
+    from neo4j_database_spark.cypher import CypherSession
+    from neo4j_database_spark.graph.store import load_graph as _lg
+
+    s = CypherSession(_lg(spark, sf_dir))
+    s.run(
+        "MERGE (p:Person {name: 'Roundtrip User'}) "
+        "SET p.house = 'NATION_1', p.isUser = true"
+    )
+    s.run(
+        """
+        MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q)
+        WITH collect(q) AS friends
+        FOREACH (f IN friends | SET f.flagged = 'yes')
+        """
+    )
+    return s.run(
+        """
+        MATCH (p:Person)
+        RETURN CASE WHEN p.flagged = 'yes' THEN 'flagged'
+                    WHEN p.isUser = true THEN 'user'
+                    ELSE 'rest' END AS bucket,
+               count(p) AS n
+        ORDER BY bucket
+        """
     )
 
 
@@ -3768,6 +3803,21 @@ SELECT house, member FROM (
          ) AS rn
   FROM persons p WHERE p.house IS NOT NULL
 ) t WHERE rn <= 3 ORDER BY house, member
+""",
+        # Write round trip: MERGE + FOREACH flags, read back as buckets
+        "cypher_write_roundtrip": f"""{GRAPH_CTES},
+target AS (SELECT id FROM persons WHERE name = 'Customer#000000001'),
+flagged AS (
+  SELECT DISTINCT s.dst AS id
+  FROM sym_edges s JOIN target t ON s.src = t.id
+  WHERE s.type = 'FRIEND_OF'
+)
+SELECT 'flagged' AS bucket, (SELECT COUNT(*) FROM flagged) AS n
+UNION ALL
+SELECT 'rest', (SELECT COUNT(*) FROM persons) - (SELECT COUNT(*) FROM flagged)
+UNION ALL
+SELECT 'user', 1
+ORDER BY bucket
 """,
         # GROUPING SETS 1-D marginals with an explicit grouping bitmask
         "sales_marginals": """
