@@ -30,6 +30,7 @@ HEADLINE = (
     "g_winder",
     "cypher_winder",  # the same flagship through the Cypher front end —
     # pinned next to g_winder so compiler overhead is directly visible
+    "cypher_call_topk",  # CALL {} per-row top-k → one window shuffle
     "g_feature_matrix",
     "g_rule_edge_counts",
     "g_connected_components",
