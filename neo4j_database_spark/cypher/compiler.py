@@ -592,7 +592,12 @@ class Compiler:
         items = self._expand_star(ret.items, ienv)
         for it in items:
             name = self._item_name(it)
-            if name in env and name not in cl.imports:
+            if name in cl.imports:
+                raise ValueError(
+                    f"cypher: CALL must not return imported variable "
+                    f"{name!r} (Cypher rule; it is already in scope)"
+                )
+            if name in env:
                 raise ValueError(
                     f"cypher: CALL returns {name!r} already in scope"
                 )

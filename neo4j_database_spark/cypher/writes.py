@@ -235,24 +235,19 @@ def apply_cypher_write(
                         continue  # identity is engine-managed
                     assigns[field] = _scalar(expr, params)
             for field, value in assigns.items():
-                if field not in persons.columns:
-                    persons = persons.withColumn(
-                        field, F.lit(None).cast("string")
-                    )
-                persons = (
-                    persons.join(
-                        F.broadcast(targets),
-                        persons.id == F.col("__fid"),
-                        "left",
-                    )
-                    .withColumn(
-                        field,
-                        F.when(
-                            F.col("__fid").isNotNull(), F.lit(value)
-                        ).otherwise(F.col(field)),
-                    )
-                    .drop("__fid")
+                joined = persons.join(
+                    F.broadcast(targets),
+                    persons.id == F.col("__fid"),
+                    "left",
                 )
+                hit = F.col("__fid").isNotNull()
+                if field in persons.columns:
+                    upd = F.when(hit, F.lit(value)).otherwise(F.col(field))
+                else:
+                    # fresh property: when-without-otherwise defaults to
+                    # NULL and the column takes the value's type
+                    upd = F.when(hit, F.lit(value))
+                persons = joined.withColumn(field, upd).drop("__fid")
         return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
 
     creates = [c for c in clauses if isinstance(c, P.CreateClause)]

@@ -1678,3 +1678,38 @@ def test_optional_call_keeps_unmatched(g):
         ("Customer#000000001", None),
         ("Customer#000000002", None),
     ]
+
+
+def test_foreach_numeric_fresh_property(g):
+    from neo4j_database_spark.cypher import CypherSession
+
+    s = CypherSession(g)
+    s.run(
+        """
+        MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q)
+        WITH collect(q) AS friends
+        FOREACH (f IN friends | SET f.score = 5)
+        """
+    )
+    n = s.run(
+        "MATCH (p:Person) WHERE p.score = 5 RETURN count(p) AS n"
+    ).collect()[0].n
+    want = run_cypher(
+        g,
+        "MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q) "
+        "RETURN count(q) AS n",
+    ).collect()[0].n
+    assert n == want
+
+
+def test_call_cannot_return_import(g):
+    with pytest.raises(ValueError, match="imported"):
+        run_cypher(
+            g,
+            """
+            MATCH (h:House)
+            CALL { WITH h MATCH (p:Person)-[:BELONGS_TO]->(h)
+                   RETURN h ORDER BY p.name LIMIT 1 }
+            RETURN h.name AS nm
+            """,
+        )
