@@ -1337,6 +1337,33 @@ class Compiler:
                 )
             if e.name == "abs":
                 return F.abs(self._scalar(e.args[0], env))
+            if e.name in ("floor", "ceil", "sqrt", "sign", "exp",
+                          "log", "log10"):
+                fn = {
+                    "floor": F.floor, "ceil": F.ceil, "sqrt": F.sqrt,
+                    "sign": F.signum, "exp": F.exp, "log": F.log,
+                    "log10": F.log10,
+                }[e.name]
+                c = fn(self._scalar(e.args[0], env))
+                # Cypher floor/ceil return FLOAT; Spark returns LONG
+                if e.name in ("floor", "ceil"):
+                    c = c.cast("double")
+                return c
+            if e.name == "round":
+                x = self._scalar(e.args[0], env)
+                if len(e.args) > 1:
+                    if not isinstance(e.args[1], P.Lit):
+                        raise ValueError(
+                            "cypher: round() precision must be a literal"
+                        )
+                    return F.round(x, int(e.args[1].value))
+                return F.round(x, 0)
+            if e.name == "toboolean":
+                return self._scalar(e.args[0], env).cast("boolean")
+            if e.name == "pi":
+                import math as _m
+
+                return F.lit(_m.pi)
             if e.name == "size":
                 return F.size(self._expr_or_var(e.args[0], env)).cast("long")
             if e.name in ("char_length", "character_length"):

@@ -1713,3 +1713,28 @@ def test_call_cannot_return_import(g):
             RETURN h.name AS nm
             """,
         )
+
+
+def test_math_scalar_functions(g):
+    import math
+
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person) WHERE p.name = 'Customer#000000001'
+        RETURN round(p.acctbal) AS r, round(p.acctbal, 1) AS r1,
+               floor(p.acctbal) AS fl, ceil(p.acctbal) AS ce,
+               sqrt(abs(p.acctbal)) AS sq, sign(p.acctbal) AS sg,
+               toBoolean('true') AS tb, pi() AS pie
+        """,
+    ).collect()[0]
+    bal = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.name = 'Customer#000000001' "
+        "RETURN p.acctbal AS b",
+    ).collect()[0].b
+    assert row.r == round(bal) and row.r1 == round(bal, 1)
+    assert row.fl == math.floor(bal) and row.ce == math.ceil(bal)
+    assert math.isclose(row.sq, math.sqrt(abs(bal)))
+    assert row.sg == (1.0 if bal > 0 else -1.0)
+    assert row.tb is True and math.isclose(row.pie, math.pi)
