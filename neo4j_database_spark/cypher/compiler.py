@@ -119,6 +119,15 @@ def _walk_expr(e):
                 yield from _walk_expr(ent[2])
     elif isinstance(e, P.FieldAccess):
         yield from _walk_expr(e.expr)
+    elif isinstance(e, P.Subscript):
+        yield from _walk_expr(e.expr)
+        yield from _walk_expr(e.index)
+    elif isinstance(e, P.Slice):
+        yield from _walk_expr(e.expr)
+        if e.lo is not None:
+            yield from _walk_expr(e.lo)
+        if e.hi is not None:
+            yield from _walk_expr(e.hi)
 
 
 @dataclass
@@ -1181,6 +1190,26 @@ class Compiler:
             return self._map_proj(e, env)
         if isinstance(e, P.FieldAccess):
             return self._scalar(e.expr, env)[e.name]
+        if isinstance(e, P.Subscript):
+            # Cypher 0-based, NULL out of range (try_element_at — ANSI
+            # element_at would throw); negative counts from the end,
+            # which element_at's negative indexing already does
+            col = self._list_col(e.expr, env)
+            idx = self._scalar(e.index, env).cast("int")
+            adj = F.when(idx >= 0, idx + 1).otherwise(idx)
+            return F.try_element_at(col, adj)
+        if isinstance(e, P.Slice):
+            # 0-based end-exclusive; negative bounds count from the end
+            col = self._list_col(e.expr, env)
+            n = F.size(col)
+            lo = (
+                F.lit(0) if e.lo is None
+                else self._scalar(e.lo, env).cast("int")
+            )
+            hi = n if e.hi is None else self._scalar(e.hi, env).cast("int")
+            lo = F.when(lo < 0, n + lo).otherwise(lo)
+            hi = F.when(hi < 0, n + hi).otherwise(hi)
+            return F.slice(col, lo + 1, F.greatest(hi - lo, F.lit(0)))
         if isinstance(e, P.ListComp):
             col = self._list_col(e.src, env)
             if e.where is not None:
@@ -1394,7 +1423,11 @@ class Compiler:
                 elif isinstance(right, P.ListLit):
                     vals = [li.value for li in right.items]
                 else:
-                    raise ValueError("cypher: IN needs a list or $param")
+                    # bound list column (collect() result, node list,
+                    # slice, …) → membership test, no shuffle
+                    return F.array_contains(
+                        self._list_col(right, env), left
+                    )
                 if not vals:
                     return F.lit(False)
                 return left.isin(list(vals))
@@ -1413,6 +1446,16 @@ class Compiler:
                 return self._scalar(e.left, env).rlike(f"^(?:{pat})$")
             left = self._scalar(e.left, env)
             right = self._scalar(e.right, env)
+            if e.op == "+" and (
+                (isinstance(e.left, P.Lit) and isinstance(e.left.value, str))
+                or (
+                    isinstance(e.right, P.Lit)
+                    and isinstance(e.right.value, str)
+                )
+            ):
+                # Cypher string concatenation ('a' + x); Spark's + is
+                # numeric-only, concat coerces the other side to string
+                return F.concat(left, right)
             ops = {
                 "=": lambda a, b: a == b,
                 "<>": lambda a, b: a != b,

@@ -288,6 +288,22 @@ class FieldAccess:
 
 
 @dataclass
+class Subscript:
+    # `xs[i]` — 0-based element access (negative = from the end)
+    expr: object
+    index: object
+
+
+@dataclass
+class Slice:
+    # `xs[a..b]` — 0-based, end-exclusive list slice (Cypher semantics);
+    # either bound may be None (open end)
+    expr: object
+    lo: object
+    hi: object
+
+
+@dataclass
 class ExistsSub:
     # EXISTS { [MATCH] pattern [WHERE expr] }
     path: "Path"
@@ -1066,7 +1082,7 @@ class Parser:
                 return self.postfix(Func(name.lower(), args, distinct))
             if self.opt(".", "."):
                 prop = self.eat("name").text
-                return Prop(name, prop)
+                return self.postfix(Prop(name, prop))
             if self.at("{", "{"):
                 # map projection n {.prop, key: expr, .*}
                 self.eat("{", "{")
@@ -1088,19 +1104,39 @@ class Parser:
                             break
                 self.eat("}", "}")
                 return self.postfix(MapProj(name, entries))
-            return Var(name)
+            return self.postfix(Var(name))
         raise SyntaxError(f"cypher: unexpected token {t.text!r} in expression")
 
     def postfix(self, e):
-        # `.field` access on a struct/map-valued expression result
-        while (
-            self.at(".", ".")
-            and self.peek(1) is not None
-            and self.peek(1).kind == "name"
-        ):
-            self.eat(".", ".")
-            e = FieldAccess(e, self.eat("name").text)
-        return e
+        # `.field` access on a struct/map result; `[i]` / `[a..b]`
+        # subscript and slice on a list result
+        while True:
+            if (
+                self.at(".", ".")
+                and self.peek(1) is not None
+                and self.peek(1).kind == "name"
+            ):
+                self.eat(".", ".")
+                e = FieldAccess(e, self.eat("name").text)
+                continue
+            if self.at("[", "["):
+                self.eat("[", "[")
+                lo = None
+                if not self.at(".", "."):
+                    lo = self.expr()
+                if self.at(".", "."):
+                    self.eat(".", ".")
+                    self.eat(".", ".")
+                    hi = None if self.at("]", "]") else self.expr()
+                    self.eat("]", "]")
+                    e = Slice(e, lo, hi)
+                else:
+                    self.eat("]", "]")
+                    if lo is None:
+                        raise SyntaxError("cypher: empty subscript []")
+                    e = Subscript(e, lo)
+                continue
+            return e
 
     def subquery(self, cls):
         # { [MATCH] pattern [WHERE expr] }

@@ -1738,3 +1738,28 @@ def test_math_scalar_functions(g):
     assert math.isclose(row.sq, math.sqrt(abs(bal)))
     assert row.sg == (1.0 if bal > 0 else -1.0)
     assert row.tb is True and math.isclose(row.pie, math.pi)
+
+
+def test_list_subscript_and_slice(g):
+    row = run_cypher(
+        g,
+        """
+        MATCH (p:Person {name: 'Customer#000000001'})-[:FRIEND_OF]-(q)
+        WITH p, collect(q.name) AS friends
+        RETURN friends AS all_, friends[0] AS first, friends[-1] AS last_,
+               friends[1..3] AS mid, friends[..2] AS head2,
+               friends[-2..] AS tail2, friends[99] AS oob,
+               friends[0] IN friends AS member,
+               'nope' IN friends AS nonmember,
+               'hi ' + p.name AS greet,
+               split('a,b,c', ',')[1] AS sp
+        """,
+    ).collect()[0]
+    fs = row.all_  # collect() is sorted
+    assert row.first == fs[0] and row.last_ == fs[-1]
+    assert row.mid == fs[1:3] and row.head2 == fs[:2]
+    assert row.tail2 == fs[-2:]
+    assert row.oob is None  # out of range → NULL, not error
+    assert row.member is True and row.nonmember is False
+    assert row.greet == "hi Customer#000000001"
+    assert row.sp == "b"
