@@ -1255,7 +1255,9 @@ class Compiler:
                 return F.lower(self._scalar(e.args[0], env))
             if e.name == "toupper":
                 return F.upper(self._scalar(e.args[0], env))
-            if e.name == "id":
+            if e.name in ("id", "elementid"):
+                # elementId() is Neo4j 5's successor to id(); both map
+                # to the engine's string node id
                 v = e.args[0]
                 return F.col(f"{v.name}.id")
             if e.name == "labels":
