@@ -1366,6 +1366,11 @@ class Compiler:
                 return F.coalesce(
                     *[self._scalar(a, env) for a in e.args]
                 )
+            if e.name == "nullif":
+                return F.nullif(
+                    self._scalar(e.args[0], env),
+                    self._scalar(e.args[1], env),
+                )
             if e.name == "abs":
                 return F.abs(self._scalar(e.args[0], env))
             if e.name in ("floor", "ceil", "sqrt", "sign", "exp",

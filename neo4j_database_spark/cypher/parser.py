@@ -922,9 +922,16 @@ class Parser:
 
     def case_expr(self):
         self.eat("kw", "CASE")
+        # simple form: CASE subject WHEN value THEN ... — desugars to
+        # the searched form with subject = value comparisons
+        subject = None
+        if not self.at("kw", "WHEN"):
+            subject = self.expr()
         whens = []
         while self.opt("kw", "WHEN"):
             cond = self.expr()
+            if subject is not None:
+                cond = BinOp("=", subject, cond)
             self.eat("kw", "THEN")
             whens.append((cond, self.expr()))
         default = self.expr() if self.opt("kw", "ELSE") else Lit(None)

@@ -1763,3 +1763,27 @@ def test_list_subscript_and_slice(g):
     assert row.member is True and row.nonmember is False
     assert row.greet == "hi Customer#000000001"
     assert row.sp == "b"
+
+
+def test_simple_case_and_nullif(g):
+    got = {
+        r.species: r.cat
+        for r in run_cypher(
+            g,
+            """
+            MATCH (p:Person)
+            RETURN DISTINCT p.species AS species,
+                   CASE p.species WHEN 'human' THEN 'common'
+                                  WHEN 'werewolf' THEN 'rare'
+                                  ELSE 'other' END AS cat
+            """,
+        ).collect()
+    }
+    assert got["human"] == "common" and got["werewolf"] == "rare"
+    assert got["half-giant"] == "other"
+    row = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.name = 'Customer#000000001' "
+        "RETURN nullIf(p.house, p.house) AS a, nullIf(p.house, 'x') AS b",
+    ).collect()[0]
+    assert row.a is None and row.b is not None
