@@ -1358,6 +1358,10 @@ class Compiler:
                     )
                     for f_ in fields
                 ]))
+            if e.name == "exists":
+                # legacy exists(n.prop) ≡ n.prop IS NOT NULL; a pattern
+                # argument would have parsed as PatternPred instead
+                return self._expr_or_var(e.args[0], env).isNotNull()
             if e.name == "isnull":
                 return self._expr_or_var(e.args[0], env).isNull()
             if e.name == "isnotnull":

@@ -1039,6 +1039,18 @@ class Parser:
         ):
             self.i += 1
             return self.subquery(ExistsSub)
+        if (
+            t.kind == "kw"
+            and t.text == "EXISTS"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "("
+        ):
+            # legacy exists(n.prop) — property-existence predicate
+            self.i += 1
+            self.eat("(", "(")
+            arg = self.expr()
+            self.eat(")", ")")
+            return Func("exists", [arg])
         if t.kind == "name":
             name = self.eat("name").text
             if name.upper() == "COUNT" and self.at("{", "{"):

@@ -1787,3 +1787,15 @@ def test_simple_case_and_nullif(g):
         "RETURN nullIf(p.house, p.house) AS a, nullIf(p.house, 'x') AS b",
     ).collect()[0]
     assert row.a is None and row.b is not None
+
+
+def test_legacy_exists_property(g):
+    # houses carry no acctbal; persons do
+    n_h = run_cypher(
+        g, "MATCH (h:House) WHERE exists(h.acctbal) RETURN count(h) AS n"
+    ).collect()[0].n
+    n_p = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE exists(p.acctbal) RETURN count(p) AS n",
+    ).collect()[0].n
+    assert n_h == 0 and n_p == g.persons.count()
