@@ -511,6 +511,10 @@ class Compiler:
                 df, env = self._call_sub(df, env, cl)
             elif isinstance(cl, P.WithClause):
                 df, env = self._project(df, env, cl.items)
+                if cl.distinct:
+                    # WITH DISTINCT dedups the projected rows before
+                    # ORDER/SKIP/LIMIT/WHERE (Cypher evaluation order)
+                    df = df.distinct()
                 if cl.order_by:
                     # after WITH, node vars are still structs: Prop
                     # refs resolve as struct fields, aliases as columns

@@ -70,6 +70,7 @@ class WithClause:
     order_by: list = field(default_factory=list)
     limit: int | None = None
     skip: int | None = None
+    distinct: bool = False
 
 
 @dataclass
@@ -838,10 +839,11 @@ class Parser:
 
     def with_clause(self) -> WithClause:
         self.eat("kw", "WITH")
+        distinct = self.opt("kw", "DISTINCT")
         items = self.items()
         order, limit, skip = self.order_limit()
         where = self.expr() if self.opt("kw", "WHERE") else None
-        return WithClause(items, where, order, limit, skip)
+        return WithClause(items, where, order, limit, skip, distinct)
 
     def return_clause(self) -> ReturnClause:
         self.eat("kw", "RETURN")

@@ -1799,3 +1799,24 @@ def test_legacy_exists_property(g):
         "MATCH (p:Person) WHERE exists(p.acctbal) RETURN count(p) AS n",
     ).collect()[0].n
     assert n_h == 0 and n_p == g.persons.count()
+
+
+def test_with_distinct(g):
+    got = run_cypher(
+        g,
+        """
+        MATCH (p:Person)-[:FRIEND_OF]-(q)
+        WITH DISTINCT p.house AS house
+        RETURN count(house) AS n
+        """,
+    ).collect()[0].n
+    want = (
+        g.persons.join(
+            g.edges.filter(F.col("type") == "FRIEND_OF"),
+            (g.persons.id == F.col("src")) | (g.persons.id == F.col("dst")),
+        )
+        .select("house")
+        .distinct()
+        .count()
+    )
+    assert got == want
