@@ -80,13 +80,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # REGISTRY ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks only the FIRST 50 entries (round-1 finding). Entries 1-50
-    # therefore cover every distinct capability family — graph serving /
-    # ETL / analytics (now incl. PPR + walk sampling), dedup (incl.
-    # SemDedup), similarity (incl. PQ-ADC), text fingerprints, streaming
-    # replays, multimodal, runtime-filter and temporal joins, and the
-    # money-typed relational queries. Round-3 additions displaced six
-    # entries whose family keeps an in-window representative and whose
-    # own evidence is on record from earlier rounds.
+    # cover every distinct capability family; tests/test_store_and_entry.py
+    # asserts the intended 50-set == list(queries())[:50] programmatically
+    # (round-2 verdict: a hand-counted comment drifted two entries, which
+    # left nation_revenue/top_customers_by_spend unchecked for two rounds).
+    # Round-3 rotation (per VERDICT r02 items 1+4): the two never-checked
+    # money queries plus ten round-4/5 capabilities (Cypher search, HITS,
+    # k-truss, GROUPING SETS marginals, skyline, interval overlap,
+    # Q18/Q8/Q7/Q9) enter; mm_image_features (no_oracle — wasted slot) and
+    # eleven r02-green entries whose family keeps an in-window
+    # representative rotate out.
     return {
         # -- graph serving queries (reference app.py endpoints) --
         "g_directory": on_graph(gq.directory),
@@ -110,19 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_pred_scores": on_graph(
             lambda g: gq.link_prediction_scores(g, EGO_NAME)
         ),
-        "g_label_propagation": on_graph(
-            lambda g: galg.label_propagation(g)
-        ),  # exact oracle: unrolled deterministic LPA rounds
-        "g_personalized_pagerank": on_graph(
-            lambda g: galg.personalized_pagerank(g, EGO_NAME)
-        ),  # restart-at-seed ranking, unrolled exact oracle
-        "g_random_walks": on_graph(
-            lambda g: galg.deterministic_walks(g)
-        ),  # derandomized DeepWalk sampler, unrolled exact oracle
-        # -- corpus curation (decontamination / scrubbing / mixing / ranking) --
+        # -- corpus curation (decontamination / scrubbing / ranking) --
         "doc_decontaminate": curation.decontaminate,
         "doc_scrub_pii": curation.scrub_pii,
-        "doc_mixture_sample": curation.mixture_sample,
         "doc_bm25": curation.bm25_scores,
         # -- Cypher front end (round-4: reference statements compiled) --
         "cypher_winder": _cypher_winder,
@@ -135,12 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline: text + dedup (SURVEY.md §2.9) --
         "doc_lang_id": text.lang_id,
         "doc_exact_dedup": dedup.exact_dedup,
-        "doc_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "doc_minhash_lsh": dedup.minhash_lsh_pairs,
-        "doc_simhash": dedup.simhash_fingerprints,
         "emb_semantic_dedup": similarity.semantic_dedup,  # SemDedup
         "doc_winnow_fingerprints": text.winnow_fingerprints,
-        "doc_pack_sequences": text.pack_sequences,
         # -- correlated-subquery decorrelation (round-4, Q17 shape) --
         "small_qty_part_revenue": rel.small_qty_part_revenue,
         # -- similarity search over embeddings --
@@ -148,25 +138,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_knn": similarity.ivf_pq_knn,  # FAISS IVF-PQ (coarse
         # assignment + codes + lut — supersedes emb_ivf_knn's window slot;
         # the plain-IVF query stays registered + locally green below)
-        "emb_pq_adc_knn": similarity.pq_adc_knn,  # ADC full scan
-        # -- streaming (batch-replayed) + multimodal + clustering --
+        # -- streaming (batch-replayed) --
         "stream_hourly_rollup": _stream_hourly,
         "stream_click_attribution": _stream_attribution,
-        "stream_dedup": _stream_dedup,
-        "mm_image_features": _mm_features,  # rows-only (generated input)
         # -- relational OLAP with money outputs (DOUBLE-output contract) --
         "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
         "urgent_lineitem_bloom": rel.urgent_lineitem_bloom,  # runtime filter
         "events_state_transitions": rel.events_state_transitions,  # temporal join
-        "part_price_bands": rel.part_price_bands,
         "events_session_windows": rel.events_session_windows,
-        "daily_revenue_rolling": rel.daily_revenue_rolling,
         "sales_rollup": rel.sales_rollup,
         "asof_order_events": rel.asof_order_events,
         "nation_revenue": rel.nation_revenue,
         "top_customers_by_spend": rel.top_customers_by_spend,
+        # -- round-3 window promotions (VERDICT r02 item 4) --
+        "cypher_search": _cypher_search,
+        "g_hits": on_graph(lambda g: galg.hits(g)),
+        "g_ktruss": on_graph(lambda g: galg.ktruss_edges(g)),
+        "sales_marginals": rel.sales_marginals,  # GROUPING SETS
+        "part_skyline": rel.part_skyline,  # Pareto frontier
+        "user_error_window_overlap": rel.user_error_window_overlap,
+        "big_volume_customers": rel.big_volume_customers,  # Q18
+        "nation_market_share": rel.nation_market_share,  # Q8
+        "volume_shipping": rel.volume_shipping,  # Q7
+        "product_profit": rel.product_profit,  # Q9
         # ------------- driver check window ends at entry 50 -------------
+        # (pinned programmatically: tests/test_store_and_entry.py asserts
+        # the intended 50-set == list(queries())[:50] and that every
+        # in-window entry has an oracle_sql() twin — no no_oracle slots.)
+        # Round-3 demotions (each family keeps an in-window
+        # representative; all were driver-green in r01/r02 with code
+        # unchanged, or rows-only):
+        "g_label_propagation": on_graph(
+            lambda g: galg.label_propagation(g)
+        ),  # exact oracle: unrolled deterministic LPA rounds
+        "g_personalized_pagerank": on_graph(
+            lambda g: galg.personalized_pagerank(g, EGO_NAME)
+        ),  # restart-at-seed ranking, unrolled exact oracle
+        "g_random_walks": on_graph(
+            lambda g: galg.deterministic_walks(g)
+        ),  # derandomized DeepWalk sampler, unrolled exact oracle
+        "doc_mixture_sample": curation.mixture_sample,
+        "doc_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "doc_simhash": dedup.simhash_fingerprints,
+        "doc_pack_sequences": text.pack_sequences,
+        "emb_pq_adc_knn": similarity.pq_adc_knn,  # ADC full scan
+        "stream_dedup": _stream_dedup,
+        "mm_image_features": _mm_features,  # rows-only (generated input)
+        "part_price_bands": rel.part_price_bands,
+        "daily_revenue_rolling": rel.daily_revenue_rolling,
         # Demoted from the window (each family keeps an in-window
         # representative; all were driver-green in an earlier round with
         # their code unchanged, or rows-only). Round-4 rotation: the new
@@ -286,12 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # every pair is adjacent and betweenness is identically zero
             lambda g: galg.betweenness_landmarks(g, types=None)
         ),  # rows-only (float path-ratio dependencies)
-        # -- round-4 additions: classic decorrelation shapes (Q17 is
-        #    in-window; these share its oracle pattern) --
-        "big_volume_customers": rel.big_volume_customers,  # Q18
+        # -- round-4 additions: classic decorrelation shapes (Q17/Q18 are
+        #    in-window; these share the oracle pattern) --
         "disjunctive_part_revenue": rel.disjunctive_part_revenue,  # Q19
         "idle_rich_customers": rel.idle_rich_customers,  # Q22
-        "nation_market_share": rel.nation_market_share,  # Q8
         "cheapest_supplier_per_part": rel.cheapest_supplier_per_part,  # Q2
         "g_clustering_coefficient": on_graph(
             lambda g: galg.clustering_coefficient(g)
@@ -299,14 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_jaccard_similarity": on_graph(
             lambda g: galg.jaccard_similarity(g)
         ),
-        "g_hits": on_graph(lambda g: galg.hits(g)),
-        "g_ktruss": on_graph(lambda g: galg.ktruss_edges(g)),
-        "cypher_search": _cypher_search,
-        "sales_marginals": rel.sales_marginals,  # GROUPING SETS
         "events_audience_overlap": rel.events_audience_overlap,
-        "user_error_window_overlap": rel.user_error_window_overlap,
         "nation_share_window": rel.nation_share_window,  # ratio_to_report
-        "part_skyline": rel.part_skyline,  # Pareto frontier
         "customer_hierarchy_rollup": rel.customer_hierarchy_rollup,
         "monthly_revenue_growth": rel.monthly_revenue_growth,
         # -- round-5 additions: remaining classic TPC-H shapes --
@@ -323,8 +335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer
-        "volume_shipping": rel.volume_shipping,  # Q7
-        "product_profit": rel.product_profit,  # Q9
         "promo_revenue_share": rel.promo_revenue_share,  # Q14
         "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
         "important_parts": rel.important_parts,  # Q11

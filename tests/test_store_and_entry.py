@@ -54,6 +54,73 @@ def test_queries_and_oracles_aligned():
     assert set(qs) - set(oracles) == ROWS_ONLY
 
 
+# The driver's correctness harness checks exactly the first 50 registry
+# entries. Pin the intended set programmatically (round-2 verdict: a
+# hand-counted "window ends here" comment drifted by two, leaving two
+# queries unchecked for two rounds).
+DRIVER_WINDOW = [
+    "g_directory",
+    "g_search",
+    "g_ego_network",
+    "g_winder",
+    "g_rule_edge_counts",
+    "g_feature_matrix",
+    "g_degree_centrality",
+    "g_connected_components",
+    "g_triangle_count",
+    "g_bfs_distances",
+    "g_pagerank",
+    "g_link_pred_scores",
+    "doc_decontaminate",
+    "doc_scrub_pii",
+    "doc_bm25",
+    "cypher_winder",
+    "cypher_house_counts",
+    "cypher_call_topk",
+    "cypher_write_roundtrip",
+    "events_funnel",
+    "brand_association_rules",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "emb_semantic_dedup",
+    "doc_winnow_fingerprints",
+    "small_qty_part_revenue",
+    "emb_knn_bruteforce",
+    "emb_ivf_pq_knn",
+    "stream_hourly_rollup",
+    "stream_click_attribution",
+    "pricing_summary",
+    "top_unshipped_orders",
+    "urgent_lineitem_bloom",
+    "events_state_transitions",
+    "events_session_windows",
+    "sales_rollup",
+    "asof_order_events",
+    "nation_revenue",
+    "top_customers_by_spend",
+    "cypher_search",
+    "g_hits",
+    "g_ktruss",
+    "sales_marginals",
+    "part_skyline",
+    "user_error_window_overlap",
+    "big_volume_customers",
+    "nation_market_share",
+    "volume_shipping",
+    "product_profit",
+]
+
+
+def test_driver_window_is_the_intended_50():
+    qs = list(entrymod.queries())
+    assert qs[:50] == DRIVER_WINDOW
+    # every in-window entry must be exact-oracle-checkable: a rows-only
+    # query inside the scarce 50-slot window is a wasted slot
+    oracles = entrymod.oracle_sql()
+    assert [n for n in DRIVER_WINDOW if n not in oracles] == []
+
+
 def test_all_queries_run_small(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
