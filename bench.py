@@ -36,8 +36,12 @@ HEADLINE = (
     "g_connected_components",
     "g_pagerank",
     "pricing_summary",
+    "pricing_summary_prod",  # BIGINT-cents production twin of the
+    # decimal oracle kernel — pinned next to it so the ~30× decimal
+    # penalty (VERDICT r02 item 2) and its fix are directly visible
     "top_unshipped_orders",
     "nation_revenue",
+    "nation_revenue_prod",
     "events_sessionized",
     "asof_order_events",
     "doc_minhash_lsh",

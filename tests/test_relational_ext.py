@@ -431,3 +431,18 @@ def test_monthly_revenue_growth_identity(spark):
             assert cur.growth == pytest.approx(
                 (cur.revenue - cur.prev_revenue) / cur.prev_revenue, rel=1e-9
             )
+
+
+def test_money_prod_twins_match_decimal_twins(spark):
+    # The BIGINT-scaled-integer production money path must agree with the
+    # oracle-exact decimal path to the last bit: both recover the exact
+    # 2-decimal grid values, accumulate exactly, and emit the same
+    # correctly-rounded DOUBLE.
+    for prod, oracle in [
+        (rel.pricing_summary_prod, rel.pricing_summary),
+        (rel.nation_revenue_prod, rel.nation_revenue),
+        (rel.top_customers_by_spend_prod, rel.top_customers_by_spend),
+    ]:
+        a = sorted(map(tuple, prod(spark, SF).collect()))
+        b = sorted(map(tuple, oracle(spark, SF).collect()))
+        assert a == b, prod.__name__
