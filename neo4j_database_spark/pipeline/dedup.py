@@ -210,11 +210,18 @@ def minhash_signatures(
         ]
         return proj.groupBy("doc_id").agg(*aggs)
     if hash_fn == "xxhash64":
+        # Hash the shingle STRING once; permutation i re-hashes the 8-byte
+        # base long (a fixed single-block xxhash64, ~free next to string
+        # hashing). The naive form — xxhash64(i, shingle) per permutation
+        # — re-scans the string num_hashes times and benched SLOWER than
+        # the 2-digest md5 oracle path (round-2 verdict item 3: 6.5 s vs
+        # 4.4 s at sf0.1); this form pays 1 string hash total.
+        base = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("_h"))
         aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
-        return sh.groupBy("doc_id").agg(*aggs)
+        return base.groupBy("doc_id").agg(*aggs)
     raise ValueError(hash_fn)
 
 
