@@ -56,22 +56,37 @@ def _extra_person_fields(g: GraphModel) -> list[str]:
     return sorted(c for c in g.persons.columns if c not in _PERSON_FIELDS)
 
 
-def _person_nodes(g: GraphModel) -> DataFrame:
+def _person_nodes(g: GraphModel, keep: set[str] | None = None) -> DataFrame:
+    """Person node structs; ``keep`` prunes property fields to the set the
+    query actually references (label/id/name are always structural).
+
+    Pruning is the Cypher twin of Catalyst's column pruning, which cannot
+    see through the node struct once it becomes a join/group key: without
+    it every expansion broadcasts and shuffles all ~10 person properties
+    (including a float that then needs NaN-normalization in group keys)
+    even when the query touches three of them.
+    """
     p = g.persons
     cols = [
         F.lit("Person").alias("label"),
         F.col("id").cast("string").alias("id"),
     ]
     for f_ in _PERSON_FIELDS[1:]:
+        if keep is not None and f_ != "name" and f_ not in keep:
+            continue
         if f_ in p.columns:
             cols.append(F.col(f_))
         else:
             cols.append(F.lit(None).alias(f_))
-    cols += [F.col(f_) for f_ in _extra_person_fields(g)]
+    cols += [
+        F.col(f_)
+        for f_ in _extra_person_fields(g)
+        if keep is None or f_ in keep
+    ]
     return p.select(F.struct(*cols).alias("__node"))
 
 
-def _house_nodes(g: GraphModel) -> DataFrame:
+def _house_nodes(g: GraphModel, keep: set[str] | None = None) -> DataFrame:
     # same field order as _person_nodes so untyped expansions can union
     null_types = {
         "house": "string", "segment": "string", "acctbal": "double",
@@ -82,13 +97,177 @@ def _house_nodes(g: GraphModel) -> DataFrame:
         F.lit("House").alias("label"),
         F.col("name").alias("id"),
         F.col("name").alias("name"),
-    ] + [F.lit(None).cast(t).alias(f_) for f_, t in null_types.items()]
+    ] + [
+        F.lit(None).cast(t).alias(f_)
+        for f_, t in null_types.items()
+        if keep is None or f_ in keep
+    ]
     pschema = g.persons.schema
     cols += [
         F.lit(None).cast(pschema[f_].dataType).alias(f_)
         for f_ in _extra_person_fields(g)
+        if keep is None or f_ in keep
     ]
     return g.houses.select(F.struct(*cols).alias("__node"))
+
+
+# Functions whose bare-node-variable argument needs only the structural
+# fields (label/id), so it does not defeat property pruning.
+_ID_ONLY_FUNCS = {"id", "elementid", "labels", "count"}
+
+
+def referenced_person_props(q: "P.Query") -> set[str] | None:
+    """Pre-pass for node-struct pruning: the set of node property names
+    the query references, or ``None`` when pruning is unsafe — a write
+    statement, a node value escaping whole (``RETURN n``, ``collect(n)``,
+    node equality, ``properties()``/``keys()``/map-projection ``.*``), or
+    anything else that needs the full property set.
+
+    Over-approximates syntactically: variables that might bind nodes are
+    tracked by name; a bare use of any such name outside ``Prop`` access
+    or an id-only function flips to keep-all. Lambda/UNWIND shadowing can
+    only widen the result, never narrow it.
+    """
+    if q.is_write:
+        return None
+    props: set[str] = set()
+    node_vars: set[str] = set()
+    unsafe = False
+
+    def mark_unsafe():
+        nonlocal unsafe
+        unsafe = True
+
+    def walk_path(path: P.Path):
+        if path.var is not None:
+            # a bound path exposes whole nodes via nodes(p)
+            node_vars.add(path.var)
+        for n in path.nodes:
+            if n.var:
+                node_vars.add(n.var)
+            for k, v in n.props.items():
+                props.add(_PROP_MAP.get(k, k))
+                wx(v)
+
+    def wx(e):
+        if e is None or isinstance(e, (P.Lit, P.Param, P.Star)):
+            return
+        if isinstance(e, P.Var):
+            if e.name in node_vars:
+                mark_unsafe()
+        elif isinstance(e, P.Prop):
+            props.add(_PROP_MAP.get(e.name, e.name))
+        elif isinstance(e, P.Func):
+            name = e.name.lower()
+            if name in ("properties", "keys"):
+                mark_unsafe()
+            for a in e.args:
+                if name in _ID_ONLY_FUNCS and isinstance(a, P.Var):
+                    continue
+                wx(a)
+        elif isinstance(e, P.MapProj):
+            for ent in e.entries:
+                if ent[0] == "prop":
+                    props.add(_PROP_MAP.get(ent[1], ent[1]))
+                elif ent[0] == "expr":
+                    wx(ent[2])
+                else:  # ('all',) — n {.*}
+                    mark_unsafe()
+        elif isinstance(e, P.BinOp):
+            wx(e.left)
+            wx(e.right)
+        elif isinstance(e, P.Not):
+            wx(e.expr)
+        elif isinstance(e, P.CaseWhen):
+            for c, v in e.whens:
+                wx(c)
+                wx(v)
+            wx(e.default)
+        elif isinstance(e, P.ListLit):
+            for i in e.items:
+                wx(i)
+        elif isinstance(e, P.MapLit):
+            for _, v in e.entries:
+                wx(v)
+        elif isinstance(e, P.FieldAccess):
+            wx(e.expr)
+        elif isinstance(e, P.Subscript):
+            wx(e.expr)
+            wx(e.index)
+        elif isinstance(e, P.Slice):
+            wx(e.expr)
+            wx(e.lo)
+            wx(e.hi)
+        elif isinstance(e, P.ListComp):
+            wx(e.src)
+            wx(e.where)
+            wx(e.map_expr)
+        elif isinstance(e, P.QuantPred):
+            wx(e.src)
+            wx(e.where)
+        elif isinstance(e, P.ReduceExpr):
+            wx(e.init)
+            wx(e.src)
+            wx(e.body)
+        elif isinstance(e, P.PatternComp):
+            walk_path(e.path)
+            wx(e.where)
+            wx(e.map_expr)
+        elif isinstance(e, (P.ExistsSub, P.CountSub)):
+            walk_path(e.path)
+            wx(e.where)
+        elif isinstance(e, P.PatternPred):
+            walk_path(e.path)
+        else:  # unknown expression form: assume the worst
+            mark_unsafe()
+
+    def collect(clauses, final_return_emits: bool):
+        for cl in clauses:
+            if isinstance(cl, P.MatchClause):
+                for path in cl.paths:
+                    walk_path(path)
+                wx(cl.where)
+            elif isinstance(cl, P.WithClause):
+                for it in cl.items:
+                    if isinstance(it.expr, P.Var):
+                        # rebinding keeps the node a struct — no fields
+                        # forced; track the (possibly aliased) name
+                        if it.expr.name in node_vars:
+                            node_vars.add(it.alias or it.expr.name)
+                    elif isinstance(it.expr, P.Star):
+                        pass  # rebinds everything under the same names
+                    else:
+                        wx(it.expr)
+                for o in cl.order_by:
+                    wx(o.expr)
+                wx(cl.where)
+            elif isinstance(cl, P.ReturnClause):
+                for it in cl.items:
+                    if isinstance(it.expr, P.Var):
+                        if it.expr.name in node_vars:
+                            if final_return_emits:
+                                mark_unsafe()  # whole node in the output
+                            else:
+                                # CALL { ... RETURN n }: stays a binding
+                                node_vars.add(it.alias or it.expr.name)
+                    elif isinstance(it.expr, P.Star):
+                        if final_return_emits and node_vars:
+                            mark_unsafe()
+                    else:
+                        wx(it.expr)
+                for o in cl.order_by:
+                    wx(o.expr)
+            elif isinstance(cl, P.UnwindClause):
+                wx(cl.expr)
+                node_vars.add(cl.alias)  # may iterate nodes; bare use of
+                # the alias then flips to keep-all, Prop use records field
+            elif isinstance(cl, P.CallClause):
+                collect(cl.query.clauses, final_return_emits=False)
+            else:  # write/unknown clause — handled by is_write, but be safe
+                mark_unsafe()
+
+    collect(q.clauses, final_return_emits=True)
+    return None if unsafe else props
 
 
 def _rel_struct(src: Column, dst: Column, rtype: Column) -> Column:
@@ -144,6 +323,10 @@ class Compiler:
         # maps a Cypher variable name to the higher-order-function
         # argument Column while compiling the lambda body
         self._lambda_vars: dict[str, Column] = {}
+        # node-struct property pruning (None = keep every field); set by
+        # run() from the referenced_person_props pre-pass and inherited
+        # by inner compilers for CALL subqueries
+        self._keep: set[str] | None = None
 
     def _with_lambda(self, bindings: dict[str, Column], body, env) -> Column:
         old = {k: self._lambda_vars.get(k) for k in bindings}
@@ -390,9 +573,9 @@ class Compiler:
         var = self._nvar(n)
         label = n.label or (env[var].label if var in env else None)
         if label == "House":
-            src = _house_nodes(self.g)
+            src = _house_nodes(self.g, self._keep)
         else:
-            src = _person_nodes(self.g)  # Person or unlabeled ⇒ person set
+            src = _person_nodes(self.g, self._keep)  # Person or unlabeled ⇒ person set
         df = src.select(F.col("__node").alias(var))
         return self._apply_props(df, var, n.props)
 
@@ -435,7 +618,7 @@ class Compiler:
                 and nlabel in (None, "Person")
             ):
                 branches.append(
-                    (_swap(self._belongs_edges()), _person_nodes(self.g))
+                    (_swap(self._belongs_edges()), _person_nodes(self.g, self._keep))
                 )
         else:
             person_target = nlabel in (None, "Person")
@@ -454,16 +637,16 @@ class Compiler:
                 )
                 if rel.direction == "in":
                     e = _swap(e)
-                branches.append((e, _person_nodes(self.g)))
+                branches.append((e, _person_nodes(self.g, self._keep)))
             if belongs and rel.direction != "in":
                 # person -> house; a person is never BELONGS_TO's dst
-                branches.append((self._belongs_edges(), _house_nodes(self.g)))
+                branches.append((self._belongs_edges(), _house_nodes(self.g, self._keep)))
         if not branches:
             # legal-but-unsatisfiable hop (e.g. wrong BELONGS_TO
             # direction): zero rows, not an error — like Neo4j
             target = (
-                _house_nodes(self.g) if nlabel == "House"
-                else _person_nodes(self.g)
+                _house_nodes(self.g, self._keep) if nlabel == "House"
+                else _person_nodes(self.g, self._keep)
             )
             branches.append((self._belongs_edges().limit(0), target))
 
@@ -499,6 +682,7 @@ class Compiler:
     # ---------------- clause pipeline ----------------
 
     def run(self, q: P.Query) -> DataFrame:
+        self._keep = referenced_person_props(q)
         return self._run_clauses(None, {}, q.clauses)[0]
 
     def _run_clauses(
@@ -566,6 +750,7 @@ class Compiler:
         assert isinstance(ret, P.ReturnClause)
         if not cl.imports:
             inner = Compiler(self.g, self.params)
+            inner._keep = self._keep  # pruning pre-pass walked the subquery
             idf, ienv = inner._run_clauses(None, {}, sub.clauses[:-1])
             if idf is None:  # bodyless CALL { RETURN ... }
                 idf = self.g.persons.sparkSession.range(1)
