@@ -263,6 +263,10 @@ def apply_cypher_write(
                 raise CypherWriteError("node CREATE requires a {name: ...} key")
             nm = _scalar(node.props["name"], params)
             frame = g.houses if node.label == "House" else g.persons
+            # this existence probe is deliberately EAGER (one driver-side
+            # job per CREATE): the constraint violation must raise here,
+            # like Neo4j. MERGE has no such check — its upsert is fully
+            # lazy (see _merge_node).
             if frame.filter(F.col("name") == nm).limit(1).count() > 0:
                 raise CypherWriteError(
                     f"uniqueness constraint violated: {node.label or 'Person'} "
@@ -337,36 +341,48 @@ def _merge_node(
 
     # Person upsert: SET only the listed props; create-if-absent with a
     # deterministic engine id. `SET p.id = ...` is identity-managed (see
-    # module docstring) and therefore skipped. ON CREATE SET / ON MATCH
-    # SET apply conditionally on whether the name already exists —
-    # checked once, before any frame mutation.
+    # module docstring) and therefore skipped. Fully lazy — no
+    # driver-side existence job (round-2 verdict item 7): unconditional
+    # SET + ON MATCH SET apply behind the merge-key predicate (a no-op
+    # when the name is absent), and the created row (unconditional +
+    # ON CREATE SET values) appends through a left-anti join on the key,
+    # exactly like the House branch. Both arms are in ONE plan, so at
+    # scale this is a single MERGE INTO-shaped job per statement.
     persons = g.persons
     name_col = F.col("name")
-    exists = persons.filter(name_col == name).limit(1).count() > 0
-    conditional = merge.on_match if exists else merge.on_create
-    assigns = _collect_assigns(list(sets) + list(conditional), params)
+    base = _collect_assigns(sets, params)
+    on_match = _collect_assigns(merge.on_match, params)
+    on_create = _collect_assigns(merge.on_create, params)
 
-    cols = persons.columns
     updated = persons
-    for field, value in assigns.items():
+    cols = persons.columns
+    existing_updates = {**base, **on_match}
+    all_fields = {**base, **on_create, **on_match}
+    for field, value in all_fields.items():
         if field not in cols:
-            updated = updated.withColumn(field, F.lit(None))
+            # fresh property column: NULL everywhere, typed by the value
+            # (when-without-match) so the appended row's schema aligns
+            updated = updated.withColumn(
+                field, F.when(F.lit(False), F.lit(value))
+            )
             cols = updated.columns
+    for field, value in existing_updates.items():
         updated = updated.withColumn(
             field,
             F.when(name_col == name, F.lit(value)).otherwise(F.col(field)),
         )
 
-    if not exists:
-        row = {c: None for c in cols}
-        row["id"] = _new_id(name)
-        row["name"] = name
-        row.update(assigns)
-        spark = persons.sparkSession
-        new_row = spark.createDataFrame(
-            [tuple(row[c] for c in cols)], updated.schema
-        )
-        updated = updated.unionByName(new_row)
+    row = {c: None for c in cols}
+    row["id"] = _new_id(name)
+    row["name"] = name
+    row.update({**base, **on_create})
+    spark = persons.sparkSession
+    new_row = spark.createDataFrame(
+        [tuple(row[c] for c in cols)], updated.schema
+    )
+    updated = updated.unionByName(
+        new_row.join(persons.select("name"), "name", "left_anti")
+    )
     return GraphModel(persons=updated, houses=g.houses, edges=g.edges)
 
 
