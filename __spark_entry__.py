@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_part_suppliers": rel.promo_part_suppliers,  # Q20
         "forecast_revenue_change": rel.forecast_revenue_change,  # Q6
         "customer_order_distribution": rel.customer_order_distribution,  # Q13
+        # -- round-3 additions: the last classic TPC-H shapes the data
+        #    supports (Q12's shipmode/commitdate columns don't exist) --
+        "returned_item_losses": rel.returned_item_losses,  # Q10
+        "part_supplier_counts": rel.part_supplier_counts,  # Q16
     }
 
 
@@ -1550,6 +1554,34 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "returned_item_losses": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "part_supplier_counts": """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON partkey = p_partkey
+WHERE suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 20
 """,
         # BIGINT-scaled-integer production twins: round(v*100) recovers the
         # exact cent grid point of a 2-decimal double identically in both

@@ -1593,6 +1593,77 @@ def late_sole_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
     )
 
 
+def returned_item_losses(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    customers who returned parts in a quarter, with nation enrichment.
+
+    lineitem filters on returnflag + the orders quarter BEFORE the join
+    (both reach the parquet scan); nation broadcasts; top-k finishes as
+    TakeOrderedAndProject. Completes the classic TPC-H set alongside
+    Q1-Q9/Q11/Q13-Q15/Q17-Q20/Q22 (Q12/Q21's commitdate-receiptdate-
+    shipmode columns do not exist in this dataset; late_sole_suppliers
+    carries the Q21 double-correlation shape on shipdate instead).
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast(MONEY_SUM).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many suppliers
+    can supply parts with given attributes, excluding a supplier
+    blacklist. This dataset has no partsupp table, so the observed
+    distinct (l_partkey, l_suppkey) pairs in lineitem serve as the
+    supply catalog — same plan shape: dedup the pair set, anti-join the
+    blacklist, broadcast-join the filtered part dim, count distinct
+    suppliers per attribute group.
+    """
+    ps = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("suppkey"))
+    return (
+        ps.join(F.broadcast(bad_supp), "suppkey", "left_anti")
+        .join(
+            F.broadcast(part), ps.partkey == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"),
+            F.asc("p_type"), F.asc("p_size"),
+        )
+        .limit(k)
+    )
+
+
 def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): average yearly
     revenue lost if orders below 20% of a part's average quantity were

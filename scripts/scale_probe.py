@@ -167,6 +167,38 @@ def main():
             results.setdefault(name, {})[mult] = round(best, 2)
             print(f"x{mult} {name} {best:.2f}s", flush=True)
 
+    # Iterative graph supersteps in FORCED co-partitioned (large) mode —
+    # broadcast_node_limit=0 disables the small-graph broadcast path, so
+    # this measures the plan a billion-node deployment would run: the
+    # edge table is hash-partitioned once and each superstep shuffles
+    # only the node-sized state frame (VERDICT r02 item 5).
+    from neo4j_database_spark.graph.algorithms import (
+        connected_components,
+        pagerank,
+    )
+    from neo4j_database_spark.graph.model import GraphModel
+    from neo4j_database_spark.graph.store import load_graph
+
+    g0 = load_graph(spark, sf_dir)
+    for mult in (1, 4, 16):
+        shift = 100_000_000
+        persons = replicate(g0.persons, mult, ["id"], shift)
+        edges = replicate(g0.edges, mult, ["src", "dst"], shift)
+        gm = GraphModel(persons=persons, houses=g0.houses, edges=edges)
+        for name, fn in (
+            ("pagerank_large_mode",
+             lambda: pagerank(gm, broadcast_node_limit=0)),
+            ("connected_components_large_mode",
+             lambda: connected_components(gm, broadcast_node_limit=0)),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[mult] = round(best, 2)
+            print(f"x{mult} {name} {best:.2f}s", flush=True)
+
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write(
             "# SCALE_PROBE — replicated-input scaling, local[32]\n\n"
