@@ -1820,3 +1820,64 @@ def test_with_distinct(g):
         .count()
     )
     assert got == want
+
+
+def test_property_pruning_prepass():
+    # pure AST-level checks of the pruning pre-pass
+    from neo4j_database_spark.cypher import parser as P
+    from neo4j_database_spark.cypher.compiler import referenced_person_props
+
+    # only referenced fields survive; grouping/collecting via WITH keeps
+    # the node a struct without forcing keep-all
+    q = P.parse(
+        "MATCH (f:Person) WHERE f.name IN ['a'] "
+        "MATCH (f)-[:FRIEND_OF]-(c:Person) "
+        "WITH c, count(f) AS n, collect(f.name) AS who "
+        "RETURN c.name AS name, c.house AS house, n, who ORDER BY n DESC"
+    )
+    assert referenced_person_props(q) == {"name", "house"}
+
+    # a whole node escaping in RETURN flips to keep-all
+    assert referenced_person_props(
+        P.parse("MATCH (p:Person) RETURN p LIMIT 1")
+    ) is None
+    # collect(node) escapes too
+    assert referenced_person_props(
+        P.parse("MATCH (p:Person) RETURN collect(p) AS ps")
+    ) is None
+    # properties()/map-projection .* need every field
+    assert referenced_person_props(
+        P.parse("MATCH (p:Person) RETURN properties(p) AS m LIMIT 1")
+    ) is None
+    # id()/labels()/count() on a node are structural, not property uses
+    q2 = P.parse(
+        "MATCH (p:Person) RETURN id(p) AS i, labels(p) AS l, "
+        "count(p) AS n"
+    )
+    assert referenced_person_props(q2) == set()
+    # writes always keep everything
+    assert referenced_person_props(
+        P.parse("MERGE (p:Person {name: 'x'}) SET p.house = 'H'")
+    ) is None
+    # Cypher-name -> struct-field mapping applies (isUser -> is_user)
+    q3 = P.parse("MATCH (p:Person) WHERE p.isUser = true RETURN p.name AS n")
+    assert referenced_person_props(q3) == {"is_user", "name"}
+
+
+def test_property_pruning_through_group_key(g):
+    # Catalyst cannot prune struct fields once the node struct becomes a
+    # join/group key; the compiler's pre-pass must do it instead. The
+    # winder shape groups by the candidate node — the person scan feeding
+    # it must read only the referenced columns.
+    from neo4j_database_spark.cypher import CypherSession
+
+    plan = CypherSession(g).explain(
+        """
+        MATCH (f:Person) WHERE f.name IN ['Customer#000000001']
+        MATCH (f)-[:FRIEND_OF]-(c:Person)
+        WITH c, count(f) AS n
+        RETURN c.name AS name, c.house AS house, n ORDER BY n DESC
+        """
+    )
+    for unused in ("acctbal", "segment", "species", "gender", "image"):
+        assert unused not in plan, unused
