@@ -86,6 +86,15 @@ def connected_components(
     """
     labels = g.persons.select("id", F.col("id").alias("comp")).localCheckpoint()
     small = labels.count() <= broadcast_node_limit
+    if not small:
+        # co-partition the label frame on the join key too: a checkpointed
+        # frame keeps its SOURCE partitioning (e.g. hundreds of scan
+        # partitions), and without this every superstep re-shuffles the
+        # full node frame from that layout (measured: the 16x scale probe
+        # spent each superstep in replicated-scan-sized shuffles). With
+        # labels and edges both hash-partitioned on the key, the join and
+        # the post-aggregate merge are exchange-free.
+        labels = _copartition(labels, "id")
     edges = g.sym_edges(types).select("src", "dst")
     edges = (
         edges.localCheckpoint() if small else _copartition(edges, "src")
@@ -162,6 +171,12 @@ def pagerank(
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
     small = n <= broadcast_node_limit
+    if not small:
+        # pin the node frame's partitioning to the join key (see the
+        # connected_components comment): a checkpointed frame keeps its
+        # SOURCE partitioning, so without this the rank-refresh join
+        # re-shuffles the node frame from its scan layout every superstep.
+        nodes = _copartition(nodes, "id")
     edges = g.sym_edges(types).select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(out_deg, "src")
@@ -320,7 +335,9 @@ def label_propagation(
     # static edge table co-partitioned on the per-superstep join key so
     # only the node-sized labels frame shuffles each iteration
     edges = _copartition(g.sym_edges(types).select("src", "dst"), "dst")
-    labels = g.persons.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = _copartition(
+        g.persons.select("id", F.col("id").alias("label")), "id"
+    )  # keyed like the join, not like the source scan (see pagerank)
 
     for _ in range(max_iter):
         votes = (
@@ -581,6 +598,8 @@ def personalized_pagerank(
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
     small = n <= broadcast_node_limit
+    if not small:
+        nodes = _copartition(nodes, "id")  # see pagerank
     edges = g.sym_edges(types).select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if out_deg.filter(F.col("src") == seed_id).count() == 0:
@@ -1031,6 +1050,8 @@ def hits(
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
     small = n <= broadcast_node_limit
+    if not small:
+        nodes = _copartition(nodes, "id")  # see pagerank
     edges = g.edges if types is None else g.edges.filter(
         F.col("type").isin(list(types))
     )
