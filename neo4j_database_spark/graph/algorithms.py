@@ -101,7 +101,9 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        label_side = F.broadcast(labels) if small else labels
+        label_side = (
+            F.broadcast(labels) if small else labels.hint("shuffle_hash")
+        )  # sort-free superstep join (see pagerank)
         nbr_min = (
             edges.join(label_side, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -109,7 +111,9 @@ def connected_components(
         )
         # nbr_min is node-sized; broadcasting it in small mode spares
         # labels a shuffle every superstep (same trick as pagerank)
-        nbr_min = F.broadcast(nbr_min) if small else nbr_min
+        nbr_min = (
+            F.broadcast(nbr_min) if small else nbr_min.hint("shuffle_hash")
+        )
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -200,7 +204,15 @@ def pagerank(
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for it in range(max_iter):
-        rank_side = F.broadcast(ranks) if small else ranks
+        # Large mode: hint shuffle_hash on the node-sized side. Without
+        # it Catalyst picks sort-merge and re-SORTS the static edge
+        # table every superstep (the dominant superstep cost — sorting
+        # E rows ×10 iterations); hash-building the rank side and
+        # streaming edges is sort-free and the build fits per-partition
+        # (n/P rows) at any scale.
+        rank_side = (
+            F.broadcast(ranks) if small else ranks.hint("shuffle_hash")
+        )
         contribs = (
             edges_deg.join(rank_side, edges_deg.src == ranks.id)
             .select(
@@ -219,7 +231,9 @@ def pagerank(
         teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
         # contribs is node-sized; in small mode broadcasting it spares
         # nodes a shuffle every superstep
-        contribs = F.broadcast(contribs) if small else contribs
+        contribs = (
+            F.broadcast(contribs) if small else contribs.hint("shuffle_hash")
+        )
         ranks = nodes.join(contribs, "id", "left").select(
             "id",
             (
@@ -274,7 +288,11 @@ def bfs_distances(
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
-        frontier_side = F.broadcast(frontier) if small else frontier
+        frontier_side = (
+            F.broadcast(frontier)
+            if small
+            else frontier.hint("shuffle_hash")
+        )
         neighbors = (
             edges.join(frontier_side, edges.src == frontier.id)
             .select(F.col("dst").alias("id"))
@@ -405,7 +423,9 @@ def sssp_distances(
         .localCheckpoint()
     )
     for it in range(max_iter):
-        dist_side = F.broadcast(dist) if small else dist
+        dist_side = (
+            F.broadcast(dist) if small else dist.hint("shuffle_hash")
+        )
         relaxed = edges.join(dist_side, edges.src == dist.id).select(
             F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
         )
@@ -450,7 +470,9 @@ def kcore_members(
     edges = edges.localCheckpoint() if small else _copartition(edges, "src")
     alive = g.persons.select("id").localCheckpoint()
     for it in range(max_iter):
-        alive_side = F.broadcast(alive) if small else alive
+        alive_side = (
+            F.broadcast(alive) if small else alive.hint("shuffle_hash")
+        )
         surviving = edges.join(
             alive_side, edges.src == alive.id, "left_semi"
         ).join(
@@ -618,7 +640,9 @@ def personalized_pagerank(
     for it in range(max_iter):
         # zero ranks contribute zero inflow — drop them before the join
         live = ranks.filter(F.col("rank") != 0.0)
-        rank_side = F.broadcast(live) if small else live
+        rank_side = (
+            F.broadcast(live) if small else live.hint("shuffle_hash")
+        )
         contribs = (
             edges_deg.join(rank_side, edges_deg.src == live.id)
             .select(
@@ -757,7 +781,9 @@ def closeness_landmarks(
         "lm", F.col("lm").alias("id"), F.lit(0).cast("long").alias("d")
     ).localCheckpoint()
     for it in range(max_depth):
-        dist_side = F.broadcast(dist) if small else dist
+        dist_side = (
+            F.broadcast(dist) if small else dist.hint("shuffle_hash")
+        )
         relaxed = edges.join(dist_side, edges.src == dist.id).select(
             "lm", F.col("dst").alias("id"), (F.col("d") + 1).alias("d")
         )
@@ -1066,7 +1092,9 @@ def hits(
               join_key: str, out_key: str, out: str) -> DataFrame:
         """One half-iteration: sum quantized scores over edges into
         out_key, then L2-normalize."""
-        side = F.broadcast(scores) if small else scores
+        side = (
+            F.broadcast(scores) if small else scores.hint("shuffle_hash")
+        )
         raw = (
             e.join(side, F.col(join_key) == scores.id)
             .groupBy(F.col(out_key).alias("id"))
@@ -1079,7 +1107,7 @@ def hits(
                 ).alias("raw")
             )
         )
-        raw = F.broadcast(raw) if small else raw
+        raw = F.broadcast(raw) if small else raw.hint("shuffle_hash")
         full = nodes.join(raw, "id", "left").select(
             "id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("raw")
         )

@@ -182,8 +182,20 @@ def main():
     g0 = load_graph(spark, sf_dir)
     for mult in (1, 4, 16):
         shift = 100_000_000
-        persons = replicate(g0.persons, mult, ["id"], shift)
-        edges = replicate(g0.edges, mult, ["src", "dst"], shift)
+        # materialize replicas to parquet (like the relational tables):
+        # keeping 16x union lineage behind per-superstep localCheckpoints
+        # pins every replica in executor storage and OOMs the 16x cell
+        d = os.path.join(base, f"graph_x{mult}")
+        if not os.path.exists(os.path.join(d, "_done")):
+            replicate(g0.persons, mult, ["id"], shift).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, "persons"))
+            replicate(g0.edges, mult, ["src", "dst"], shift).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, "edges"))
+            open(os.path.join(d, "_done"), "w").write("ok")
+        persons = spark.read.parquet(os.path.join(d, "persons"))
+        edges = spark.read.parquet(os.path.join(d, "edges"))
         gm = GraphModel(persons=persons, houses=g0.houses, edges=edges)
         for name, fn in (
             ("pagerank_large_mode",
@@ -198,6 +210,12 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[mult] = round(best, 2)
             print(f"x{mult} {name} {best:.2f}s", flush=True)
+        # release this mult's superstep checkpoints before the next one
+        del gm, persons, edges
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write(
