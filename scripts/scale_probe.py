@@ -226,7 +226,14 @@ def main():
             "copies are shingle-salted (a copy token between every "
             "word) so LSH sees distinct documents — replicating "
             "identical texts would grow true-duplicate cliques, and "
-            "pair output, quadratically by construction.\n\n"
+            "pair output, quadratically by construction. The "
+            "`*_large_mode` rows force the co-partitioned superstep "
+            "path (`broadcast_node_limit=0`) on 1x/4x/16x replicated "
+            "graphs — the plan a billion-node deployment runs: state "
+            "and edges hash-partitioned on the join key once, "
+            "shuffle-hash (sort-free) superstep joins. The 1x cell is "
+            "dominated by fixed per-superstep stage overhead, so the "
+            "marginal cost per added replica is the scaling signal.\n\n"
             "| query | 1x | 4x | 16x | 16x/1x |\n|---|---|---|---|---|\n"
         )
         for name, row in results.items():
