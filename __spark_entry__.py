@@ -187,15 +187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": _mm_features,  # rows-only (generated input)
         "part_price_bands": rel.part_price_bands,
         "daily_revenue_rolling": rel.daily_revenue_rolling,
-        # Demoted from the window (each family keeps an in-window
+        # Earlier demotions (each family keeps an in-window
         # representative; all were driver-green in an earlier round with
-        # their code unchanged, or rows-only). Round-4 rotation: the new
-        # capability families (Cypher front end, itemset mining,
-        # correlated-subquery decorrelation) took the slots of
-        # doc_dedup_clusters (composition of in-window exact+LSH),
-        # emb_pq_codes (PQ family keeps the stronger ADC scan),
-        # emb_centroids and doc_bigram_lift (lift/association family now
-        # checked by brand_association_rules):
+        # their code unchanged, or rows-only): doc_dedup_clusters is a
+        # composition of in-window exact+LSH; emb_pq_codes — the PQ
+        # family keeps the stronger IVF-PQ scan; emb_centroids and
+        # doc_bigram_lift — the lift/association family is checked by
+        # brand_association_rules:
         "doc_dedup_clusters": dedup.dedup_clusters,
         "emb_pq_codes": similarity.pq_codes,
         "emb_centroids": similarity.centroids_by_label,
