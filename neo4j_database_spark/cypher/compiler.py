@@ -1698,11 +1698,36 @@ class Compiler:
         return c
 
 
+# Compiled-plan cache (Neo4j caches query plans keyed by statement text;
+# same idea). Sound because (a) entries are keyed by the graph's
+# immutable-snapshot identity (store dir + build-marker mtime — absent on
+# derived/mutated models, which therefore never cache), (b) parameters
+# are part of the key (they compile to literals), and (c) DataFrames are
+# immutable lazy plans, safe to re-execute. Bounded LRU.
+_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = __import__(
+    "collections"
+).OrderedDict()
+_PLAN_CACHE_MAX = 256
+
+
+def _params_fingerprint(params: dict | None) -> tuple:
+    if not params:
+        return ()
+    return tuple(sorted((k, repr(v)) for k, v in params.items()))
+
+
 def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFrame:
     """Parse + compile + return the DataFrame for a read-only Cypher
     statement (the subset exercised by the reference's serving and
     training queries). The result is lazy — callers .collect() / write
     like any DataFrame."""
+    key = None
+    if getattr(g, "plan_cache_key", None) is not None:
+        key = (g.plan_cache_key, query, _params_fingerprint(params))
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            _PLAN_CACHE.move_to_end(key)
+            return hit
     ast = P.parse(query)
     if isinstance(ast, P.UnionQuery):
         # each part compiles independently (fresh variable scope, like
@@ -1712,5 +1737,12 @@ def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFra
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        return out.distinct() if ast.distinct else out
-    return Compiler(g, params or {}).run(ast)
+        if ast.distinct:
+            out = out.distinct()
+    else:
+        out = Compiler(g, params or {}).run(ast)
+    if key is not None:
+        _PLAN_CACHE[key] = out
+        if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
+    return out

@@ -265,6 +265,12 @@ class GraphModel:
     persons: DataFrame
     houses: DataFrame
     edges: DataFrame
+    # Identity of the immutable store snapshot backing this model, set by
+    # ``store.load_graph`` ((store dir, build-marker mtime)) and None for
+    # derived/mutated models. Enables the Cypher compiled-plan cache
+    # (cypher.run_cypher): Neo4j-style statement-plan caching is only
+    # sound when the underlying graph is known not to have changed.
+    plan_cache_key: tuple | None = None
 
     def sym_edges(self, types: tuple[str, ...] | None = None) -> DataFrame:
         """Undirected edge view: canonical types unioned with their reverse.

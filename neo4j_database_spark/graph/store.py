@@ -238,4 +238,6 @@ def load_graph(spark: SparkSession, sf_dir: str) -> GraphModel:
         persons=spark.read.parquet(os.path.join(out_dir, "persons")),
         houses=spark.read.parquet(os.path.join(out_dir, "houses")),
         edges=spark.read.parquet(os.path.join(out_dir, "edges")),
+        # immutable-snapshot identity → Cypher plan cache is sound
+        plan_cache_key=(out_dir, os.path.getmtime(marker)),
     )
