@@ -258,9 +258,12 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
                 for o in cl.order_by:
                     wx(o.expr)
             elif isinstance(cl, P.UnwindClause):
+                # the alias needs no node_vars entry: a node-valued
+                # source is either a bare node/path var or contains one
+                # (collect(n), nodes(p)), and wx flips keep-all on those
+                # already — so surviving unwinds iterate plain values and
+                # their Prop accesses just record field names
                 wx(cl.expr)
-                node_vars.add(cl.alias)  # may iterate nodes; bare use of
-                # the alias then flips to keep-all, Prop use records field
             elif isinstance(cl, P.CallClause):
                 collect(cl.query.clauses, final_return_emits=False)
             else:  # write/unknown clause — handled by is_write, but be safe
