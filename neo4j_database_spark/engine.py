@@ -70,6 +70,7 @@ class WinderEngine:
         self.graph: GraphModel = load_graph(spark, sf_dir)
         self._classifier = None
         self._train_result = None
+        self._survival = None
 
     # -- raw Cypher (the reference's driver.session().run surface) --
     def cypher(
@@ -233,6 +234,31 @@ class WinderEngine:
         }
 
     # -- POST /predict: the full composite flow (app.py:41-132) --
+    # -- POST /predict_survival (app.py:137-180) --
+    def predict_survival(
+        self,
+        friends: Sequence[str] = (),
+        enemies: Sequence[str] = (),
+        family: Sequence[str] = (),
+        house: str = "NATION_0",
+    ) -> dict[str, Any]:
+        """The reference endpoint 500s as checked in (its model/encoder
+        pickles were never shipped and no training script exists). Same
+        request contract here — features are the LIST LENGTHS plus the
+        encoded house, unknown houses fall back to the encoder's first
+        class (app.py:168-171) — but backed by a model the engine trains
+        from its own graph (``ml.survival``), lazily on first call.
+        Response shape matches: ``{'alive': bool}``.
+        """
+        from neo4j_database_spark.ml import survival as sv
+
+        if self._survival is None:
+            self._survival = sv.train_survival(self.graph)
+        alive = sv.predict_survival(
+            self._survival, list(friends), list(enemies), list(family), house
+        )
+        return {"alive": alive}
+
     def predict_house(
         self,
         name: str,

@@ -156,3 +156,35 @@ def test_engine_cypher_read_and_write(spark):
         "MATCH (p:Person {name: $n}) RETURN p.house as house", {"n": "Cy User"}
     )
     assert got == [{"house": "NATION_5"}]
+
+
+def test_predict_survival_endpoint(engine):
+    """Reference app.py:137-180 contract: {'alive': bool} from the
+    request-array lengths + house; unknown house falls back to the
+    encoder's first class instead of erroring. (The reference endpoint
+    itself 500s — its model artifacts were never shipped — so the
+    contract is pinned against the documented request/response shape.)"""
+    out = engine.predict_survival(
+        friends=["a", "b", "c"], enemies=["x"], family=[], house="NATION_1"
+    )
+    assert set(out) == {"alive"} and isinstance(out["alive"], bool)
+    # unknown house must not raise; equals the first-class fallback
+    fb = engine.predict_survival(friends=["a"], house="Hufflepuff")
+    first = engine.predict_survival(
+        friends=["a"], house=engine._survival.houses[0]
+    )
+    assert fb == first
+    # model quality sanity: beats always-true on its own training frame
+    from neo4j_database_spark.ml import survival as sv
+
+    sm = engine._survival
+    train = sv.survival_training_frame(engine.graph)
+    scored = sm.model.transform(train)
+    from pyspark.sql import functions as F
+
+    n = scored.count()
+    acc = scored.filter(F.col("prediction") == F.col("label")).count() / n
+    majority = max(
+        r["c"] for r in train.groupBy("label").agg(F.count("*").alias("c")).collect()
+    ) / n
+    assert acc >= majority - 1e-9
