@@ -199,9 +199,21 @@ def pagerank(
     # follows a scalar recurrence — computed on the driver, costing zero
     # Spark jobs per superstep (previously a full aggregate per
     # iteration): r_dang(t+1) = (1-d)/n + d·mass(t)/n; mass = n_dang·r.
+    # In the UNDIRECTED view degree-0 is also the only way to get zero
+    # inflow (a deg>0 node has a deg>0 neighbor with positive rank), so
+    # the superstep needs NO per-iteration node-frame join at all: the
+    # contribution aggregate itself emits one row per non-isolated node,
+    # and isolated nodes join back once at the end with the closed-form
+    # scalar rank. Halves the joins per superstep vs the naive
+    # refresh-against-all-nodes formulation.
     n_dang = n - out_deg.count()
     dangling_mass = n_dang / n  # each node starts at rank 1/n
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    active = out_deg.select(F.col("src").alias("id"))
+    active = (
+        active.localCheckpoint() if small else _copartition(active, "id")
+    )
+    ranks = active.select("id", F.lit(1.0 / n).alias("rank"))
+    iso_rank = 1.0 / n  # rank every isolated node carries right now
 
     for it in range(max_iter):
         # Large mode: hint shuffle_hash on the node-sized side. Without
@@ -213,7 +225,8 @@ def pagerank(
         rank_side = (
             F.broadcast(ranks) if small else ranks.hint("shuffle_hash")
         )
-        contribs = (
+        teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
+        ranks = (
             edges_deg.join(rank_side, edges_deg.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
@@ -223,23 +236,12 @@ def pagerank(
             )
             .groupBy("id")
             .agg(
-                (F.sum("c").cast("double") / F.lit(CONTRIB_SCALE)).alias(
-                    "inflow"
-                )
+                (
+                    F.lit(teleport_plus_dangling)
+                    + F.lit(damping)
+                    * (F.sum("c").cast("double") / F.lit(CONTRIB_SCALE))
+                ).alias("rank")
             )
-        )
-        teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
-        # contribs is node-sized; in small mode broadcasting it spares
-        # nodes a shuffle every superstep
-        contribs = (
-            F.broadcast(contribs) if small else contribs.hint("shuffle_hash")
-        )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit(teleport_plus_dangling)
-                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
         )
         # Lineage must be cut or Catalyst analysis time grows with the
         # plan tree, but each cut materializes a job — every OTHER
@@ -247,7 +249,14 @@ def pagerank(
         # every-5 is ~35% slower from re-analysis of the doubled tree).
         if it % 2 == 1 or it == max_iter - 1:
             ranks = ranks.localCheckpoint()
+        iso_rank = teleport_plus_dangling
         dangling_mass = n_dang * teleport_plus_dangling
+
+    if n_dang:
+        isolated = nodes.join(active, "id", "left_anti")
+        ranks = ranks.unionByName(
+            isolated.select("id", F.lit(iso_rank).alias("rank"))
+        )
 
     return (
         g.persons.select("id", "name")
