@@ -55,12 +55,26 @@ BROADCAST_NODE_LIMIT = 10_000_000
 def _copartition(df: DataFrame, key: str) -> DataFrame:
     """Hash-partition ``df`` on ``key`` and pin the partitioning.
 
-    ``localCheckpoint`` materializes the RDD and preserves its output
-    partitioning in the resulting LogicalRDD, so later equi-joins on
-    ``key`` reuse it (only the other side shuffles).
+    ``localCheckpoint`` materializes the RDD and records the executed
+    plan's output partitioning in the resulting LogicalRDD, so later
+    equi-joins on ``key`` reuse it (only the other side shuffles).
+
+    AQE must be OFF while the checkpoint materializes: under
+    AdaptiveSparkPlanExec the checkpoint records UnknownPartitioning,
+    and every downstream superstep silently re-shuffles this frame —
+    profiled at 4x-replicated sf0.1, that one lost annotation re-moved
+    the 48M-row edge table ten times per pagerank call (~2× the whole
+    algorithm). The toggle only covers the materialization; supersteps
+    still run with AQE on.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return df.repartition(n, key).localCheckpoint()
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(n, key).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def connected_components(

@@ -210,11 +210,20 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[mult] = round(best, 2)
             print(f"x{mult} {name} {best:.2f}s", flush=True)
-        # release this mult's superstep checkpoints before the next one
+        # release this mult's superstep checkpoints before the next one —
+        # deterministically: drop the Python refs, then unpersist every
+        # block still registered with the BlockManager (ContextCleaner is
+        # async and a 16x edge checkpoint is ~10 GB; waiting for GC let
+        # storage accumulate across cells until the 16x cell OOMed)
         del gm, persons, edges
         import gc
 
         gc.collect()
+        jsc = spark.sparkContext._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        it_ = rdds.iterator()
+        while it_.hasNext():
+            it_.next()._2().unpersist(True)
         spark.sparkContext._jvm.System.gc()
 
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
