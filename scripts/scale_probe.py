@@ -39,6 +39,10 @@ def replicate(df, n, key_cols, shift):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # the 16x graph cells hold a ~5 GB co-partitioned edge checkpoint
+    # plus superstep shuffle state; the 48g default spills (and once
+    # OOMed) under co-tenant pressure — claim more heap up front
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
     spark = get_spark("scale-probe")
     base = "/tmp/scale_probe"
     li = load_table(spark, "lineitem", sf_dir)
