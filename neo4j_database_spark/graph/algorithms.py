@@ -1151,10 +1151,15 @@ def hits(
     hub = nodes.select("id", F.lit(1.0 / n).alias("hub"))
     auth = None
     for it in range(max_iter):
+        cut = it % 2 == 1 or it == max_iter - 1
         auth = _step(hub, "hub", e_src, "src", "dst", "auth")
-        hub = _step(auth, "auth", e_dst, "dst", "src", "hub")
-        if it % 2 == 1 or it == max_iter - 1:
+        if cut:
+            # checkpoint auth BEFORE deriving hub from it: hub built on
+            # the un-checkpointed auth object would re-execute auth's
+            # whole lineage a second time at its own checkpoint
             auth = auth.localCheckpoint()
+        hub = _step(auth, "auth", e_dst, "dst", "src", "hub")
+        if cut:
             hub = hub.localCheckpoint()
     return (
         g.persons.select("id", "name")
