@@ -234,20 +234,23 @@ def apply_cypher_write(
                     if field == "id":
                         continue  # identity is engine-managed
                     assigns[field] = _scalar(expr, params)
+            # ONE broadcast join per FOREACH, not per SET field — all
+            # field updates are conditional projections over it
+            joined = persons.join(
+                F.broadcast(targets),
+                persons.id == F.col("__fid"),
+                "left",
+            )
+            hit = F.col("__fid").isNotNull()
             for field, value in assigns.items():
-                joined = persons.join(
-                    F.broadcast(targets),
-                    persons.id == F.col("__fid"),
-                    "left",
-                )
-                hit = F.col("__fid").isNotNull()
                 if field in persons.columns:
                     upd = F.when(hit, F.lit(value)).otherwise(F.col(field))
                 else:
                     # fresh property: when-without-otherwise defaults to
                     # NULL and the column takes the value's type
                     upd = F.when(hit, F.lit(value))
-                persons = joined.withColumn(field, upd).drop("__fid")
+                joined = joined.withColumn(field, upd)
+            persons = joined.drop("__fid")
         return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
 
     creates = [c for c in clauses if isinstance(c, P.CreateClause)]
