@@ -84,12 +84,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # asserts the intended 50-set == list(queries())[:50] programmatically
     # (round-2 verdict: a hand-counted comment drifted two entries, which
     # left nation_revenue/top_customers_by_spend unchecked for two rounds).
-    # Round-3 rotation (per VERDICT r02 items 1+4): the two never-checked
-    # money queries plus ten round-4/5 capabilities (Cypher search, HITS,
-    # k-truss, GROUPING SETS marginals, skyline, interval overlap,
-    # Q18/Q8/Q7/Q9) enter; mm_image_features (no_oracle — wasted slot) and
-    # eleven r02-green entries whose family keeps an in-window
-    # representative rotate out.
+    # Round-4 rotation (per VERDICT r03 item 2): the 12 planned
+    # never-driver-checked entries enter (the two BIGINT-cents prod money
+    # twins + Q10/Q16/Q19/Q22/Q2/Q14/Q15/Q11/Q20/Q6); 12 r03-green
+    # entries whose family keeps an in-window representative rotate out
+    # (see the demotion block at the bottom of this dict).
+    # big_volume_customers (the one r03 red) and part_skyline stay in:
+    # both dropped their per-row stored-double decimal round-trip this
+    # round and need fresh driver rows under the new output surface.
     return {
         # -- graph serving queries (reference app.py endpoints) --
         "g_directory": on_graph(gq.directory),
@@ -101,11 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ML feature extraction (reference train_fix.py) --
         "g_feature_matrix": on_graph(lambda g: feature_matrix(g)),
         # -- graph analytics (north-star: GraphX-style, as DataFrame loops) --
-        "g_degree_centrality": on_graph(galg.degree_centrality),
         "g_connected_components": on_graph(
             lambda g: galg.connected_components(g)
         ),
-        "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),
         "g_bfs_distances": on_graph(
             lambda g: galg.bfs_distances(g, EGO_NAME)
         ),
@@ -113,9 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_pred_scores": on_graph(
             lambda g: gq.link_prediction_scores(g, EGO_NAME)
         ),
-        # -- corpus curation (decontamination / scrubbing / ranking) --
-        "doc_decontaminate": curation.decontaminate,
-        "doc_scrub_pii": curation.scrub_pii,
+        # -- corpus curation (ranking; decontam/scrub demoted r04) --
         "doc_bm25": curation.bm25_scores,
         # -- Cypher front end (round-4: reference statements compiled) --
         "cypher_winder": _cypher_winder,
@@ -123,16 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_call_topk": _cypher_call_topk,
         "cypher_write_roundtrip": _cypher_write_roundtrip,
         # -- behavioral analytics over the event log --
-        "events_funnel": rel.events_funnel,
         "brand_association_rules": rel.brand_association_rules,  # itemsets
         # -- training-data pipeline: text + dedup (SURVEY.md §2.9) --
         "doc_lang_id": text.lang_id,
         "doc_exact_dedup": dedup.exact_dedup,
         "doc_minhash_lsh": dedup.minhash_lsh_pairs,
-        "emb_semantic_dedup": similarity.semantic_dedup,  # SemDedup
-        "doc_winnow_fingerprints": text.winnow_fingerprints,
-        # -- correlated-subquery decorrelation (round-4, Q17 shape) --
-        "small_qty_part_revenue": rel.small_qty_part_revenue,
         # -- similarity search over embeddings --
         "emb_knn_bruteforce": similarity.knn_bruteforce,
         "emb_ivf_pq_knn": similarity.ivf_pq_knn,  # FAISS IVF-PQ (coarse
@@ -142,15 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_rollup": _stream_hourly,
         "stream_click_attribution": _stream_attribution,
         # -- relational OLAP with money outputs (DOUBLE-output contract) --
-        "pricing_summary": rel.pricing_summary,
         "top_unshipped_orders": rel.top_unshipped_orders,
         "urgent_lineitem_bloom": rel.urgent_lineitem_bloom,  # runtime filter
         "events_state_transitions": rel.events_state_transitions,  # temporal join
         "events_session_windows": rel.events_session_windows,
-        "sales_rollup": rel.sales_rollup,
         "asof_order_events": rel.asof_order_events,
-        "nation_revenue": rel.nation_revenue,
-        "top_customers_by_spend": rel.top_customers_by_spend,
         # -- round-3 window promotions (VERDICT r02 item 4) --
         "cypher_search": _cypher_search,
         "g_hits": on_graph(lambda g: galg.hits(g)),
@@ -162,6 +151,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": rel.nation_market_share,  # Q8
         "volume_shipping": rel.volume_shipping,  # Q7
         "product_profit": rel.product_profit,  # Q9
+        # -- round-4 window promotions (VERDICT r03 item 2) --
+        "pricing_summary_prod": rel.pricing_summary_prod,  # BIGINT-cents twin
+        "nation_revenue_prod": rel.nation_revenue_prod,
+        "returned_item_losses": rel.returned_item_losses,  # Q10
+        "part_supplier_counts": rel.part_supplier_counts,  # Q16
+        "disjunctive_part_revenue": rel.disjunctive_part_revenue,  # Q19
+        "idle_rich_customers": rel.idle_rich_customers,  # Q22
+        "cheapest_supplier_per_part": rel.cheapest_supplier_per_part,  # Q2
+        "promo_revenue_share": rel.promo_revenue_share,  # Q14
+        "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
+        "important_parts": rel.important_parts,  # Q11
+        "promo_part_suppliers": rel.promo_part_suppliers,  # Q20
+        "forecast_revenue_change": rel.forecast_revenue_change,  # Q6
         # ------------- driver check window ends at entry 50 -------------
         # (pinned programmatically: tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
@@ -312,11 +314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # every pair is adjacent and betweenness is identically zero
             lambda g: galg.betweenness_landmarks(g, types=None)
         ),  # rows-only (float path-ratio dependencies)
-        # -- round-4 additions: classic decorrelation shapes (Q17/Q18 are
-        #    in-window; these share the oracle pattern) --
-        "disjunctive_part_revenue": rel.disjunctive_part_revenue,  # Q19
-        "idle_rich_customers": rel.idle_rich_customers,  # Q22
-        "cheapest_supplier_per_part": rel.cheapest_supplier_per_part,  # Q2
         "g_clustering_coefficient": on_graph(
             lambda g: galg.clustering_coefficient(g)
         ),
@@ -338,25 +335,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_prod": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
             spark, sf_dir, hash_fn="xxhash64"
         ),
-        # production money path (VERDICT r02 item 2): BIGINT-scaled-integer
-        # accumulation instead of the ~30×-slower decimal kernel — still
-        # exact, so still oracle-checked (same integer math in DuckDB)
-        "pricing_summary_prod": rel.pricing_summary_prod,
-        "nation_revenue_prod": rel.nation_revenue_prod,
+        # remaining production money twin (pricing_summary_prod /
+        # nation_revenue_prod promoted into the r04 window above)
         "top_customers_by_spend_prod": rel.top_customers_by_spend_prod,
         "doc_bpe_train": lambda spark, sf_dir: text.bpe_train(
             spark, sf_dir
         ),  # rows-only (iterative merge loop); test: ≡ Python trainer
-        "promo_revenue_share": rel.promo_revenue_share,  # Q14
-        "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
-        "important_parts": rel.important_parts,  # Q11
-        "promo_part_suppliers": rel.promo_part_suppliers,  # Q20
-        "forecast_revenue_change": rel.forecast_revenue_change,  # Q6
         "customer_order_distribution": rel.customer_order_distribution,  # Q13
-        # -- round-3 additions: the last classic TPC-H shapes the data
-        #    supports (Q12's shipmode/commitdate columns don't exist) --
-        "returned_item_losses": rel.returned_item_losses,  # Q10
-        "part_supplier_counts": rel.part_supplier_counts,  # Q16
+        # -- round-4 demotions (VERDICT r03 item 2 rotation; every family
+        #    keeps an in-window representative; all were driver-green in
+        #    r03 — CORRECTNESS_r03.json — with code unchanged since,
+        #    except the prod twins now standing in for pricing_summary /
+        #    nation_revenue): --
+        "pricing_summary": rel.pricing_summary,  # → pricing_summary_prod
+        "nation_revenue": rel.nation_revenue,  # → nation_revenue_prod
+        "top_customers_by_spend": rel.top_customers_by_spend,  # → top_supplier_revenue
+        "sales_rollup": rel.sales_rollup,  # → sales_marginals stays
+        "small_qty_part_revenue": rel.small_qty_part_revenue,  # Q17 → Q18 stays, Q19 enters
+        "doc_decontaminate": curation.decontaminate,  # → doc_bm25 stays
+        "doc_scrub_pii": curation.scrub_pii,  # → doc_bm25 stays
+        "doc_winnow_fingerprints": text.winnow_fingerprints,  # → doc_lang_id stays
+        "emb_semantic_dedup": similarity.semantic_dedup,  # → emb_ivf_pq_knn stays
+        "g_degree_centrality": on_graph(galg.degree_centrality),  # → g_pagerank stays
+        "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),  # → g_ktruss stays
+        "events_funnel": rel.events_funnel,  # → events_state_transitions stays
     }
 
 
@@ -3538,7 +3540,7 @@ WITH big AS (
 )
 SELECT c.c_name AS name, c.c_custkey AS custkey,
   o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
-  CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) AS DOUBLE) AS totalprice,
+  o.o_totalprice AS totalprice,
   b.total_qty
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
@@ -4009,7 +4011,7 @@ ORDER BY o_year, nation
         "part_skyline": """
 SELECT a.p_partkey AS partkey, a.p_name AS name,
   a.p_size AS size,
-  CAST(CAST(a.p_retailprice AS DECIMAL(28,6)) AS DOUBLE) AS retailprice
+  a.p_retailprice AS retailprice
 FROM part a
 WHERE NOT EXISTS (
   SELECT 1 FROM part b

@@ -1714,6 +1714,15 @@ def big_volume_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250) -
     both engines. Scale: the per-order aggregate is the only fact-sized
     shuffle; the qualifying set is small enough that AQE converts the
     enrich joins to broadcasts at any sf.
+
+    ``totalprice`` is the STORED double passed through unchanged — no
+    decimal round-trip. Round-3 driver finding: the per-row
+    double→DECIMAL(28,6)→double round-trip hashed OK against local
+    DuckDB 1.0.0 but failed the driver's DuckDB (double→DECIMAL rounding
+    of dense-digit values is version-dependent: exact HALF_UP vs
+    scaled-double multiply can differ in the last ulp). A stored value
+    that is not aggregated needs no determinism cast at all — emitting
+    the raw bits on both sides is exact under every engine version.
     """
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -1731,7 +1740,7 @@ def big_volume_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250) -
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
-            _money_out(F.col("o_totalprice")).alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "total_qty",
         )
         .orderBy(F.desc("total_qty"), F.asc("orderkey"))
@@ -2183,7 +2192,10 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("partkey"),
         F.col("p_name").alias("name"),
         F.col("p_size").alias("size"),
-        _money_out(F.col("p_retailprice")).alias("retailprice"),
+        # Stored double passthrough — per-row decimal round-trips of
+        # stored values are DuckDB-version-sensitive (see
+        # big_volume_customers); a non-aggregated column needs none.
+        F.col("p_retailprice").alias("retailprice"),
     ).orderBy("partkey")
 
 

@@ -40,6 +40,41 @@ def norm_cell(v):
     return str(v)
 
 
+# Round-3 driver divergence (big_volume_customers, Q18): the output
+# normalization CAST(CAST(stored_col AS DECIMAL(28,6)) AS DOUBLE) of a
+# NON-aggregated column hashed identically under local DuckDB 1.0.0 +
+# Spark, yet failed the driver's hash. What is unique to that pattern:
+# DuckDB's double→DECIMAL cast takes the int128/hugeint code path for
+# precision >18, whose rounding differs across DuckDB builds — per-row
+# DECIMAL(18,x) casts (int64 path) appear inside every green money
+# aggregate and per-row DECIMAL(20,9) computed-arithmetic casts pass too
+# (doc_bm25, green r03), so only the wide-precision round-trip of a bare
+# stored value is exposed. The strict cell compare cannot reproduce a
+# divergence that needs the *driver's* DuckDB build, so this lint
+# statically bans the pattern instead: a stored value that is not
+# aggregated needs NO determinism cast — pass the raw double through on
+# both sides (relational.py::big_volume_customers, part_skyline).
+import re
+
+_ROUNDTRIP_RE = re.compile(
+    r"CAST\s*\(\s*CAST\s*\(\s*([A-Za-z_][\w.]*)\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*\d+\s*\)\s*\)\s*AS\s+DOUBLE\s*\)",
+    re.I,
+)
+
+
+def lint_per_row_decimal_roundtrip(oracles):
+    """Flag oracle SQL containing CAST(CAST(<bare column> AS
+    DECIMAL(p>18,s)) AS DOUBLE) — a pure output round-trip of a stored
+    value through the hugeint decimal path. Returns [(name, col, p)]."""
+    bad = []
+    for name, sql in oracles.items():
+        for m in _ROUNDTRIP_RE.finditer(sql):
+            col, prec = m.group(1), int(m.group(2))
+            if prec > 18:
+                bad.append((name, col, prec))
+    return bad
+
+
 def table_fingerprint(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -59,6 +94,14 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    lint = lint_per_row_decimal_roundtrip(oracles)
+    if lint:
+        print("LINT: per-row DECIMAL round-trip of non-aggregated value "
+              "(driver-DuckDB-version-sensitive — pass the stored double "
+              "through instead):")
+        for name, expr in lint:
+            print(f"  {name}: CAST({expr} AS DECIMAL ...)")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

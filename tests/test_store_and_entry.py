@@ -65,40 +65,28 @@ DRIVER_WINDOW = [
     "g_winder",
     "g_rule_edge_counts",
     "g_feature_matrix",
-    "g_degree_centrality",
     "g_connected_components",
-    "g_triangle_count",
     "g_bfs_distances",
     "g_pagerank",
     "g_link_pred_scores",
-    "doc_decontaminate",
-    "doc_scrub_pii",
     "doc_bm25",
     "cypher_winder",
     "cypher_house_counts",
     "cypher_call_topk",
     "cypher_write_roundtrip",
-    "events_funnel",
     "brand_association_rules",
     "doc_lang_id",
     "doc_exact_dedup",
     "doc_minhash_lsh",
-    "emb_semantic_dedup",
-    "doc_winnow_fingerprints",
-    "small_qty_part_revenue",
     "emb_knn_bruteforce",
     "emb_ivf_pq_knn",
     "stream_hourly_rollup",
     "stream_click_attribution",
-    "pricing_summary",
     "top_unshipped_orders",
     "urgent_lineitem_bloom",
     "events_state_transitions",
     "events_session_windows",
-    "sales_rollup",
     "asof_order_events",
-    "nation_revenue",
-    "top_customers_by_spend",
     "cypher_search",
     "g_hits",
     "g_ktruss",
@@ -109,6 +97,21 @@ DRIVER_WINDOW = [
     "nation_market_share",
     "volume_shipping",
     "product_profit",
+    # round-4 promotions (VERDICT r03 item 2): never-driver-checked
+    # oracle-backed entries; demoted r03 greens each keep a family
+    # representative above (see __spark_entry__.py demotion comments)
+    "pricing_summary_prod",
+    "nation_revenue_prod",
+    "returned_item_losses",
+    "part_supplier_counts",
+    "disjunctive_part_revenue",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "important_parts",
+    "promo_part_suppliers",
+    "forecast_revenue_change",
 ]
 
 
