@@ -56,7 +56,9 @@ def _extra_person_fields(g: GraphModel) -> list[str]:
     return sorted(c for c in g.persons.columns if c not in _PERSON_FIELDS)
 
 
-def _person_nodes(g: GraphModel, keep: set[str] | None = None) -> DataFrame:
+def _person_nodes(
+    g: GraphModel, keep: set[str] | None = None, long_ids: bool = False
+) -> DataFrame:
     """Person node structs; ``keep`` prunes property fields to the set the
     query actually references (label/id/name are always structural).
 
@@ -65,11 +67,19 @@ def _person_nodes(g: GraphModel, keep: set[str] | None = None) -> DataFrame:
     it every expansion broadcasts and shuffles all ~10 person properties
     (including a float that then needs NaN-normalization in group keys)
     even when the query touches three of them.
+
+    ``long_ids`` keeps the id field as the native BIGINT instead of the
+    string the mixed Person/House namespace needs (House ids are names).
+    Long join keys hash and shuffle severalfold cheaper than strings on
+    the fact-sized edge table — the dominant per-row cost of a compiled
+    hop. Only set when ``long_id_safe`` proved the query can never touch
+    a House frame and no id value escapes uncast (the ``id()`` scalar
+    site casts back to string, preserving the visible contract).
     """
     p = g.persons
     cols = [
         F.lit("Person").alias("label"),
-        F.col("id").cast("string").alias("id"),
+        (F.col("id") if long_ids else F.col("id").cast("string")).alias("id"),
     ]
     for f_ in _PERSON_FIELDS[1:]:
         if keep is not None and f_ != "name" and f_ not in keep:
@@ -116,12 +126,22 @@ def _house_nodes(g: GraphModel, keep: set[str] | None = None) -> DataFrame:
 _ID_ONLY_FUNCS = {"id", "elementid", "labels", "count"}
 
 
-def referenced_person_props(q: "P.Query") -> set[str] | None:
-    """Pre-pass for node-struct pruning: the set of node property names
+def _analyze_query(q: "P.Query") -> tuple[set[str] | None, bool]:
+    """Shared pre-pass: (referenced property set or None, long_id_safe).
+
+    Component 1 (node-struct pruning): the set of node property names
     the query references, or ``None`` when pruning is unsafe — a write
     statement, a node value escaping whole (``RETURN n``, ``collect(n)``,
     node equality, ``properties()``/``keys()``/map-projection ``.*``), or
     anything else that needs the full property set.
+
+    Component 2 (long-id fast path): True when every node frame the
+    query touches is a Person (so ids can stay native BIGINT instead of
+    the string the Person/House union namespace needs) AND nothing whose
+    visible type would change escapes: no House label, every rel
+    explicitly typed without BELONGS_TO, no bound paths (``nodes(p)``
+    exposes id lists), no rel struct escaping whole (its src/dst
+    endpoints carry the id type), and not a write.
 
     Over-approximates syntactically: variables that might bind nodes are
     tracked by name; a bare use of any such name outside ``Prop`` access
@@ -129,25 +149,49 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
     only widen the result, never narrow it.
     """
     if q.is_write:
-        return None
+        return None, False
     props: set[str] = set()
     node_vars: set[str] = set()
+    rel_vars: set[str] = set()
     unsafe = False
+    long_ok = True
 
     def mark_unsafe():
-        nonlocal unsafe
+        # anything that defeats pruning also defeats long ids: a node
+        # escaping whole (or an unanalyzable expression that might let
+        # one escape) exposes the struct's id field, whose visible type
+        # must stay string
+        nonlocal unsafe, long_ok
         unsafe = True
+        long_ok = False
+
+    def long_fail():
+        nonlocal long_ok
+        long_ok = False
 
     def walk_path(path: P.Path):
+        nonlocal long_ok
         if path.var is not None:
             # a bound path exposes whole nodes via nodes(p)
             node_vars.add(path.var)
+            long_fail()
         for n in path.nodes:
+            if n.label not in (None, "Person"):
+                long_fail()
             if n.var:
                 node_vars.add(n.var)
             for k, v in n.props.items():
                 props.add(_PROP_MAP.get(k, k))
                 wx(v)
+        for r in path.rels:
+            if r.rtype is None:
+                long_fail()  # untyped hop can reach BELONGS_TO/House
+            else:
+                rts = r.rtype if isinstance(r.rtype, tuple) else (r.rtype,)
+                if "BELONGS_TO" in rts:
+                    long_fail()
+            if r.var is not None and not r.var.startswith("__rel"):
+                rel_vars.add(r.var)
 
     def wx(e):
         if e is None or isinstance(e, (P.Lit, P.Param, P.Star)):
@@ -155,6 +199,10 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
         if isinstance(e, P.Var):
             if e.name in node_vars:
                 mark_unsafe()
+            if e.name in rel_vars:
+                # rel struct escapes whole — its src/dst endpoints carry
+                # the id type, so the long-id fast path must stay off
+                long_fail()
         elif isinstance(e, P.Prop):
             props.add(_PROP_MAP.get(e.name, e.name))
         elif isinstance(e, P.Func):
@@ -163,6 +211,10 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
                 mark_unsafe()
             for a in e.args:
                 if name in _ID_ONLY_FUNCS and isinstance(a, P.Var):
+                    continue
+                if name == "type" and isinstance(a, P.Var):
+                    # structural accessor on a rel var: reads only the
+                    # string type field, safe under long ids
                     continue
                 wx(a)
         elif isinstance(e, P.MapProj):
@@ -234,6 +286,8 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
                         # forced; track the (possibly aliased) name
                         if it.expr.name in node_vars:
                             node_vars.add(it.alias or it.expr.name)
+                        if it.expr.name in rel_vars:
+                            rel_vars.add(it.alias or it.expr.name)
                     elif isinstance(it.expr, P.Star):
                         pass  # rebinds everything under the same names
                     else:
@@ -250,9 +304,16 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
                             else:
                                 # CALL { ... RETURN n }: stays a binding
                                 node_vars.add(it.alias or it.expr.name)
+                        if it.expr.name in rel_vars:
+                            if final_return_emits:
+                                long_fail()  # rel struct in the output
+                            else:
+                                rel_vars.add(it.alias or it.expr.name)
                     elif isinstance(it.expr, P.Star):
                         if final_return_emits and node_vars:
                             mark_unsafe()
+                        if final_return_emits and rel_vars:
+                            long_fail()
                     else:
                         wx(it.expr)
                 for o in cl.order_by:
@@ -270,7 +331,17 @@ def referenced_person_props(q: "P.Query") -> set[str] | None:
                 mark_unsafe()
 
     collect(q.clauses, final_return_emits=True)
-    return None if unsafe else props
+    return (None if unsafe else props), long_ok
+
+
+def referenced_person_props(q: "P.Query") -> set[str] | None:
+    """Node-struct pruning pre-pass (see ``_analyze_query``)."""
+    return _analyze_query(q)[0]
+
+
+def long_id_safe(q: "P.Query") -> bool:
+    """Long-id fast-path pre-pass (see ``_analyze_query``)."""
+    return _analyze_query(q)[1]
 
 
 def _rel_struct(src: Column, dst: Column, rtype: Column) -> Column:
@@ -326,6 +397,8 @@ class Compiler:
         # maps a Cypher variable name to the higher-order-function
         # argument Column while compiling the lambda body
         self._lambda_vars: dict[str, Column] = {}
+        # long-id fast path (native BIGINT ids; see _analyze_query)
+        self._long: bool = False
         # node-struct property pruning (None = keep every field); set by
         # run() from the referenced_person_props pre-pass and inherited
         # by inner compilers for CALL subqueries
@@ -350,6 +423,12 @@ class Compiler:
         if rtype is not None:
             types = list(rtype) if isinstance(rtype, tuple) else [rtype]
             e = e.filter(F.col("type").isin(types))
+        if self._long:
+            return e.select(
+                F.col("src").alias("__src"),
+                F.col("dst").alias("__dst"),
+                F.col("type").alias("__type"),
+            )
         return e.select(
             F.col("src").cast("string").alias("__src"),
             F.col("dst").cast("string").alias("__dst"),
@@ -578,7 +657,7 @@ class Compiler:
         if label == "House":
             src = _house_nodes(self.g, self._keep)
         else:
-            src = _person_nodes(self.g, self._keep)  # Person or unlabeled ⇒ person set
+            src = _person_nodes(self.g, self._keep, self._long)  # Person or unlabeled ⇒ person set
         df = src.select(F.col("__node").alias(var))
         return self._apply_props(df, var, n.props)
 
@@ -621,7 +700,7 @@ class Compiler:
                 and nlabel in (None, "Person")
             ):
                 branches.append(
-                    (_swap(self._belongs_edges()), _person_nodes(self.g, self._keep))
+                    (_swap(self._belongs_edges()), _person_nodes(self.g, self._keep, self._long))
                 )
         else:
             person_target = nlabel in (None, "Person")
@@ -640,7 +719,7 @@ class Compiler:
                 )
                 if rel.direction == "in":
                     e = _swap(e)
-                branches.append((e, _person_nodes(self.g, self._keep)))
+                branches.append((e, _person_nodes(self.g, self._keep, self._long)))
             if belongs and rel.direction != "in":
                 # person -> house; a person is never BELONGS_TO's dst
                 branches.append((self._belongs_edges(), _house_nodes(self.g, self._keep)))
@@ -649,7 +728,7 @@ class Compiler:
             # direction): zero rows, not an error — like Neo4j
             target = (
                 _house_nodes(self.g, self._keep) if nlabel == "House"
-                else _person_nodes(self.g, self._keep)
+                else _person_nodes(self.g, self._keep, self._long)
             )
             branches.append((self._belongs_edges().limit(0), target))
 
@@ -685,7 +764,7 @@ class Compiler:
     # ---------------- clause pipeline ----------------
 
     def run(self, q: P.Query) -> DataFrame:
-        self._keep = referenced_person_props(q)
+        self._keep, self._long = _analyze_query(q)
         return self._run_clauses(None, {}, q.clauses)[0]
 
     def _run_clauses(
@@ -754,6 +833,7 @@ class Compiler:
         if not cl.imports:
             inner = Compiler(self.g, self.params)
             inner._keep = self._keep  # pruning pre-pass walked the subquery
+            inner._long = self._long  # frames must agree on the id type
             idf, ienv = inner._run_clauses(None, {}, sub.clauses[:-1])
             if idf is None:  # bodyless CALL { RETURN ... }
                 idf = self.g.persons.sparkSession.range(1)
@@ -1449,9 +1529,13 @@ class Compiler:
                 return F.upper(self._scalar(e.args[0], env))
             if e.name in ("id", "elementid"):
                 # elementId() is Neo4j 5's successor to id(); both map
-                # to the engine's string node id
+                # to the engine's string node id (under the long-id fast
+                # path the struct field is BIGINT — cast back so the
+                # visible contract, incl. lexicographic id() ordering,
+                # is unchanged)
                 v = e.args[0]
-                return F.col(f"{v.name}.id")
+                c = F.col(f"{v.name}.id")
+                return c.cast("string") if self._long else c
             if e.name == "labels":
                 # single-label graph: labels(n) is a 1-element list
                 v = e.args[0]

@@ -1881,3 +1881,88 @@ def test_property_pruning_through_group_key(g):
     )
     for unused in ("acctbal", "segment", "species", "gender", "image"):
         assert unused not in plan, unused
+
+
+def test_long_id_fast_path_classification():
+    # the long-id fast path (native BIGINT join keys instead of the
+    # string the Person/House union namespace needs) must engage exactly
+    # when no House frame is reachable and no id-typed value escapes
+    from neo4j_database_spark.cypher import parser as P
+    from neo4j_database_spark.cypher.compiler import long_id_safe
+
+    # flagship winder shape: Person-only, explicitly typed rels → long
+    assert long_id_safe(P.parse(
+        "MATCH (f:Person) WHERE f.name IN ['x'] "
+        "MATCH (f)-[:FRIEND_OF]-(c:Person) "
+        "RETURN c.name AS name, count(f) AS n"
+    ))
+    # id()/elementId() outputs are cast back to string at the scalar
+    # site, so they do not defeat the fast path
+    assert long_id_safe(P.parse(
+        "MATCH (a:Person)-[:FRIEND_OF]-(b:Person) "
+        "WHERE id(a) < id(b) RETURN id(a) AS i, count(*) AS n"
+    ))
+    # House label → string namespace required
+    assert not long_id_safe(P.parse(
+        "MATCH (h:House) RETURN h.name AS n"
+    ))
+    # untyped rel can reach BELONGS_TO/House
+    assert not long_id_safe(P.parse(
+        "MATCH (p:Person)-[]-(x) RETURN count(*) AS n"
+    ))
+    # BELONGS_TO explicitly
+    assert not long_id_safe(P.parse(
+        "MATCH (p:Person)-[:BELONGS_TO]->(h) RETURN count(*) AS n"
+    ))
+    # whole node escaping exposes the struct's id field
+    assert not long_id_safe(P.parse(
+        "MATCH (p:Person)-[:FRIEND_OF]-(q:Person) RETURN p LIMIT 1"
+    ))
+    # rel struct escaping exposes long endpoints
+    assert not long_id_safe(P.parse(
+        "MATCH (p:Person)-[r:FRIEND_OF]-(q:Person) RETURN r LIMIT 1"
+    ))
+    # ...but type(r) reads only the string field — safe
+    assert long_id_safe(P.parse(
+        "MATCH (p:Person)-[r:FRIEND_OF]-(q:Person) "
+        "RETURN type(r) AS t, count(*) AS n"
+    ))
+    # bound path exposes node-id lists via nodes(p)
+    assert not long_id_safe(P.parse(
+        "MATCH pth = (a:Person)-[:FRIEND_OF*1..2]-(b:Person) "
+        "RETURN length(pth) AS l, count(*) AS n"
+    ))
+    # writes never take the fast path
+    assert not long_id_safe(P.parse(
+        "MERGE (p:Person {name: 'x'}) SET p.house = 'H'"
+    ))
+
+
+def test_long_id_fast_path_plan_and_results(g):
+    # the compiled winder plan must join on BIGINT edge endpoints (no
+    # per-row string casts on the fact-sized edge table), and the
+    # results must be unchanged vs the string-id path
+    from neo4j_database_spark.cypher import CypherSession
+
+    q = """
+        MATCH (f:Person)
+        WHERE f.name IN $friends
+        MATCH (f)-[:FRIEND_OF]-(candidate:Person)
+        WHERE NOT candidate.name IN $friends
+        WITH candidate, count(f) as common_friends
+        RETURN candidate.name as name, common_friends
+        ORDER BY common_friends DESC, name ASC LIMIT 5
+    """
+    params = {"friends": [f"Customer#{i:09d}" for i in range(3)]}
+    plan = CypherSession(g).explain(q, params)
+    assert "cast(src" not in plan and "cast(dst" not in plan
+    rows = [tuple(r) for r in run_cypher(g, q, params).collect()]
+    # id() output stays a string under the fast path
+    got = run_cypher(
+        g,
+        "MATCH (p:Person) WHERE p.name = 'Customer#000000001' "
+        "MATCH (p)-[:FRIEND_OF]-(q:Person) "
+        "RETURN id(q) AS i ORDER BY i LIMIT 1",
+    ).collect()
+    assert isinstance(got[0].i, str)
+    assert len(rows) == 5
