@@ -99,6 +99,33 @@ def test_pagerank_copartitioned_mode_identical(tiny):
     ]
 
 
+def test_pagerank_tol_early_exit_parity(tiny):
+    """Convergence early exit (tol) must agree with the fixed-round
+    path on an already-converged graph, and exit genuinely early: with
+    a generous max_iter and a loose tol the result matches the
+    converged fixed-round ranks to well inside the tolerance."""
+    fixed = {
+        r["name"]: r["rank"] for r in alg.pagerank(tiny, max_iter=40).collect()
+    }
+    early = {
+        r["name"]: r["rank"]
+        for r in alg.pagerank(tiny, max_iter=40, tol=1e-9).collect()
+    }
+    assert set(fixed) == set(early)
+    for name, rank in fixed.items():
+        assert early[name] == pytest.approx(rank, abs=1e-7), name
+    # tol=inf exits at the first delta check — after the 4th superstep
+    # (prev snapshot at checkpoint it=1, delta measured at it=3) — so
+    # the result must be BIT-identical to a fixed 4-round run, pinning
+    # both that the exit triggers and that the early-exit bookkeeping
+    # (isolated-node closed form, dangling mass) tracks the completed
+    # supersteps exactly
+    four_iter = alg.pagerank(tiny, max_iter=4).collect()
+    first_ck = alg.pagerank(tiny, max_iter=40, tol=float("inf")).collect()
+    assert [tuple(r) for r in first_ck] == [tuple(r) for r in four_iter]
+    assert sum(r["rank"] for r in first_ck) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_connected_components_copartitioned_mode_identical(tiny):
     comps = alg.connected_components(tiny).collect()
     copart = alg.connected_components(tiny, broadcast_node_limit=0).collect()

@@ -44,6 +44,8 @@ ROWS_ONLY = {
     "doc_bpe_train",  # iterative merge loop — fold not SQL-expressible
     "mm_image_resize",  # generated media input — no SQL twin
     "doc_minhash_lsh_prod",  # seeded xxhash64 — engine-specific hashes
+    "g_pagerank_prod",  # tol early exit — iteration count diverges from
+    # the fixed-round unrolled oracle; parity pytest-pinned instead
 }
 
 
