@@ -1788,13 +1788,19 @@ class Compiler:
 # Compiled-plan cache (Neo4j caches query plans keyed by statement text;
 # same idea). Sound because (a) entries are keyed by the graph's
 # immutable-snapshot identity (store dir + build-marker mtime — absent on
-# derived/mutated models, which therefore never cache), (b) parameters
-# are part of the key (they compile to literals), and (c) DataFrames are
-# immutable lazy plans, safe to re-execute. Bounded LRU.
+# derived/mutated models, which therefore never cache) PLUS the owning
+# SparkSession's applicationId — a DataFrame bound to a stopped session
+# fails at execution, so a restarted session must never see the old
+# entries, (b) parameters are part of the key (they compile to
+# literals), and (c) DataFrames are immutable lazy plans, safe to
+# re-execute. Bounded LRU; get/insert/evict run under a lock (the
+# serving engine compiles from concurrent threads, and OrderedDict
+# mutation is not thread-safe).
 _PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = __import__(
     "collections"
 ).OrderedDict()
 _PLAN_CACHE_MAX = 256
+_PLAN_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _params_fingerprint(params: dict | None) -> tuple:
@@ -1810,11 +1816,13 @@ def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFra
     like any DataFrame."""
     key = None
     if getattr(g, "plan_cache_key", None) is not None:
-        key = (g.plan_cache_key, query, _params_fingerprint(params))
-        hit = _PLAN_CACHE.get(key)
-        if hit is not None:
-            _PLAN_CACHE.move_to_end(key)
-            return hit
+        app_id = g.persons.sparkSession.sparkContext.applicationId
+        key = (app_id, g.plan_cache_key, query, _params_fingerprint(params))
+        with _PLAN_CACHE_LOCK:
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                _PLAN_CACHE.move_to_end(key)
+                return hit
     ast = P.parse(query)
     if isinstance(ast, P.UnionQuery):
         # each part compiles independently (fresh variable scope, like
@@ -1829,7 +1837,8 @@ def run_cypher(g: GraphModel, query: str, params: dict | None = None) -> DataFra
     else:
         out = Compiler(g, params or {}).run(ast)
     if key is not None:
-        _PLAN_CACHE[key] = out
-        if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
-            _PLAN_CACHE.popitem(last=False)
+        with _PLAN_CACHE_LOCK:
+            _PLAN_CACHE[key] = out
+            if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
     return out

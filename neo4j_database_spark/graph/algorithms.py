@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,8 @@ def degree_centrality(g: GraphModel, types: tuple[str, ...] | None = None) -> Da
 # frame. ~10M ids × ~16B/row ≈ 160 MB broadcast — a sane ceiling.
 BROADCAST_NODE_LIMIT = 10_000_000
 
+_AQE_TOGGLE_LOCK = threading.Lock()
+
 
 def _copartition(df: DataFrame, key: str) -> DataFrame:
     """Hash-partition ``df`` on ``key`` and pin the partitioning.
@@ -69,12 +73,18 @@ def _copartition(df: DataFrame, key: str) -> DataFrame:
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.repartition(n, key).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # the save/toggle/restore must be atomic: the conf is session-global,
+    # so two concurrent _copartition calls could interleave such that one
+    # restores the other's temporary 'false' and leaves AQE off for the
+    # whole session (and unrelated concurrent queries would plan with
+    # AQE off either way — a serving engine runs queries concurrently)
+    with _AQE_TOGGLE_LOCK:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.repartition(n, key).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def connected_components(

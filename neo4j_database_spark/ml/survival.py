@@ -53,6 +53,10 @@ def survival_training_frame(g: GraphModel) -> DataFrame:
 class SurvivalModel:
     model: PipelineModel
     houses: list[str]  # StringIndexer classes, index order = house_code
+    # captured at train time: SparkSession.getActiveSession() is
+    # thread-local and returns None from a serving/worker thread, which
+    # would turn a valid scoring request into an AttributeError
+    spark: "SparkSession | None" = None
 
 
 def train_survival(g: GraphModel, seed: int = 7) -> SurvivalModel:
@@ -72,7 +76,9 @@ def train_survival(g: GraphModel, seed: int = 7) -> SurvivalModel:
     )
     model = Pipeline(stages=[indexer, assembler, rf]).fit(train)
     houses = list(model.stages[0].labels)
-    return SurvivalModel(model=model, houses=houses)
+    return SurvivalModel(
+        model=model, houses=houses, spark=train.sparkSession
+    )
 
 
 def predict_survival(
@@ -87,12 +93,11 @@ def predict_survival(
     arrays; an unknown house falls back to the encoder's first class."""
     if house not in sm.houses:
         house = sm.houses[0]  # app.py:170 'Gryffindor' fallback analog
-    spark = sm.model.stages[0].sparkSession if hasattr(
-        sm.model.stages[0], "sparkSession"
-    ) else None
     from pyspark.sql import SparkSession
 
-    spark = spark or SparkSession.getActiveSession()
+    # train-time capture first: getActiveSession() is thread-local and
+    # None on serving threads that never created a session
+    spark = sm.spark or SparkSession.getActiveSession()
     row = spark.createDataFrame(
         [(float(len(friends)), float(len(enemies)), float(len(family)), house)],
         "friends_count double, enemy_count double, fam_count double, house string",

@@ -70,12 +70,21 @@ def pricing_summary_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed; the final divide emits the same DOUBLE the decimal twin does,
     so the DuckDB oracle checks it exactly (same integer math both sides).
 
-    Scale bound: the 10⁻⁶-dollar charge term is ~5×10¹⁰ per row, so a
-    BIGINT per-group sum holds to ~1.8×10⁸ rows per (returnflag,
-    linestatus) group — beyond that (sf ≳ 300 per group), sum the long
-    through decimal(38,0) (still ~10× cheaper than the decimal-multiply
-    kernel) or pre-aggregate per partition. ANSI mode makes overflow an
-    error, not silent wrap.
+    Scale bounds (two, distinct):
+    - BIGINT overflow: the 10⁻⁶-dollar charge term is ~5×10¹⁰ per row,
+      so a per-group sum holds to ~1.8×10⁸ rows per (returnflag,
+      linestatus) group — beyond that (sf ≳ 300 per group), sum the long
+      through decimal(38,0) (still ~10× cheaper than the decimal-multiply
+      kernel) or pre-aggregate per partition. ANSI mode makes overflow an
+      error, not silent wrap.
+    - Bit-exactness vs the decimal twin: the emitted DOUBLE is identical
+      only while the scaled integer group sum stays under 2⁵³ (~1.8×10⁵
+      rows/group for the charge term): past that, long→double conversion
+      before the divide double-rounds and can differ from the decimal
+      cast by 1 ulp. The DuckDB ORACLE comparison stays exact at any
+      size (DuckDB runs the same integer math); only the prod-vs-decimal
+      TWIN equality (test_money_prod_twins_match_decimal_twins) is
+      scoped to sums < 2⁵³ — compare with 1-ulp tolerance beyond.
     """
     li = load_table(spark, "lineitem", sf_dir)
     price_c = _cents(F.col("l_extendedprice"))

@@ -438,6 +438,14 @@ def test_money_prod_twins_match_decimal_twins(spark):
     # oracle-exact decimal path to the last bit: both recover the exact
     # 2-decimal grid values, accumulate exactly, and emit the same
     # correctly-rounded DOUBLE.
+    #
+    # Claim scope: exact equality holds while each scaled integer group
+    # sum stays under 2^53 (~1.8e5 rows/group for the 1e-6-dollar charge
+    # term; sf0.001/sf0.01 are far inside). Beyond that, long->double
+    # before the divide double-rounds and the twins can differ by 1 ulp
+    # even though each side's DuckDB oracle comparison stays exact — at
+    # larger SFs compare with 1-ulp tolerance instead (see
+    # pricing_summary_prod docstring).
     for prod, oracle in [
         (rel.pricing_summary_prod, rel.pricing_summary),
         (rel.nation_revenue_prod, rel.nation_revenue),
