@@ -301,6 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap_daily": rel.events_twap_daily,
         "orders_quality_checks": _orders_quality,
         "doc_token_heavy_hitters": _token_heavy_hitters,  # rows-only (MG sketch)
+        # exact-audit oracle twins of the two sketch queries (VERDICT r03
+        # item 8): the guarantee booleans are partitioning-independent,
+        # so these carry full oracle rows — window candidates for r5
+        "doc_token_heavy_hitters_audit": _token_heavy_hitters_audit,
+        "events_approx_users_audit": curation.approx_users_audit,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
@@ -576,6 +581,54 @@ def _token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     return misra_gries_topk(toks, "tok", k=15, capacity=256)
+
+
+def _token_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable audit twin of ``doc_token_heavy_hitters``: the
+    Misra-Gries counter VALUES depend on partitioning (rows-only by
+    construction), but the sketch's guarantees do not — every token
+    whose true count exceeds n/(capacity+1) is present in the merged
+    counter set with est ≤ true ≤ est + n//(capacity+1) under ANY
+    partitioning (per-partition decrement rounds each remove capacity+1
+    occurrences, and Σ floor(nₚ/(c+1)) ≤ floor(n/(c+1))). The query
+    emits the exact-side guaranteed set plus the two guarantee booleans,
+    which the DuckDB oracle pins to TRUE — so the driver hash verifies
+    the exact counts for real and fails loudly if the sketch ever drops
+    or misbounds a guaranteed heavy hitter. Uses k=None (all merged
+    counters): a top-k cut could drop a guaranteed item whose est ranks
+    low, and which one depends on partitioning."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.sketch import misra_gries_topk
+    from neo4j_database_spark.pipeline.text import _tokens
+    from pyspark.sql import functions as F
+
+    cap = 256
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    sketch = misra_gries_topk(toks, "tok", k=None, capacity=cap)
+    exact = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    total = exact.agg(F.sum("exact_cnt").alias("n"))
+    guaranteed = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_cnt") * (cap + 1) > F.col("n")
+    )
+    return (
+        guaranteed.join(sketch, guaranteed.token == sketch.item, "left")
+        .select(
+            "token",
+            "exact_cnt",
+            F.col("item").isNotNull().alias("in_sketch"),
+            (
+                (F.col("est_count") <= F.col("exact_cnt"))
+                & (
+                    F.col("exact_cnt") - F.col("est_count")
+                    <= F.col("max_underestimate")
+                )
+            ).alias("bounds_ok"),
+        )
+        .orderBy("token")
+    )
 
 
 def _orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2465,6 +2518,29 @@ FROM region
 LEFT JOIN nation ON r_regionkey = n_regionkey
 LEFT JOIN customer ON n_nationkey = c_nationkey
 GROUP BY r_name ORDER BY region
+""",
+        # MG-sketch exact-audit: the guaranteed-heavy-hitter set is pure
+        # exact math; the guarantee booleans are pinned TRUE (the Spark
+        # side computes them from the real sketch — a sketch bug fails
+        # the hash). 257 = capacity + 1 (capacity 256 in the query).
+        "doc_token_heavy_hitters_audit": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(exact_cnt) AS n FROM cnt)
+SELECT c.token, c.exact_cnt, TRUE AS in_sketch, TRUE AS bounds_ok
+FROM cnt c, tot
+WHERE c.exact_cnt * 257 > tot.n
+ORDER BY c.token
+""",
+        # HLL exact-audit: exact distinct users for real; the 5% accuracy
+        # band of the rsd-2% estimate pinned TRUE.
+        "events_approx_users_audit": """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         # -- documents: extended fingerprints --
         "doc_simhash": _simhash_sql(),

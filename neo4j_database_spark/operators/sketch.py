@@ -51,7 +51,7 @@ def _mg_summary(values, capacity: int) -> dict[str, int]:
 
 
 def misra_gries_topk(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+    df: DataFrame, col: str, k: int | None = 20, capacity: int = 256
 ) -> DataFrame:
     """Approximate top-k heavy hitters of ``col``:
     (item, est_count, n_total, max_underestimate).
@@ -91,12 +91,18 @@ def misra_gries_topk(
     # n for the error bound comes from an exact count — cheap (scan
     # count, no shuffle) and the caller usually has it already
     n_total = df.count()
-    merged = (
-        partials.groupBy("item")
-        .agg(F.sum("cnt").alias("est_count"))
-        .orderBy(F.desc("est_count"), F.asc("item"))
-        .limit(k)
-    )
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    if k is not None:
+        # k=None keeps every merged counter — needed by the exact-audit
+        # oracle query: the MG guarantee (any item with true count >
+        # n/(capacity+1) is present, with true − est ≤ n//(capacity+1))
+        # holds for the merged counter SET under any partitioning, but a
+        # top-k cut can drop a guaranteed item whose est ranks below
+        # higher-est mid-frequency items, and which items those are
+        # depends on the partitioning.
+        merged = merged.orderBy(
+            F.desc("est_count"), F.asc("item")
+        ).limit(k)
     return merged.select(
         "item",
         "est_count",

@@ -305,6 +305,34 @@ def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable audit twin of :func:`approx_user_counts`: the
+    sketch ESTIMATE is engine-specific (rows-only by construction), but
+    the estimate's accuracy contract is not — this query emits the exact
+    distinct count plus a ``within_5pct`` boolean the DuckDB oracle pins
+    to TRUE, so the driver hash verifies both the exact side and that
+    Spark's HLL++ estimate (rsd 2%) stayed inside the audit band. A
+    drifting sketch implementation fails the row instead of hiding
+    behind a rows-only check."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def decontaminate_fuzzy(
     spark: SparkSession, sf_dir: str, eval_mod: int = 25
 ) -> DataFrame:
