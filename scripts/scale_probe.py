@@ -40,9 +40,11 @@ def replicate(df, n, key_cols, shift):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # the 16x graph cells hold a ~5 GB co-partitioned edge checkpoint
-    # plus superstep shuffle state; the 48g default spills (and once
-    # OOMed) under co-tenant pressure — claim more heap up front
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
+    # plus superstep shuffle state (the 64x cell ~4x that; checkpoints
+    # are MEMORY_AND_DISK so overflow spills rather than OOMs); the 48g
+    # default spilled (and once OOMed) under co-tenant pressure — claim
+    # more heap up front
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "100g")
     spark = get_spark("scale-probe")
     base = "/tmp/scale_probe"
     li = load_table(spark, "lineitem", sf_dir)
@@ -171,6 +173,50 @@ def main():
             results.setdefault(name, {})[mult] = round(best, 2)
             print(f"x{mult} {name} {best:.2f}s", flush=True)
 
+    # One 64x LSH cell (VERDICT r03 item 6): documents only — the other
+    # relational shapes are already pinned linear by 16x, but the LSH
+    # band join's pair fan-out is the one place a knee could hide.
+    d64 = os.path.join(base, "x64_docs")
+    if not os.path.exists(os.path.join(d64, "_done")):
+        dparts = []
+        for i in range(64):
+            dparts.append(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+                ).withColumn(
+                    "text",
+                    F.regexp_replace("text", " ", f" c{i} ")
+                    if i else F.col("text"),
+                )
+            )
+        dout = dparts[0]
+        for p in dparts[1:]:
+            dout = dout.unionByName(p)
+        dout.write.mode("overwrite").parquet(os.path.join(d64, "documents"))
+        open(os.path.join(d64, "_done"), "w").write("ok")
+    D64 = spark.read.parquet(os.path.join(d64, "documents"))
+
+    def lsh64():
+        from neo4j_database_spark.pipeline.dedup import band_keys
+
+        ex = band_keys(D64, hash_fn="xxhash64")
+        a = ex.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+        b = ex.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+        return (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+        )
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lsh64().write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    results["minhash_lsh_pairs"][64] = round(best, 2)
+    print(f"x64 minhash_lsh_pairs {best:.2f}s", flush=True)
+
     # Iterative graph supersteps in FORCED co-partitioned (large) mode —
     # broadcast_node_limit=0 disables the small-graph broadcast path, so
     # this measures the plan a billion-node deployment would run: the
@@ -184,7 +230,7 @@ def main():
     from neo4j_database_spark.graph.store import load_graph
 
     g0 = load_graph(spark, sf_dir)
-    for mult in (1, 4, 16):
+    for mult in (1, 4, 16, 64):
         shift = 100_000_000
         # materialize replicas to parquet (like the relational tables):
         # keeping 16x union lineage behind per-superstep localCheckpoints
@@ -246,13 +292,19 @@ def main():
             "and edges hash-partitioned on the join key once, "
             "shuffle-hash (sort-free) superstep joins. The 1x cell is "
             "dominated by fixed per-superstep stage overhead, so the "
-            "marginal cost per added replica is the scaling signal.\n\n"
-            "| query | 1x | 4x | 16x | 16x/1x |\n|---|---|---|---|---|\n"
+            "marginal cost per added replica is the scaling signal. "
+            "64x cells (graph large-mode + LSH, r04) pin the claim one "
+            "more doubling out — at 64x the replicated graph carries "
+            "~0.96M nodes / ~770M directed edge rows.\n\n"
+            "| query | 1x | 4x | 16x | 64x | 64x/16x |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for name, row in results.items():
+            c64 = row.get(64, "")
+            ratio = round(row[64] / row[16], 1) if 64 in row else ""
             f.write(
-                f"| {name} | {row[1]} | {row[4]} | {row[16]} | "
-                f"{round(row[16] / row[1], 1)} |\n"
+                f"| {name} | {row[1]} | {row[4]} | {row[16]} | {c64} | "
+                f"{ratio} |\n"
             )
     print("wrote SCALE_PROBE.md")
 
