@@ -168,14 +168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pinned programmatically: tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
-        # Round-4 rotation plan: promote the next never-driver-checked
-        # oracle-backed entries (returned_item_losses, part_supplier_counts,
-        # pricing_summary_prod, nation_revenue_prod, disjunctive_part_revenue,
-        # idle_rich_customers, cheapest_supplier_per_part, promo_revenue_share,
-        # top_supplier_revenue, important_parts, promo_part_suppliers,
-        # forecast_revenue_change) by demoting r03-green entries whose family
-        # keeps a representative (update DRIVER_WINDOW in the test in the
-        # same commit).
+        # Round-5 rotation plan: promote the next never-driver-checked
+        # oracle-backed entries — doc_token_heavy_hitters_audit,
+        # events_approx_users_audit (the new sketch-guarantee audits),
+        # customer_merge, user_state_scd2, events_ohlc_daily,
+        # customer_hierarchy_rollup, monthly_revenue_growth,
+        # customer_order_distribution, late_sole_suppliers,
+        # doc_lm_coverage, orders_incremental_rollup, events_twap_daily —
+        # by demoting r04-green entries whose family keeps a
+        # representative (update DRIVER_WINDOW in the test in the same
+        # commit).
         # Round-3 demotions (each family keeps an in-window
         # representative; all were driver-green in r01/r02 with code
         # unchanged, or rows-only):

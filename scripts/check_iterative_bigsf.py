@@ -65,8 +65,11 @@ def oracle_pagerank(con, max_iter: int = 10, damping: float = 0.85):
     """Per-round materialized twin of _pagerank_sql: same nano-quantized
     contribution sum per round; the teleport+dangling scalar recurrence
     runs in PYTHON doubles with the engine's exact operation order
-    (algorithms.py::pagerank) and is inlined per round as a repr literal
-    (17 significant digits round-trip the IEEE64 value exactly)."""
+    (algorithms.py::pagerank) and binds per round as a prepared
+    PARAMETER — never a text literal: DuckDB parses decimal literals
+    whose unscaled digits exceed 2^53 through an inexact int64→double
+    conversion (see oracle_hits), while a bound Python float crosses
+    exactly."""
     d = f"CAST({damping!r} AS DOUBLE)"
     con.execute(
         "CREATE TEMP TABLE pr_deg AS "
@@ -77,16 +80,16 @@ def oracle_pagerank(con, max_iter: int = 10, damping: float = 0.85):
     n_dang = n - n_deg
     dangling_mass = n_dang / n
     con.execute(
-        f"CREATE TEMP TABLE pr_r AS "
-        f"SELECT id, CAST({1.0 / n!r} AS DOUBLE) AS rank FROM t_persons"
+        "CREATE TEMP TABLE pr_r AS "
+        "SELECT id, ? AS rank FROM t_persons",
+        [1.0 / n],
     )
     for _ in range(max_iter):
         tpd = (1.0 - damping) / n + damping * dangling_mass / n
         con.execute(
             f"""CREATE TEMP TABLE pr_next AS
 SELECT p.id,
-       CAST({tpd!r} AS DOUBLE)
-       + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+       ? + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
 FROM t_persons p
 LEFT JOIN (
   SELECT e.dst AS id,
@@ -96,7 +99,8 @@ LEFT JOIN (
   JOIN pr_r r ON e.src = r.id
   JOIN pr_deg dg ON dg.src = e.src
   GROUP BY e.dst
-) i ON i.id = p.id"""
+) i ON i.id = p.id""",
+            [tpd],
         )
         _swap_in(con, "pr_r", "pr_next")
         dangling_mass = n_dang * tpd
@@ -118,18 +122,22 @@ def oracle_connected_components(con):
 
 def oracle_hits(con, max_iter: int = 5):
     """Per-round materialized twin of _hits_sql: nano-quantized
-    contribution and squared-norm sums; the L2 norm scalar is fetched
-    per half-step and inlined as a repr literal (the same IEEE divide
-    the unrolled CTE performs)."""
-    for k in range(1, max_iter + 1):
-        prev_hub = "ht_h" if k > 1 else None
-        if prev_hub is None:
-            n = con.execute("SELECT COUNT(*) FROM t_persons").fetchone()[0]
-            con.execute(
-                f"CREATE TEMP TABLE ht_h AS SELECT id, "
-                f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS hub "
-                f"FROM t_persons"
-            )
+    contribution and squared-norm sums; the L2 norm stays INSIDE SQL
+    as a 1-row cross join exactly like the unrolled CTE. (A first cut
+    fetched the norm to Python and inlined it via repr — DuckDB parses
+    a 16-digit decimal literal whose unscaled value exceeds 2^53
+    through an inexact int64→double conversion, which double-rounded
+    nrm=928.6399908161095 one ulp off at sf0.1 and flipped ~14k output
+    cells by 1 ulp. Scalars that must ROUND-TRIP through Python bind
+    as prepared parameters instead — never as text literals.)"""
+    n = con.execute("SELECT COUNT(*) FROM t_persons").fetchone()[0]
+    con.execute("DROP TABLE IF EXISTS ht_h")
+    con.execute("DROP TABLE IF EXISTS ht_a")
+    con.execute(
+        f"CREATE TEMP TABLE ht_h AS SELECT id, "
+        f"CAST(1 AS DOUBLE) / CAST({n} AS DOUBLE) AS hub FROM t_persons"
+    )
+    for _ in range(max_iter):
         con.execute(
             f"""CREATE TEMP TABLE ht_ar AS
 SELECT p.id, COALESCE(i.raw, CAST(0 AS DOUBLE)) AS raw
@@ -139,13 +147,11 @@ FROM t_persons p LEFT JOIN (
   FROM t_edges e JOIN ht_h h ON e.src = h.id GROUP BY e.dst
 ) i ON i.id = p.id"""
         )
-        nrm = con.execute(
-            f"SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {NANO}) "
-            f"AS BIGINT)) AS DOUBLE) / {NANO}) FROM ht_ar"
-        ).fetchone()[0]
         con.execute(
-            f"CREATE TEMP TABLE ht_a_next AS SELECT id, "
-            f"raw / CAST({nrm!r} AS DOUBLE) AS auth FROM ht_ar"
+            f"CREATE TEMP TABLE ht_a_next AS "
+            f"SELECT id, raw / nrm AS auth FROM ht_ar, ("
+            f"SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {NANO}) "
+            f"AS BIGINT)) AS DOUBLE) / {NANO}) AS nrm FROM ht_ar)"
         )
         con.execute("DROP TABLE ht_ar")
         _swap_in(con, "ht_a", "ht_a_next")
@@ -158,13 +164,11 @@ FROM t_persons p LEFT JOIN (
   FROM t_edges e JOIN ht_a a ON e.dst = a.id GROUP BY e.src
 ) i ON i.id = p.id"""
         )
-        nrm = con.execute(
-            f"SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {NANO}) "
-            f"AS BIGINT)) AS DOUBLE) / {NANO}) FROM ht_hr"
-        ).fetchone()[0]
         con.execute(
-            f"CREATE TEMP TABLE ht_h_next AS SELECT id, "
-            f"raw / CAST({nrm!r} AS DOUBLE) AS hub FROM ht_hr"
+            f"CREATE TEMP TABLE ht_h_next AS "
+            f"SELECT id, raw / nrm AS hub FROM ht_hr, ("
+            f"SELECT sqrt(CAST(SUM(CAST(round((raw * raw) * {NANO}) "
+            f"AS BIGINT)) AS DOUBLE) / {NANO}) AS nrm FROM ht_hr)"
         )
         con.execute("DROP TABLE ht_hr")
         _swap_in(con, "ht_h", "ht_h_next")
