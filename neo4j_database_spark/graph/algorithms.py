@@ -71,8 +71,23 @@ def _copartition(df: DataFrame, key: str) -> DataFrame:
     algorithm). The toggle only covers the materialization; supersteps
     still run with AQE on.
     """
+    import os
+
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # SPARK_GRAFT_CKPT_STORAGE selects the checkpoint storage level for
+    # the big static frames (e.g. DISK_ONLY). Default MEMORY_AND_DISK is
+    # right on a real cluster, where the edge table spreads across
+    # executors; on local[32] one JVM holds the WHOLE graph, and a
+    # replicated-scale probe's ~770M-row edge checkpoint overruns any
+    # heap while it materializes — disk-backed blocks are the honest
+    # single-box stand-in for distributed memory.
+    level_name = os.environ.get("SPARK_GRAFT_CKPT_STORAGE")
+    level = None
+    if level_name:
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, level_name)
     # the save/toggle/restore must be atomic: the conf is session-global,
     # so two concurrent _copartition calls could interleave such that one
     # restores the other's temporary 'false' and leaves AQE off for the
@@ -82,7 +97,9 @@ def _copartition(df: DataFrame, key: str) -> DataFrame:
         aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return df.repartition(n, key).localCheckpoint()
+            return df.repartition(n, key).localCheckpoint(
+                eager=True, storageLevel=level
+            )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
 

@@ -44,7 +44,7 @@ def main():
     # are MEMORY_AND_DISK so overflow spills rather than OOMs); the 48g
     # default spilled (and once OOMed) under co-tenant pressure — claim
     # more heap up front
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "100g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "110g")
     spark = get_spark("scale-probe")
     base = "/tmp/scale_probe"
     li = load_table(spark, "lineitem", sf_dir)
@@ -247,6 +247,18 @@ def main():
         persons = spark.read.parquet(os.path.join(d, "persons"))
         edges = spark.read.parquet(os.path.join(d, "edges"))
         gm = GraphModel(persons=persons, houses=g0.houses, edges=edges)
+        # the 64x cell's ~770M-row co-partitioned edge checkpoint OOMed
+        # at 32 shuffle partitions (24M rows/partition of in-flight
+        # build + checkpoint blocks); more, smaller partitions keep
+        # per-task execution memory bounded — exactly what a real
+        # cluster does by sizing shuffle partitions to the data
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        if mult >= 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "256")
+            # one local JVM cannot hold a 770M-row edge checkpoint in
+            # heap (a cluster spreads it across executors) — disk-backed
+            # checkpoint blocks for this cell only
+            os.environ["SPARK_GRAFT_CKPT_STORAGE"] = "DISK_ONLY"
         for name, fn in (
             ("pagerank_large_mode",
              lambda: pagerank(gm, broadcast_node_limit=0)),
@@ -260,6 +272,8 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[mult] = round(best, 2)
             print(f"x{mult} {name} {best:.2f}s", flush=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        os.environ.pop("SPARK_GRAFT_CKPT_STORAGE", None)
         # release this mult's superstep checkpoints before the next one —
         # deterministically: drop the Python refs, then unpersist every
         # block still registered with the BlockManager (ContextCleaner is
