@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so these carry full oracle rows — window candidates for r5
         "doc_token_heavy_hitters_audit": _token_heavy_hitters_audit,
         "events_approx_users_audit": curation.approx_users_audit,
+        # mergeable quantile summary (MRL-style, worst-case n/b rank
+        # bound) — same audit pattern: exact discrete quantiles for real,
+        # guarantee boolean pinned TRUE by the oracle
+        "events_value_quantiles_audit": curation.value_quantiles_audit,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
@@ -2543,6 +2547,27 @@ ORDER BY c.token
 SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
   TRUE AS within_5pct
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # Quantile-summary exact-audit: exact discrete quantiles (smallest
+        # value whose cumulative count reaches ceil(q·n)) for real; the
+        # sketch's worst-case n/b rank bound pinned TRUE (the Spark side
+        # computes it from the real summary — a sketch bug fails the hash).
+        "events_value_quantiles_audit": """
+WITH t AS (SELECT value FROM events WHERE value IS NOT NULL),
+tot AS (SELECT COUNT(*) AS n FROM t),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) v(q)
+),
+dist AS (
+  SELECT value, SUM(c) OVER (ORDER BY value) AS cum
+  FROM (SELECT value, COUNT(*) AS c FROM t GROUP BY value)
+)
+SELECT qs.q, tot.n,
+  (SELECT MIN(value) FROM dist
+   WHERE cum >= CAST(ceil(qs.q * tot.n) AS BIGINT)) AS exact_q,
+  TRUE AS within_bound
+FROM qs, tot ORDER BY qs.q
 """,
         # -- documents: extended fingerprints --
         "doc_simhash": _simhash_sql(),

@@ -111,6 +111,109 @@ def misra_gries_topk(
     )
 
 
+_Q_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.DoubleType()),
+        T.StructField("weight", T.LongType()),
+    ]
+)
+
+
+def quantile_summary(
+    df: DataFrame, col: str, b: int = 1024
+) -> DataFrame:
+    """Mergeable ε-approximate quantile summary (MRL-style, deterministic):
+    per-partition evenly spaced order statistics with their gap weights.
+
+    Each partition of n_p rows sorts its values and emits one point per
+    ``step = max(1, n_p // b)`` items: (value, weight) where weight is
+    the number of partition rows in the half-open value-gap the point
+    closes. Weights per partition sum to exactly n_p, so the union of
+    partials is a weighted sample whose cumulative-weight rank function
+    est_rank(v) deviates from the true rank by at most
+    Σ_p (step_p − 1) ≤ n/b — a worst-case (not probabilistic) bound
+    that holds under ANY partitioning and survives merging by plain
+    union (no counter interaction, unlike MG). Partitions with
+    n_p ≤ b emit every distinct-position value (step 1, zero error).
+
+    Summary size ≤ 2·b points per partition — bounded like every other
+    sketch here, so a 100 TB scan shuffles O(b · partitions) rows, and
+    downstream quantile extraction is a window over a tiny frame.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = [
+            pdf[col].dropna().to_numpy(dtype="float64") for pdf in batches
+        ]
+        vals = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype="float64")
+        )
+        n_p = len(vals)
+        if n_p == 0:
+            yield pd.DataFrame({"value": [], "weight": []})
+            return
+        step = max(1, n_p // b)
+        # emit ranks step-1, 2*step-1, ... and always the last item, so
+        # every gap between consecutive emitted ranks is ≤ step
+        idx = list(range(step - 1, n_p, step))
+        if idx[-1] != n_p - 1:
+            idx.append(n_p - 1)
+        prev = -1
+        out_v, out_w = [], []
+        for i in idx:
+            out_v.append(float(vals[i]))
+            out_w.append(i - prev)
+            prev = i
+        yield pd.DataFrame({"value": out_v, "weight": out_w})
+
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        summarize, schema=_Q_PARTIAL_SCHEMA
+    )
+
+
+def quantile_estimates(
+    summary: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Extract quantile estimates from a ``quantile_summary`` frame:
+    (q, est_value) — est_value is the smallest summary point whose
+    cumulative weight reaches ceil(q·n). Its true rank is within n/b of
+    the target (the summary's worst-case bound), making the estimate an
+    ε=1/b rank-accurate quantile.
+
+    The summary is bounded-size (O(b · partitions)), so the cumulative
+    window runs in one task on a coalesced frame — no full-data sort
+    anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        summary.groupBy("value")
+        .agg(F.sum("weight").alias("weight"))
+        .select("value", F.sum("weight").over(w).alias("cum"))
+    )
+    total = cum.agg(F.max("cum").alias("n"))
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    targets = qdf.crossJoin(F.broadcast(total)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target")
+    )
+    return (
+        F.broadcast(targets)
+        .join(cum, cum.cum >= targets.target)
+        .groupBy("q")
+        .agg(F.min("value").alias("est_value"))
+        .orderBy("q")
+    )
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, d: int = 4, w: int = 1024
 ) -> DataFrame:

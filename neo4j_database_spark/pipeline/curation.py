@@ -333,6 +333,91 @@ def approx_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantiles_audit(
+    spark: SparkSession, sf_dir: str, b: int = 1024
+) -> DataFrame:
+    """Oracle-checkable audit of the mergeable quantile summary
+    (operators/sketch.py::quantile_summary): the summary's POINTS depend
+    on partitioning (rows-only by construction), but its rank-error
+    guarantee does not — any estimate it returns for quantile q has true
+    rank within n/b of ceil(q·n) under ANY partitioning (worst-case
+    bound, not probabilistic). The query runs the real sketch over
+    ``events.value``, then checks each estimate's exact rank interval
+    against the bound and emits (q, n, exact_q, within_bound) — exact_q
+    is the true discrete quantile (pure exact math, identical in DuckDB)
+    and within_bound is pinned TRUE by the oracle, so a sketch bug fails
+    the driver hash instead of hiding behind a rows-only check.
+
+    The exact side needs global ranks — a cumulative window over the
+    value distribution — which is audit-only cost: production callers
+    use quantile_estimates alone (bounded summary, no full-data sort).
+    """
+    from pyspark.sql import Window
+
+    from neo4j_database_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = load_table(spark, "events", sf_dir).select("value").filter(
+        F.col("value").isNotNull()
+    )
+    est = quantile_estimates(quantile_summary(vals, "value", b=b), qs)
+
+    # exact value distribution with cumulative counts: rank interval of
+    # any value v is (cum_below(v), cum(v)]
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dist = (
+        vals.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("value", F.sum("c").over(w).alias("cum"))
+    )
+    total = dist.agg(F.max("cum").alias("n"))
+    targets = est.crossJoin(F.broadcast(total)).select(
+        "q",
+        "est_value",
+        "n",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
+    )
+    # exact_q: smallest value whose cumulative count reaches the target
+    exact_q = (
+        F.broadcast(targets.select("q", "target", "n"))
+        .join(dist, dist.cum >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("value").alias("exact_q"))
+    )
+    # rank interval of the sketch estimate
+    est_rank = (
+        F.broadcast(targets)
+        .join(dist, dist.value == targets.est_value)
+        .select("q", "n", "target", F.col("cum").alias("rank_hi"))
+    )
+    rank_lo = (
+        F.broadcast(targets)
+        .join(dist, dist.value < targets.est_value, "left")
+        .groupBy("q")
+        .agg(F.max(F.coalesce(F.col("cum"), F.lit(0))).alias("rank_lo"))
+    )
+    err = F.floor(F.col("n") / F.lit(b))
+    return (
+        est_rank.join(rank_lo, "q")
+        .join(exact_q, "q")
+        .select(
+            "q",
+            "n",
+            "exact_q",
+            (
+                (F.col("rank_lo") + 1 <= F.col("target") + err)
+                & (F.col("rank_hi") >= F.col("target") - err)
+            ).alias("within_bound"),
+        )
+        .orderBy("q")
+    )
+
+
 def decontaminate_fuzzy(
     spark: SparkSession, sf_dir: str, eval_mod: int = 25
 ) -> DataFrame:

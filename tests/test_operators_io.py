@@ -313,6 +313,66 @@ def test_count_min_never_undercounts_and_merges(spark):
     )
 
 
+def test_quantile_summary_rank_bound_any_partitioning(spark):
+    """The MRL-style summary's worst-case guarantee: for every quantile
+    q, the estimate's true rank is within n/b of ceil(q·n) — under ANY
+    partitioning — and the per-partition summary stays bounded."""
+    from neo4j_database_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    # skewed data: x^3 over a half-range, heavy ties at 0
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0.0))
+        .otherwise((F.col("id") % 100) ** 3 / 7.0)
+        .alias("v")
+    )
+    n = df.count()
+    vals = sorted(r.v for r in df.collect())
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    b = 64
+    for parts in (1, 7, 32):
+        summ = quantile_summary(df.repartition(parts), "v", b=b)
+        # bounded partial size: ≤ 2b points per partition
+        assert summ.count() <= 2 * b * parts
+        est = {r.q: r.est_value for r in
+               quantile_estimates(summ, qs).collect()}
+        import math
+
+        for q in qs:
+            target = math.ceil(q * n)
+            v = est[q]
+            rank_lo = sum(1 for x in vals if x < v) + 1
+            rank_hi = sum(1 for x in vals if x <= v)
+            err = n // b
+            assert rank_lo <= target + err and rank_hi >= target - err, (
+                q, parts, v, rank_lo, rank_hi, target, err)
+
+
+def test_quantile_summary_exact_when_small_partitions(spark):
+    """Partitions with n_p ≤ b emit every point — the estimate equals
+    the exact discrete quantile."""
+    import math
+
+    from neo4j_database_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    df = spark.range(0, 500).select((F.col("id") * 1.5).alias("v"))
+    qs = [0.1, 0.5, 0.95]
+    est = {
+        r.q: r.est_value
+        for r in quantile_estimates(
+            quantile_summary(df.repartition(4), "v", b=1024), qs
+        ).collect()
+    }
+    vals = sorted(r.v for r in df.collect())
+    for q in qs:
+        assert est[q] == vals[math.ceil(q * 500) - 1]
+
+
 def test_ivm_merge_equals_recompute_random_batches(spark):
     """Mergeable-state maintenance across arbitrary batch splits equals
     the one-shot aggregate, including retraction (negative) deltas for
