@@ -170,7 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
         # Round-5 rotation plan: promote the next never-driver-checked
         # oracle-backed entries — doc_token_heavy_hitters_audit,
-        # events_approx_users_audit (the new sketch-guarantee audits),
+        # events_approx_users_audit, events_value_quantiles_audit,
+        # doc_len_quantiles_audit (the sketch-guarantee audits),
         # customer_merge, user_state_scd2, events_ohlc_daily,
         # customer_hierarchy_rollup, monthly_revenue_growth,
         # customer_order_distribution, late_sole_suppliers,
@@ -312,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bound) — same audit pattern: exact discrete quantiles for real,
         # guarantee boolean pinned TRUE by the oracle
         "events_value_quantiles_audit": curation.value_quantiles_audit,
+        "doc_len_quantiles_audit": curation.doc_len_quantiles_audit,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
@@ -2568,6 +2570,30 @@ SELECT qs.q, tot.n,
    WHERE cum >= CAST(ceil(qs.q * tot.n) AS BIGINT)) AS exact_q,
   TRUE AS within_bound
 FROM qs, tot ORDER BY qs.q
+""",
+        # Grouped-quantile exact-audit (per-lang document lengths): same
+        # contract per group; worst-case bound is n_g/b per group.
+        "doc_len_quantiles_audit": """
+WITH t AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS value
+  FROM documents WHERE n_chars IS NOT NULL
+),
+tot AS (SELECT lang, COUNT(*) AS n FROM t GROUP BY lang),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES (0.1),(0.5),(0.9)) v(q)
+),
+dist AS (
+  SELECT lang, value,
+         SUM(c) OVER (PARTITION BY lang ORDER BY value) AS cum
+  FROM (SELECT lang, value, COUNT(*) AS c FROM t GROUP BY lang, value)
+)
+SELECT tot.lang, qs.q, tot.n,
+  (SELECT MIN(value) FROM dist
+   WHERE dist.lang = tot.lang
+     AND cum >= CAST(ceil(qs.q * tot.n) AS BIGINT)) AS exact_q,
+  TRUE AS within_bound
+FROM tot, qs ORDER BY lang, q
 """,
         # -- documents: extended fingerprints --
         "doc_simhash": _simhash_sql(),

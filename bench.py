@@ -63,14 +63,14 @@ def main() -> None:
 
     # ETL phase: always rebuild the graph store so the build cost (the
     # reference's get_insert.py job) is measured honestly every run —
-    # best-of-2 like every other line (the first build after JVM start
+    # best-of-3 like every other line (the first build after JVM start
     # pays ~9 s of one-time codegen/classloading warmup that belongs to
     # session startup, not the operator; a warm rebuild is ~4 s at sf0.1).
     from neo4j_database_spark.graph import store
 
     out_dir = store._store_dir(sf_dir)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         store.build_store(spark, sf_dir, out_dir)
         best = min(best, time.perf_counter() - t0)
@@ -78,18 +78,17 @@ def main() -> None:
         f.write(sf_dir)
     timings["graph_etl_build"] = round(best, 3)
 
-    # best-of-2: the box shares resources, so single-shot timings carry
-    # multi-second co-tenant noise; the min reflects the steady-state
-    # plan. Timing brackets plan construction too — iterative algorithms
-    # (CC/PageRank) execute supersteps eagerly at construction. The
-    # iterative entries get best-of-3: their 10-superstep runs span long
-    # enough that best-of-2 still carried ±25% co-tenant noise across
-    # rounds (r3 verdict: bench said 11.5 s where a judge warm re-measure
-    # said 7.9 s).
-    ITERATIVE = {"g_pagerank", "g_pagerank_prod", "g_connected_components"}
+    # best-of-3: the box shares resources and can start cold (fresh page
+    # cache after a reboot), so single-shot timings carry multi-second
+    # noise and best-of-2 can still have BOTH runs partially cold — an
+    # idle-box remeasure after one r04 bench run showed g_rule_edge_counts
+    # at 0.65 s steady-state where best-of-2 had printed 3.7 s. The min
+    # of three reflects the steady-state plan. Timing brackets plan
+    # construction too — iterative algorithms (CC/PageRank) execute
+    # supersteps eagerly at construction.
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3 if name in ITERATIVE else 2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

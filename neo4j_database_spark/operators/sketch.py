@@ -214,6 +214,121 @@ def quantile_estimates(
     )
 
 
+def grouped_quantile_summary(
+    df: DataFrame, group_cols: list[str], col: str, b: int = 256
+) -> DataFrame:
+    """Per-group :func:`quantile_summary`: one bounded weighted sample
+    per (partition, group). The n_g/b worst-case rank bound holds PER
+    GROUP under any partitioning — each partition compresses each
+    group's local run independently, and group partials merge by union
+    exactly like the global summary.
+
+    Output: group columns (original types) + (value, weight). Size
+    ≤ 2·b points per group per partition; distribution profiling of a
+    100 TB corpus by (source, lang) shuffles only these partials."""
+    gtypes = [df.schema[c] for c in group_cols]
+    out_schema = T.StructType(
+        [*gtypes,
+         T.StructField("value", T.DoubleType()),
+         T.StructField("weight", T.LongType())]
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = list(batches)
+        if not chunks:
+            yield pd.DataFrame(
+                {**{c: [] for c in group_cols}, "value": [], "weight": []}
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            yield pd.DataFrame(
+                {**{c: [] for c in group_cols}, "value": [], "weight": []}
+            )
+            return
+        outs = []
+        for key, grp in pdf.dropna(subset=[col]).groupby(
+            group_cols, dropna=False, sort=False
+        ):
+            vals = np.sort(grp[col].to_numpy(dtype="float64"))
+            n_p = len(vals)
+            if n_p == 0:
+                continue
+            step = max(1, n_p // b)
+            idx = list(range(step - 1, n_p, step))
+            if idx[-1] != n_p - 1:
+                idx.append(n_p - 1)
+            prev = -1
+            out_v, out_w = [], []
+            for i in idx:
+                out_v.append(float(vals[i]))
+                out_w.append(i - prev)
+                prev = i
+            kvals = key if isinstance(key, tuple) else (key,)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        **{
+                            c: [kv] * len(out_v)
+                            for c, kv in zip(group_cols, kvals)
+                        },
+                        "value": out_v,
+                        "weight": out_w,
+                    }
+                )
+            )
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {**{c: [] for c in group_cols}, "value": [], "weight": []}
+            )
+        )
+
+    return df.select(
+        *group_cols, F.col(col).cast("double").alias(col)
+    ).mapInPandas(summarize, schema=out_schema)
+
+
+def grouped_quantile_estimates(
+    summary: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile extraction from a grouped summary: one row per
+    (group, q), est_value's true within-group rank within n_g/b of
+    ceil(q·n_g). Window + joins over the bounded partial frame only."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        summary.groupBy(*group_cols, "value")
+        .agg(F.sum("weight").alias("weight"))
+        .select(*group_cols, "value", F.sum("weight").over(w).alias("cum"))
+    )
+    totals = cum.groupBy(*group_cols).agg(F.max("cum").alias("n"))
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    targets = totals.crossJoin(F.broadcast(qdf)).select(
+        *group_cols,
+        "q",
+        "n",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
+    )
+    return (
+        targets.join(cum, group_cols)
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "q", "n")
+        .agg(F.min("value").alias("est_value"))
+        .orderBy(*group_cols, "q")
+    )
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, d: int = 4, w: int = 1024
 ) -> DataFrame:

@@ -418,6 +418,87 @@ def value_quantiles_audit(
     )
 
 
+def doc_len_quantiles_audit(
+    spark: SparkSession, sf_dir: str, b: int = 256
+) -> DataFrame:
+    """Grouped-quantile audit: document-length (n_chars) quantiles per
+    language via the grouped mergeable summary
+    (operators/sketch.py::grouped_quantile_summary) — the distribution
+    profile a corpus-balancing pipeline computes per (source, lang)
+    slice at 100 TB. Same contract as value_quantiles_audit, per group:
+    exact_q is the true per-group discrete quantile (pure exact math,
+    identical in DuckDB), within_bound checks the estimate's exact
+    within-group rank against the worst-case n_g/b bound and is pinned
+    TRUE by the oracle."""
+    from pyspark.sql import Window
+
+    from neo4j_database_spark.operators.sketch import (
+        grouped_quantile_estimates,
+        grouped_quantile_summary,
+    )
+
+    qs = [0.1, 0.5, 0.9]
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", F.col("n_chars").cast("double").alias("len")
+    )
+    est = grouped_quantile_estimates(
+        grouped_quantile_summary(docs, ["lang"], "len", b=b), ["lang"], qs
+    )
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dist = (
+        docs.groupBy("lang", F.col("len").alias("value"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("lang", "value", F.sum("c").over(w).alias("cum"))
+    )
+    targets = est.select(
+        "lang",
+        "q",
+        "n",
+        "est_value",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
+    )
+    exact_q = (
+        targets.join(dist, "lang")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("lang", "q")
+        .agg(F.min("value").alias("exact_q"))
+    )
+    rank_hi = targets.join(
+        dist,
+        (targets.lang == dist.lang) & (dist.value == targets.est_value),
+    ).select(targets.lang, "q", "n", "target", F.col("cum").alias("rank_hi"))
+    rank_lo = (
+        targets.join(
+            dist,
+            (targets.lang == dist.lang) & (dist.value < targets.est_value),
+            "left",
+        )
+        .groupBy(targets.lang, "q")
+        .agg(F.max(F.coalesce(F.col("cum"), F.lit(0))).alias("rank_lo"))
+    )
+    err = F.floor(F.col("n") / F.lit(b))
+    return (
+        rank_hi.join(rank_lo, ["lang", "q"])
+        .join(exact_q, ["lang", "q"])
+        .select(
+            "lang",
+            "q",
+            "n",
+            "exact_q",
+            (
+                (F.col("rank_lo") + 1 <= F.col("target") + err)
+                & (F.col("rank_hi") >= F.col("target") - err)
+            ).alias("within_bound"),
+        )
+        .orderBy("lang", "q")
+    )
+
+
 def decontaminate_fuzzy(
     spark: SparkSession, sf_dir: str, eval_mod: int = 25
 ) -> DataFrame:

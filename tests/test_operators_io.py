@@ -373,6 +373,55 @@ def test_quantile_summary_exact_when_small_partitions(spark):
         assert est[q] == vals[math.ceil(q * 500) - 1]
 
 
+def test_grouped_quantile_summary_per_group_bound(spark):
+    """Per-group rank bound under multiple partitionings, including a
+    group small enough to be exact and a group with heavy ties."""
+    import math
+
+    from neo4j_database_spark.operators.sketch import (
+        grouped_quantile_estimates,
+        grouped_quantile_summary,
+    )
+
+    df = spark.range(0, 12000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a"))
+        .when(F.col("id") % 3 == 1, F.lit("b"))
+        .when(F.col("id") < 60, F.lit("tiny"))
+        .otherwise(F.lit("c"))
+        .alias("g"),
+        F.when(F.col("id") % 7 == 0, F.lit(1.0))
+        .otherwise((F.col("id") % 250).cast("double"))
+        .alias("v"),
+    )
+    rows = [(r.g, r.v) for r in df.collect()]
+    by_g: dict[str, list[float]] = {}
+    for g_, v in rows:
+        by_g.setdefault(g_, []).append(v)
+    for vs in by_g.values():
+        vs.sort()
+    qs = [0.1, 0.5, 0.9]
+    b = 32
+    for parts in (1, 13):
+        est = grouped_quantile_estimates(
+            grouped_quantile_summary(
+                df.repartition(parts), ["g"], "v", b=b
+            ),
+            ["g"],
+            qs,
+        ).collect()
+        assert {(r.g) for r in est} == set(by_g)
+        for r in est:
+            vs = by_g[r.g]
+            n = len(vs)
+            assert r.n == n
+            target = math.ceil(r.q * n)
+            rank_lo = sum(1 for x in vs if x < r.est_value) + 1
+            rank_hi = sum(1 for x in vs if x <= r.est_value)
+            err = n // b
+            assert rank_lo <= target + err and rank_hi >= target - err, (
+                r.g, r.q, parts, r.est_value, rank_lo, rank_hi, target, err)
+
+
 def test_ivm_merge_equals_recompute_random_batches(spark):
     """Mergeable-state maintenance across arbitrary batch splits equals
     the one-shot aggregate, including retraction (negative) deltas for
