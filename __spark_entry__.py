@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # guarantee boolean pinned TRUE by the oracle
         "events_value_quantiles_audit": curation.value_quantiles_audit,
         "doc_len_quantiles_audit": curation.doc_len_quantiles_audit,
+        # grouped top-k with map-side prune (operators/topk.py) — the
+        # window-only plan shuffles every row; this one ≤ k·P per group
+        "doc_top_docs_per_lang": _top_docs_per_lang,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
@@ -637,6 +640,22 @@ def _token_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+def _top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 documents by length per language through
+    operators/topk.py::grouped_topk — the map-side-pruned grouped top-k
+    (the idiomatic window alone would shuffle every document row; the
+    pruned plan shuffles ≤ k·partitions rows per language)."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.topk import grouped_topk
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", "n_chars"
+    )
+    return grouped_topk(
+        docs, ["lang"], "n_chars", k=5, tie_cols=["doc_id"]
+    ).orderBy("lang", "rnk")
 
 
 def _orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,6 +2613,16 @@ SELECT tot.lang, qs.q, tot.n,
      AND cum >= CAST(ceil(qs.q * tot.n) AS BIGINT)) AS exact_q,
   TRUE AS within_bound
 FROM tot, qs ORDER BY lang, q
+""",
+        # grouped top-k (exact): window rank over the pruned frame ==
+        # window rank over everything — the oracle runs the plain window
+        "doc_top_docs_per_lang": """
+SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 5 ORDER BY lang, rnk
 """,
         # -- documents: extended fingerprints --
         "doc_simhash": _simhash_sql(),

@@ -422,6 +422,63 @@ def test_grouped_quantile_summary_per_group_bound(spark):
                 r.g, r.q, parts, r.est_value, rank_lo, rank_hi, target, err)
 
 
+def test_grouped_topk_equals_window_any_partitioning(spark):
+    """Map-side-pruned grouped top-k == the plain window plan, under
+    several partitionings, with heavy ties and groups smaller than k."""
+    from pyspark.sql import Window
+
+    from neo4j_database_spark.operators.topk import grouped_topk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        # heavy ties: only 10 distinct order values
+        (F.col("id") % 10).cast("double").alias("v"),
+        F.col("id").alias("k"),
+    ).union(
+        # a group smaller than k
+        spark.range(0, 2).select(
+            F.lit("tiny").alias("g"),
+            F.col("id").cast("double").alias("v"),
+            (F.col("id") + 10_000).alias("k"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    for parts in (1, 3, 32):
+        got = sorted(
+            tuple(r)
+            for r in grouped_topk(
+                df.repartition(parts), ["g"], "v", k=5, tie_cols=["k"]
+            ).collect()
+        )
+        assert got == want, parts
+    # ascending variant with nulls in the order column: Spark asc ranks
+    # nulls FIRST — the prune must keep them
+    dfn = df.withColumn(
+        "v", F.when(F.col("k") % 11 == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    wa = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("k"))
+    want_a = sorted(
+        tuple(r)
+        for r in dfn.withColumn("rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    )
+    got_a = sorted(
+        tuple(r)
+        for r in grouped_topk(
+            dfn.repartition(13), ["g"], "v", k=4, tie_cols=["k"],
+            ascending=True,
+        ).collect()
+    )
+    assert got_a == want_a
+
+
 def test_ivm_merge_equals_recompute_random_batches(spark):
     """Mergeable-state maintenance across arbitrary batch splits equals
     the one-shot aggregate, including retraction (negative) deltas for
