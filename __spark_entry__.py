@@ -317,6 +317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped top-k with map-side prune (operators/topk.py) — the
         # window-only plan shuffles every row; this one ≤ k·P per group
         "doc_top_docs_per_lang": _top_docs_per_lang,
+        # order-spine co-location twins (sources/warehouse.py): same
+        # query, raw-parquet shuffle join vs bucketed zero-exchange join
+        "order_fill_profile": rel.order_fill_profile,
+        "order_fill_profile_bucketed": rel.order_fill_profile_bucketed,
         "events_ohlc_daily": rel.events_ohlc_daily,
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
@@ -1474,6 +1478,27 @@ ORDER BY vec_id, subspace
 """
 
 
+# One SQL for both order-fill-profile twins: the bucketed variant differs
+# only in physical layout (zero-exchange spine join), never in semantics.
+_FILL_PROFILE_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  SUM(n_items) AS n_items,
+  CAST(SUM(n_items) AS DOUBLE) / COUNT(*) AS avg_items,
+  CAST(CAST(SUM(order_revenue) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+    COUNT(*) AS n_items,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS DECIMAL(28,6)) AS order_revenue
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     seeds = _sql_list(WINDER_SEEDS)
     hist = _sql_list(HISTOGRAM_NAMES)
@@ -2624,6 +2649,10 @@ SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk FROM (
   FROM documents
 ) WHERE rnk <= 5 ORDER BY lang, rnk
 """,
+        # order-spine twins: one SQL serves both — bucketing changes the
+        # physical plan (zero-exchange join), never the result
+        "order_fill_profile": _FILL_PROFILE_SQL,
+        "order_fill_profile_bucketed": _FILL_PROFILE_SQL,
         # -- documents: extended fingerprints --
         "doc_simhash": _simhash_sql(),
         "doc_regex_token_stats": """

@@ -2605,3 +2605,77 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def _fill_profile(o: DataFrame, li: DataFrame) -> DataFrame:
+    """Shared body of the order-fill-profile twins: per-order item
+    count + revenue off the orders⋈lineitem spine, rolled up to the
+    priority level. Two-level aggregation keyed first on the join key —
+    the shape whose cost is entirely decided by whether the spine is
+    co-located."""
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast(MONEY_SUM).alias("order_revenue"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_items"),
+            (F.sum("n_items").cast("double") / F.count(F.lit(1))).alias(
+                "avg_items"
+            ),
+            F.sum("order_revenue").cast(MONEY_SUM).cast("double").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_fill_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fill profile over raw parquet: the fact-to-fact join
+    shuffles BOTH tables on orderkey, then the per-order aggregate
+    reuses that partitioning. The baseline twin of
+    ``order_fill_profile_bucketed`` — pinned adjacent in the registry so
+    the exchange elimination is directly visible in the bench."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return _fill_profile(o, li)
+
+
+def order_fill_profile_bucketed(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> DataFrame:
+    """Order-fill profile over the bucketed warehouse spine
+    (sources/warehouse.py): both scans report
+    HashPartitioning(orderkey, N), so the join and the per-order
+    aggregate run with ZERO Exchange — the only shuffle left is the
+    tiny 5-row priority rollup. At 100 TB this is the difference
+    between re-shuffling two fact tables per query and a per-bucket
+    local zip; the plan shape is pinned by
+    tests/test_plan_shapes.py::test_bucketed_spine_join_no_exchange."""
+    from neo4j_database_spark.sources.warehouse import ensure_bucketed_spine
+
+    names = ensure_bucketed_spine(spark, sf_dir, buckets)
+    # merge hint: at small SF the planner would broadcast one side, whose
+    # BHJ output carries only the STREAM side's partitioning — the
+    # per-order aggregate then re-shuffles. SMJ over co-bucketed scans is
+    # the 100 TB strategy and exposes BOTH sides' partitioning, so every
+    # orderkey-keyed step downstream is exchange-free at any scale.
+    o = spark.table(names["orders"]).select(
+        "o_orderkey", "o_orderpriority"
+    ).hint("merge")
+    li = spark.table(names["lineitem"]).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return _fill_profile(o, li)

@@ -133,3 +133,63 @@ def test_pack_sequences_shard_partitioned_window(spark, sf_dir):
 
     plan = plan_of(pack_sequences(spark, sf_dir))
     assert "hashpartitioning(shard" in plan
+
+
+def test_bucketed_spine_join_no_exchange(spark, sf_dir):
+    """Bucketed warehouse co-location: a fact-to-fact join AND the
+    per-orderkey aggregate over it must run with ZERO Exchange when both
+    tables are bucketed by the join key — the storage layout, not the
+    planner, provides the partitioning. Also pins the one-file-per-bucket
+    write (repartition-by-bucket-hash before bucketBy), without which a
+    T-task write yields T*N files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from neo4j_database_spark.sources.warehouse import (
+        WAREHOUSE_ROOT,
+        ensure_bucketed_spine,
+        spine_table_name,
+    )
+
+    buckets = 8
+    names = ensure_bucketed_spine(spark, sf_dir, buckets=buckets)
+    o = spark.table(names["orders"]).select("o_orderkey", "o_orderpriority")
+    li = spark.table(names["lineitem"]).select("l_orderkey", "l_quantity")
+    # merge hint: at test SF the planner would broadcast (also exchange-
+    # free, trivially); force the join strategy a 100 TB plan would use
+    agg = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = plan_of(agg)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # layout: exactly one parquet file per bucket
+    for table in names:
+        path = os.path.join(
+            WAREHOUSE_ROOT, spine_table_name(table, sf_dir, buckets)
+        )
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == buckets, (table, len(files))
+
+
+def test_fill_profile_twins_agree_and_bucketed_plan(spark, sf_dir):
+    """The bucketed twin must return exactly the raw-parquet result, and
+    its plan must contain exactly one exchange — the 5-row priority
+    rollup — versus ≥2 for the raw twin (both fact scans shuffle)."""
+    from neo4j_database_spark.queries.relational import (
+        order_fill_profile,
+        order_fill_profile_bucketed,
+    )
+
+    raw = order_fill_profile(spark, sf_dir)
+    bkt = order_fill_profile_bucketed(spark, sf_dir, buckets=8)
+    # read the plan BEFORE collect: the post-execution AQE string prints
+    # Final AND Initial sections, double-counting each exchange
+    assert plan_of(bkt).count("Exchange hashpartitioning") == 1
+    assert [tuple(r) for r in raw.collect()] == [
+        tuple(r) for r in bkt.collect()
+    ]
