@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped top-k with map-side prune (operators/topk.py) — the
         # window-only plan shuffles every row; this one ≤ k·P per group
         "doc_top_docs_per_lang": _top_docs_per_lang,
+        # weighted sampling w/o replacement (priority sampling — exact
+        # rational priorities, reproducible on any IEEE-754 engine)
+        "doc_priority_sample": curation.priority_sample,
         # order-spine co-location twins (sources/warehouse.py): same
         # query, raw-parquet shuffle join vs bucketed zero-exchange join
         "order_fill_profile": rel.order_fill_profile,
@@ -2648,6 +2651,22 @@ SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk FROM (
                        ORDER BY n_chars DESC, doc_id) AS rnk
   FROM documents
 ) WHERE rnk <= 5 ORDER BY lang, rnk
+""",
+        # priority sampling: q = w/u is pure rational arithmetic — the
+        # oracle recomputes the bit-identical priorities and ranks them
+        # with the plain window the Spark side's grouped_topk prunes for
+        "doc_priority_sample": """
+SELECT lang, doc_id, n_chars, q, CAST(rnk AS INT) AS rnk FROM (
+  SELECT lang, doc_id, n_chars, q,
+    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rnk
+  FROM (
+    SELECT lang, doc_id, n_chars,
+      CAST(n_chars AS DOUBLE) /
+        (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) + 1 AS DOUBLE) / 4294967296.0) AS q
+    FROM documents
+  )
+) WHERE rnk <= 8 ORDER BY lang, rnk
 """,
         # order-spine twins: one SQL serves both — bucketing changes the
         # physical plan (zero-exchange join), never the result

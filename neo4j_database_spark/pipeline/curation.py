@@ -572,3 +572,43 @@ def training_shuffle(
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+def priority_sample(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Weighted sampling without replacement, per language: priority
+    sampling (Duffield–Lund–Thorup). Each document gets priority
+    q = w / u with weight w = n_chars and u = (h+1)/2^32, h the first
+    8 hex digits of md5(doc_id); the k highest-priority documents per
+    language are the sample (inclusion probability min(1, w/τ) for the
+    (k+1)-st priority τ — the length-weighted draw a corpus balancer
+    wants, with an unbiased subset-sum estimator).
+
+    Why priorities and not the classic A-ES key u^(1/w): pow() is not
+    correctly rounded, so the JVM and the oracle's libm can disagree by
+    1 ulp and flip near-ties — irreproducible samples. q = w/u is one
+    exact int→double conversion and two correctly-rounded divisions,
+    computed bit-identically by every IEEE-754 engine, so the sample is
+    a pure function of the data on ANY engine.
+
+    Scale shape: the priority is map-side arithmetic; the per-language
+    top-k runs through operators/topk.py::grouped_topk, so the shuffle
+    carries ≤ k·partitions rows per language instead of the corpus.
+    """
+    from neo4j_database_spark.operators.topk import grouped_topk
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # u in (0,1]: +1 keeps u>0 (h+1 ≤ 2^32 is exact in double); the
+    # parenthesization (w / (h+1 / 2^32)) is mirrored by the oracle SQL
+    # so both engines perform the same two correctly-rounded divisions
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    pri = docs.withColumn("q", F.col("n_chars").cast("double") / u)
+    return grouped_topk(
+        pri, ["lang"], "q", k=k, tie_cols=["doc_id"]
+    ).orderBy("lang", "rnk")

@@ -532,3 +532,27 @@ def test_ivm_merge_equals_recompute_random_batches(spark):
     }
     got2 = {r.k: (r.n, r.s) for r in reverted.collect()}
     assert got2 == want
+
+
+def test_priority_sample_matches_python_recompute(spark, sf_dir):
+    """Priorities are a pure function of the row: recompute q = w/u in
+    Python (same md5-prefix uniform) for every sampled row and confirm
+    bit-identical doubles and correct per-group sample sizes."""
+    import hashlib
+
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.pipeline.curation import priority_sample
+
+    rows = priority_sample(spark, sf_dir, k=4).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    sizes = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r.lang] = per_group.get(r.lang, 0) + 1
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        q = float(r.n_chars) / ((h + 1) / 4294967296.0)
+        assert q == r.q, (r.doc_id, q, r.q)
+    assert per_group == {g: min(4, n) for g, n in sizes.items()}
