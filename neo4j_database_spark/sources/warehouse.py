@@ -74,15 +74,16 @@ def ensure_bucketed_spine(
         names[table] = name
         if spark.catalog.tableExists(name):
             continue
-        path = os.path.join(WAREHOUSE_ROOT, name)
-        (
-            load_table(spark, table, sf_dir)
-            .repartition(buckets, F.col(key))
-            .write.mode("overwrite")
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(name)
+        from neo4j_database_spark.sources.io import write_bucketed
+
+        write_bucketed(
+            load_table(spark, table, sf_dir).repartition(
+                buckets, F.col(key)
+            ),
+            table=name,
+            path=os.path.join(WAREHOUSE_ROOT, name),
+            bucket_by=key,
+            buckets=buckets,
+            sort_by=key,
         )
     return names
