@@ -49,6 +49,11 @@ HEADLINE = (
     "doc_minhash_lsh",
     "doc_minhash_lsh_prod",  # xxhash64 production path vs the md5 oracle path
     "emb_knn_bruteforce",
+    "order_fill_profile",  # raw-parquet spine join (both facts shuffle)
+    "order_fill_profile_bucketed",  # same query over the bucketed
+    # warehouse (zero-exchange join) — pinned adjacent so the co-location
+    # win is directly visible; first run pays the one-time spine build,
+    # best-of-3 reports the steady state
 )
 
 

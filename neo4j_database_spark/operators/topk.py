@@ -47,22 +47,31 @@ def grouped_topk(
     out_cols = df.columns
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if len(pdf) == 0:
-            return
-        # null placement must match Spark's window defaults (asc →
-        # nulls first, desc → nulls last) or the local prune could drop
-        # a row the final window would rank inside k
-        pdf = pdf.sort_values(
-            [order_col, *tie_cols],
-            ascending=[ascending] + [True] * len(tie_cols),
-            kind="mergesort",
-            na_position="first" if ascending else "last",
-        )
-        yield pdf.groupby(group_cols, dropna=False, sort=False).head(k)
+        # Streaming accumulation: fold each Arrow batch into the running
+        # per-group top-k instead of materializing the whole partition —
+        # peak memory is O(k·groups-in-partition + batch), so a 100 TB
+        # partition never sits in the Python worker at once.
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cur = (
+                pdf
+                if acc is None
+                else pd.concat([acc, pdf], ignore_index=True)
+            )
+            # null placement must match Spark's window defaults (asc →
+            # nulls first, desc → nulls last) or the local prune could
+            # drop a row the final window would rank inside k
+            cur = cur.sort_values(
+                [order_col, *tie_cols],
+                ascending=[ascending] + [True] * len(tie_cols),
+                kind="mergesort",
+                na_position="first" if ascending else "last",
+            )
+            acc = cur.groupby(group_cols, dropna=False, sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
 
     pruned = df.mapInPandas(prune, schema=df.schema)
     from pyspark.sql import Window

@@ -449,14 +449,26 @@ def test_grouped_topk_equals_window_any_partitioning(spark):
         .filter(F.col("rnk") <= 5)
         .collect()
     )
-    for parts in (1, 3, 32):
-        got = sorted(
-            tuple(r)
-            for r in grouped_topk(
-                df.repartition(parts), ["g"], "v", k=5, tie_cols=["k"]
-            ).collect()
+    # small Arrow batches force the streaming multi-batch accumulation
+    # path inside the prune (default 10k rows/batch would give one batch
+    # per partition at this size)
+    prev_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "257")
+    try:
+        for parts in (1, 3, 32):
+            got = sorted(
+                tuple(r)
+                for r in grouped_topk(
+                    df.repartition(parts), ["g"], "v", k=5, tie_cols=["k"]
+                ).collect()
+            )
+            assert got == want, parts
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch
         )
-        assert got == want, parts
     # ascending variant with nulls in the order column: Spark asc ranks
     # nulls FIRST — the prune must keep them
     dfn = df.withColumn(
