@@ -1346,16 +1346,22 @@ dpairs AS (
     SELECT * FROM near_p UNION ALL SELECT * FROM exact_p
   )
 ),
-dsym AS (
+dsym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM dpairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM dpairs
 ),
 dl0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)""",
     ]
+    # AS MATERIALIZED on dsym and every dl{k} is load-bearing at sf0.1:
+    # dl{k} is referenced twice by dl{k+1} and dsym once per superstep,
+    # so if the planner inlines them the shingle→minhash→band subtree
+    # re-executes O(2^max_iter) times (observed: >30 GB of temp spill
+    # before the round-4 battery run was killed; materialized, the whole
+    # query is seconds)
     for k in range(max_iter):
         ctes.append(
-            f"""dl{k + 1} AS (
+            f"""dl{k + 1} AS MATERIALIZED (
   SELECT l.id, least(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
   FROM dl{k} l
   LEFT JOIN (
