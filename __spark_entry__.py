@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted sampling w/o replacement (priority sampling — exact
         # rational priorities, reproducible on any IEEE-754 engine)
         "doc_priority_sample": curation.priority_sample,
+        # persisted IVF: the coarse list as a write-time PARTITION column
+        # — same answer as emb_ivf_knn (shared oracle), but the probe's
+        # list filter becomes partition pruning instead of a runtime scan
+        "emb_ivf_index_knn": similarity.ivf_index_knn,
         # order-spine co-location twins (sources/warehouse.py): same
         # query, raw-parquet shuffle join vs bucketed zero-exchange join
         "order_fill_profile": rel.order_fill_profile,
@@ -1514,7 +1518,7 @@ def oracle_sql() -> dict[str, str]:
     sub_houses = _sql_list(SUBGRAPH_HOUSES)
     stop = _sql_list(list(text.STOPWORDS))
 
-    return {
+    d = {
         "g_directory": f"""{GRAPH_CTES}
 SELECT name, house, species, gender, alive, image, segment, acctbal
 FROM persons ORDER BY name
@@ -4274,3 +4278,8 @@ FROM monthly
 ORDER BY y, m
 """,
     }
+    # persisted IVF twin: with n_probe=1 the candidate set equals the
+    # in-memory IVF path's, so one SQL serves both — the list-partitioned
+    # layout changes the plan, never the answer
+    d["emb_ivf_index_knn"] = d["emb_ivf_knn"]
+    return d

@@ -19,6 +19,8 @@ quantization is identical on both sides and irrelevant to ranking.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -621,5 +623,119 @@ def ivf_pq_knn(
         .groupBy("vec_id")
         .agg(F.sum("d").cast("decimal(30,9)").cast("double").alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+IVF_INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_IVF_INDEX", "/tmp/neo4j_database_spark_ivf"
+)
+
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, n_lists: int = 8
+) -> str:
+    """Materialize the IVF assignment as a LIST-PARTITIONED parquet
+    index: ``partitionBy(cent_id)`` puts each coarse list in its own
+    directory, so a probe query's ``cent_id IN (...)`` filter becomes
+    partition PRUNING — the scan never opens the other lists' files.
+
+    This is the persisted form of the claim in ivf_knn's docstring
+    ("at 100 TB the assignment is write-time — a partition column"):
+    the expensive part of ANN serving, touching 1/n_lists of the corpus
+    per query, is provided by the storage layout rather than a runtime
+    filter over everything. Rebuild cost is one scan + one write,
+    amortized across every query until the corpus version changes.
+    """
+    import re as _re
+
+    key = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    path = os.path.join(IVF_INDEX_ROOT, f"{key}_l{n_lists}")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        (
+            _ivf_assign(spark, sf_dir, n_lists)
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(path)
+        )
+        with open(marker, "w") as f:
+            f.write(sf_dir)
+    return path
+
+
+def ivf_index_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF top-k over the PERSISTED list-partitioned index: the probe
+    list ids are computed driver-side from the (tiny) centroid set, and
+    the index scan carries ``cent_id IN (probes)`` as a partition
+    filter — tests/test_plan_shapes.py pins PartitionFilters in the
+    plan. With ``n_probe=1`` the candidate set equals ivf_knn's, so the
+    two share one oracle (the layout changes the plan, not the answer);
+    larger ``n_probe`` widens recall by scanning more lists.
+    """
+    path = ensure_ivf_index(spark, sf_dir, n_lists)
+    emb = load_table(spark, "embeddings", sf_dir)
+    # centroid probe: n_lists+1 tiny rows to the driver (same class as
+    # the 1-row seed lookups in graph/algorithms.py)
+    small = {
+        r.vec_id: r.vec
+        for r in emb.filter(F.col("vec_id") <= max(n_lists, query_vec_id))
+        .filter(
+            (F.col("vec_id") < n_lists) | (F.col("vec_id") == query_vec_id)
+        )
+        .select("vec_id", _as_double_arr("embedding").alias("vec"))
+        .collect()
+    }
+    q_vec = small[query_vec_id]
+
+    def _dot9(a: list[float], b: list[float]) -> float:
+        # exact mirror of _dot_dec: each product rounded HALF_UP to 9
+        # decimals (Spark's double→DECIMAL(20,9) cast), summed exactly,
+        # then one correctly-rounded decimal→double conversion — raw
+        # float sums could flip a near-tie vs the stored assignment
+        from decimal import ROUND_HALF_UP, Decimal
+
+        g = Decimal("1e-9")
+        return float(
+            sum(
+                Decimal(x * y).quantize(g, ROUND_HALF_UP)
+                for x, y in zip(a, b)
+            )
+        )
+
+    def crank(c: list[float]) -> float:
+        dot = _dot9(q_vec, c)
+        return dot * abs(dot) / (_dot9(q_vec, q_vec) * _dot9(c, c))
+
+    probes = sorted(
+        range(n_lists), key=lambda cid: (-crank(small[cid]), cid)
+    )[:n_probe]
+
+    idx = spark.read.parquet(path).filter(
+        F.col("cent_id").isin(probes) & (F.col("vec_id") != query_vec_id)
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(q_vec,)], "q_vec array<double>")
+    )
+    dot = _dot_dec(F.col("vec"), F.col("q_vec"))
+    n2v = _dot_dec(F.col("vec"), F.col("vec"))
+    n2q = _dot_dec(F.col("q_vec"), F.col("q_vec"))
+    hits = idx.crossJoin(qdf).select(
+        "vec_id", dot.alias("dot"), n2v.alias("n2v"), n2q.alias("n2q")
+    )
+    dot_d = F.col("dot").cast("double")
+    rank = dot_d * F.abs(dot_d) / (
+        F.col("n2v").cast("double") * F.col("n2q").cast("double")
+    )
+    return (
+        hits.select("vec_id", rank.alias("rank_score"))
+        .orderBy(F.desc("rank_score"), F.asc("vec_id"))
         .limit(k)
     )

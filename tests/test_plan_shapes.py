@@ -193,3 +193,23 @@ def test_fill_profile_twins_agree_and_bucketed_plan(spark, sf_dir):
     assert [tuple(r) for r in raw.collect()] == [
         tuple(r) for r in bkt.collect()
     ]
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir):
+    """The persisted IVF index scan must prune to the probed lists via
+    PartitionFilters (cent_id is a write-time partition column) — the
+    storage-layout form of 'a query touches n_probe/n_lists of the
+    corpus'. Also: the twin must equal the in-memory IVF result."""
+    from neo4j_database_spark.pipeline.similarity import (
+        ivf_index_knn,
+        ivf_knn,
+    )
+
+    bkt = ivf_index_knn(spark, sf_dir)
+    plan = plan_of(bkt)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cent_id" in pf
+    assert [tuple(r) for r in bkt.collect()] == [
+        tuple(r) for r in ivf_knn(spark, sf_dir).collect()
+    ]
