@@ -2196,7 +2196,8 @@ ORDER BY c.vec_id, dim
         "emb_centroids": f"""
 WITH {_EMB_COMPONENTS.strip()}
 SELECT label, CAST(j AS INT) AS dim,
-  CAST(CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) AS sum_x,
+  CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000000.0 AS sum_x,
   COUNT(*) AS n
 FROM comp
 GROUP BY label, j

@@ -379,13 +379,22 @@ def centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(
-            # exact decimal accumulation; DOUBLE on output (DECIMAL output
-            # columns hash-mismatch on the driver: Spark materializes
-            # Decimal, DuckDB float64 — same value, different strings)
-            F.sum(F.col("x").cast(ACC))
-            .cast("decimal(38,9)")
-            .cast("double")
-            .alias("sum_x"),
+            # exact accumulation in LONG nano-units. NOT CAST(x AS
+            # DECIMAL): embedding components are CONTINUOUS doubles, and
+            # the double→decimal cast rounds the exact binary value in
+            # Spark but scaled-double arithmetic in DuckDB — one element
+            # near a .5e-9 boundary flipped a sum at sf0.1 (money/event
+            # values are immune: they sit on a coarse grid far from any
+            # boundary). round(x·1e9) is computed on the IDENTICAL
+            # product double by both engines (half-away-from-zero), the
+            # long sum is exact (≤ n·1e9 ≪ 2^53), and the final divide
+            # is one correctly-rounded op.
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1000000000.0)).cast("long")
+                ).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("sum_x"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("label", "dim")
