@@ -36,14 +36,36 @@ def grouped_topk(
     k: int,
     tie_cols: list[str],
     ascending: bool = False,
+    missing: str = "null",
 ) -> DataFrame:
     """Exact top-k rows per group by ``order_col`` (desc by default),
     ties broken by ``tie_cols`` asc. Output columns = input columns
     plus ``rnk`` (1-based within group).
 
-    ``tie_cols`` must be non-null (use key columns): pandas'
-    na_position is a single global setting per sort, so null tie values
-    cannot mirror Spark's per-direction null placement."""
+    Contract (pandas cannot distinguish null from NaN in a float64
+    frame, so the caller must declare which one the order column may
+    contain — mixing both in one column is NOT supported and the prune
+    could silently drop a winner):
+
+    - ``missing="null"`` (default): order column may contain SQL nulls
+      but no NaN. Prune mirrors Spark's window placement (asc → nulls
+      first, desc → nulls last).
+    - ``missing="nan"``: order column may contain float NaN but no
+      null. Spark orders NaN as the LARGEST double (asc → last, desc →
+      FIRST — the opposite side from nulls), and the prune mirrors that.
+    - ``tie_cols`` must be non-null key columns in either mode.
+
+    An integer order column with nulls is also unsupported (Arrow
+    round-trips it through float64)."""
+    if missing not in ("null", "nan"):
+        raise ValueError(f"missing must be 'null' or 'nan', got {missing!r}")
+    # null: Spark ranks asc→first, desc→last. NaN: Spark ranks it as the
+    # largest double, asc→last, desc→first.
+    na_position = (
+        ("first" if ascending else "last")
+        if missing == "null"
+        else ("last" if ascending else "first")
+    )
     out_cols = df.columns
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -60,20 +82,33 @@ def grouped_topk(
                 if acc is None
                 else pd.concat([acc, pdf], ignore_index=True)
             )
-            # null placement must match Spark's window defaults (asc →
-            # nulls first, desc → nulls last) or the local prune could
-            # drop a row the final window would rank inside k
+            # missing-value placement must match Spark's window order
+            # (see contract above) or the local prune could drop a row
+            # the final window would rank inside k
             cur = cur.sort_values(
                 [order_col, *tie_cols],
                 ascending=[ascending] + [True] * len(tie_cols),
                 kind="mergesort",
-                na_position="first" if ascending else "last",
+                na_position=na_position,
             )
             acc = cur.groupby(group_cols, dropna=False, sort=False).head(k)
         if acc is not None and len(acc):
             yield acc
 
-    pruned = df.mapInPandas(prune, schema=df.schema)
+    src = df
+    if missing == "nan":
+        # pandas→Arrow maps NaN back to SQL NULL (pandas has no separate
+        # null for float64), so NaN order values would emerge from the
+        # prune as nulls — flag them Spark-side and restore after.
+        src = df.withColumn("__nan__", F.isnan(order_col))
+    pruned = src.mapInPandas(prune, schema=src.schema)
+    if missing == "nan":
+        pruned = pruned.withColumn(
+            order_col,
+            F.when(F.col("__nan__"), F.lit(float("nan"))).otherwise(
+                F.col(order_col)
+            ),
+        )
     from pyspark.sql import Window
 
     order = [

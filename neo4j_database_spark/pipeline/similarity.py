@@ -640,6 +640,9 @@ IVF_INDEX_ROOT = os.environ.get(
     "SPARK_GRAFT_IVF_INDEX", "/tmp/neo4j_database_spark_ivf"
 )
 
+# Bump when the index layout changes so stale caches self-invalidate.
+IVF_INDEX_VERSION = 2
+
 
 def ensure_ivf_index(
     spark: SparkSession, sf_dir: str, n_lists: int = 8
@@ -648,25 +651,49 @@ def ensure_ivf_index(
     index: ``partitionBy(cent_id)`` puts each coarse list in its own
     directory, so a probe query's ``cent_id IN (...)`` filter becomes
     partition PRUNING — the scan never opens the other lists' files.
+    A flat ``assign/`` sidecar (vec_id, cent_id — sorted by vec_id)
+    rides along: the id→list map every IVF serving system keeps, used
+    for exact point lookups that must not rescan the partitioned data.
 
     This is the persisted form of the claim in ivf_knn's docstring
     ("at 100 TB the assignment is write-time — a partition column"):
     the expensive part of ANN serving, touching 1/n_lists of the corpus
     per query, is provided by the storage layout rather than a runtime
-    filter over everything. Rebuild cost is one scan + one write,
-    amortized across every query until the corpus version changes.
-    """
-    import re as _re
+    filter over everything. Rebuild cost is one scan + one write.
 
-    key = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
-    path = os.path.join(IVF_INDEX_ROOT, f"{key}_l{n_lists}")
+    Cache key = layout version + source-file fingerprint (mtime+size of
+    embeddings.parquet), so regenerated testdata at the same path gets
+    a fresh index instead of stale answers. Concurrent first builds of
+    the same key write identical content; a cache dir is never
+    overwritten while live because a data change moves the key.
+    """
+    from neo4j_database_spark.sources.warehouse import _ident
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:  # directory-style parquet: fingerprint the dir
+        st = os.stat(sf_dir)
+        fp = f"{int(st.st_mtime)}_0"
+    path = os.path.join(
+        IVF_INDEX_ROOT,
+        f"v{IVF_INDEX_VERSION}_{_ident(sf_dir)}_l{n_lists}_{fp}",
+    )
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
+        assigned = _ivf_assign(spark, sf_dir, n_lists)
         (
-            _ivf_assign(spark, sf_dir, n_lists)
-            .write.mode("overwrite")
+            assigned.write.mode("overwrite")
             .partitionBy("cent_id")
-            .parquet(path)
+            .parquet(os.path.join(path, "lists"))
+        )
+        (
+            assigned.select("vec_id", "cent_id")
+            .repartition(1)
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "assign"))
         )
         with open(marker, "w") as f:
             f.write(sf_dir)
@@ -681,53 +708,52 @@ def ivf_index_knn(
     n_lists: int = 8,
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF top-k over the PERSISTED list-partitioned index: the probe
-    list ids are computed driver-side from the (tiny) centroid set, and
-    the index scan carries ``cent_id IN (probes)`` as a partition
-    filter — tests/test_plan_shapes.py pins PartitionFilters in the
-    plan. With ``n_probe=1`` the candidate set equals ivf_knn's, so the
-    two share one oracle (the layout changes the plan, not the answer);
-    larger ``n_probe`` widens recall by scanning more lists.
+    """IVF top-k over the PERSISTED list-partitioned index.
+
+    The query's own list comes from the ``assign`` sidecar — a point
+    lookup with vec_id pushdown against the STORED assignment, so the
+    n_probe=1 candidate set is exactly ivf_knn's by construction (no
+    recomputation that could drift by an ulp) and the twins share one
+    oracle. Additional probe lists (n_probe>1) are ranked driver-side
+    by plain float cosine against the centroid vectors — approximate
+    ranking there only widens recall, never changes a stored
+    assignment. The index scan carries ``cent_id IN (probes)`` as a
+    partition filter — tests/test_plan_shapes.py pins PartitionFilters
+    in the plan.
     """
     path = ensure_ivf_index(spark, sf_dir, n_lists)
-    emb = load_table(spark, "embeddings", sf_dir)
-    # centroid probe: n_lists+1 tiny rows to the driver (same class as
-    # the 1-row seed lookups in graph/algorithms.py)
-    small = {
-        r.vec_id: r.vec
-        for r in emb.filter(F.col("vec_id") <= max(n_lists, query_vec_id))
-        .filter(
-            (F.col("vec_id") < n_lists) | (F.col("vec_id") == query_vec_id)
-        )
-        .select("vec_id", _as_double_arr("embedding").alias("vec"))
+    q_cent, = (
+        spark.read.parquet(os.path.join(path, "assign"))
+        .filter(F.col("vec_id") == query_vec_id)
         .collect()
-    }
-    q_vec = small[query_vec_id]
+    )
+    probes = [q_cent.cent_id]
+    emb = load_table(spark, "embeddings", sf_dir)
+    q_vec = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double_arr("embedding").alias("vec"))
+        .collect()[0].vec
+    )
+    if n_probe > 1:
+        cents = {
+            r.vec_id: r.vec
+            for r in emb.filter(F.col("vec_id") < n_lists)
+            .select("vec_id", _as_double_arr("embedding").alias("vec"))
+            .collect()
+        }
+        n2q = sum(a * a for a in q_vec)
 
-    def _dot9(a: list[float], b: list[float]) -> float:
-        # exact mirror of _dot_dec: each product rounded HALF_UP to 9
-        # decimals (Spark's double→DECIMAL(20,9) cast), summed exactly,
-        # then one correctly-rounded decimal→double conversion — raw
-        # float sums could flip a near-tie vs the stored assignment
-        from decimal import ROUND_HALF_UP, Decimal
+        def crank(c: list[float]) -> float:
+            dot = sum(a * b for a, b in zip(q_vec, c))
+            return dot * abs(dot) / (n2q * sum(a * a for a in c))
 
-        g = Decimal("1e-9")
-        return float(
-            sum(
-                Decimal(x * y).quantize(g, ROUND_HALF_UP)
-                for x, y in zip(a, b)
-            )
+        extra = sorted(
+            (cid for cid in range(n_lists) if cid != probes[0]),
+            key=lambda cid: (-crank(cents[cid]), cid),
         )
+        probes += extra[: n_probe - 1]
 
-    def crank(c: list[float]) -> float:
-        dot = _dot9(q_vec, c)
-        return dot * abs(dot) / (_dot9(q_vec, q_vec) * _dot9(c, c))
-
-    probes = sorted(
-        range(n_lists), key=lambda cid: (-crank(small[cid]), cid)
-    )[:n_probe]
-
-    idx = spark.read.parquet(path).filter(
+    idx = spark.read.parquet(os.path.join(path, "lists")).filter(
         F.col("cent_id").isin(probes) & (F.col("vec_id") != query_vec_id)
     )
     qdf = F.broadcast(
@@ -735,9 +761,9 @@ def ivf_index_knn(
     )
     dot = _dot_dec(F.col("vec"), F.col("q_vec"))
     n2v = _dot_dec(F.col("vec"), F.col("vec"))
-    n2q = _dot_dec(F.col("q_vec"), F.col("q_vec"))
+    n2q_c = _dot_dec(F.col("q_vec"), F.col("q_vec"))
     hits = idx.crossJoin(qdf).select(
-        "vec_id", dot.alias("dot"), n2v.alias("n2v"), n2q.alias("n2q")
+        "vec_id", dot.alias("dot"), n2v.alias("n2v"), n2q_c.alias("n2q")
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (

@@ -568,3 +568,39 @@ def test_priority_sample_matches_python_recompute(spark, sf_dir):
         q = float(r.n_chars) / ((h + 1) / 4294967296.0)
         assert q == r.q, (r.doc_id, q, r.q)
     assert per_group == {g: min(4, n) for g, n in sizes.items()}
+
+
+def test_grouped_topk_nan_mode(spark):
+    """missing='nan': Spark ranks NaN as the LARGEST double (desc →
+    first), the opposite side from nulls — the prune must keep them."""
+    from pyspark.sql import Window
+
+    from neo4j_database_spark.operators.topk import grouped_topk
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.when(F.col("id") % 13 == 0, F.lit(float("nan")))
+        .otherwise((F.col("id") % 10).cast("double"))
+        .alias("v"),
+        F.col("id").alias("k"),
+    )
+
+    def norm(rows):
+        return sorted(
+            tuple("NaN" if isinstance(x, float) and x != x else x for x in r)
+            for r in rows
+        )
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    want = norm(
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    )
+    got = norm(
+        grouped_topk(
+            df.repartition(7), ["g"], "v", k=4, tie_cols=["k"],
+            missing="nan",
+        ).collect()
+    )
+    assert got == want
