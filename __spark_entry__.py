@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted sampling w/o replacement (priority sampling — exact
         # rational priorities, reproducible on any IEEE-754 engine)
         "doc_priority_sample": curation.priority_sample,
+        # the estimator the sample exists for: per-lang char mass from
+        # k rows (max(w, tau) contributions), audited against the exact
+        # total — deterministic, so even the estimate is oracle-exact
+        "doc_priority_sample_estimate": curation.priority_sample_estimate,
         # persisted IVF: the coarse list as a write-time PARTITION column
         # — same answer as emb_ivf_knn (shared oracle), but the probe's
         # list filter becomes partition pruning instead of a runtime scan
@@ -2682,6 +2686,42 @@ SELECT lang, doc_id, n_chars, q, CAST(rnk AS INT) AS rnk FROM (
     FROM documents
   )
 ) WHERE rnk <= 8 ORDER BY lang, rnk
+""",
+        # subset-sum estimator over the deterministic priority sample:
+        # tau = (k+1)-st priority; contribution = round(max(w, tau)) as
+        # BIGINT so the k-row sum is exact and accumulation-order-free
+        "doc_priority_sample_estimate": """
+WITH pri AS (
+  SELECT lang, doc_id, n_chars,
+    CAST(n_chars AS DOUBLE) /
+      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) + 1 AS DOUBLE) / 4294967296.0) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, q,
+    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rnk
+  FROM pri
+),
+tau AS (SELECT lang, q AS tau FROM ranked WHERE rnk = 9),
+est AS (
+  SELECT r.lang,
+    SUM(CAST(round(greatest(CAST(r.n_chars AS DOUBLE),
+                            COALESCE(t.tau, 0.0))) AS BIGINT)) AS est_chars,
+    COUNT(*) AS sample_n
+  FROM ranked r LEFT JOIN tau t ON t.lang = r.lang
+  WHERE r.rnk <= 8
+  GROUP BY r.lang
+),
+exact AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS exact_chars
+  FROM documents GROUP BY lang
+)
+SELECT e.lang, e.sample_n, e.est_chars, x.exact_chars,
+  abs(CAST(e.est_chars AS DOUBLE) - CAST(x.exact_chars AS DOUBLE))
+    / CAST(x.exact_chars AS DOUBLE) AS rel_err
+FROM est e JOIN exact x ON x.lang = e.lang
+ORDER BY e.lang
 """,
         # order-spine twins: one SQL serves both — bucketing changes the
         # physical plan (zero-exchange join), never the result

@@ -612,3 +612,80 @@ def priority_sample(
     return grouped_topk(
         pri, ["lang"], "q", k=k, tie_cols=["doc_id"]
     ).orderBy("lang", "rnk")
+
+
+def priority_sample_estimate(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """The point of priority sampling: an unbiased subset-sum estimator
+    from k rows per group. With τ = the (k+1)-st priority, each sampled
+    row contributes max(w, τ); E[est] = Σw exactly (Duffield–Lund–
+    Thorup). Emits per language the exact total (for the audit), the
+    estimate, and the relative error — the corpus balancer can now
+    budget per-language token mass from a k-row sample instead of a
+    full scan.
+
+    Determinism: the sample is a pure function of the data (see
+    priority_sample), τ is a window rank over the same priorities, and
+    the estimator is sums/maxes of already-exact doubles — so even the
+    \"estimate\" column is oracle-exact.
+    """
+    from neo4j_database_spark.operators.topk import grouped_topk
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    pri = docs.withColumn("q", F.col("n_chars").cast("double") / u)
+    # top-(k+1): rows 1..k are the sample, row k+1's priority is τ
+    # (groups with ≤ k rows have no τ → their estimate is the exact sum)
+    topk1 = grouped_topk(pri, ["lang"], "q", k=k + 1, tie_cols=["doc_id"])
+    tau = (
+        topk1.filter(F.col("rnk") == k + 1)
+        .select("lang", F.col("q").alias("tau"))
+    )
+    sample = topk1.filter(F.col("rnk") <= k)
+    # per-row contribution max(w, τ) rounded to integer chars BEFORE the
+    # sum: a float sum of k doubles is accumulation-order-dependent
+    # across engines, a long sum is exact and order-free (round() on the
+    # identical double agrees between Spark and DuckDB — the same recipe
+    # as the money _cents and centroid nano-unit paths)
+    contrib = F.round(
+        F.greatest(
+            F.col("n_chars").cast("double"),
+            F.coalesce(F.col("tau"), F.lit(0.0)),
+        )
+    ).cast("long")
+    est = (
+        sample.join(F.broadcast(tau), "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(contrib).alias("est_chars"),
+            F.count(F.lit(1)).alias("sample_n"),
+        )
+    )
+    exact = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("exact_chars")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "sample_n",
+            "est_chars",
+            "exact_chars",
+            # est and exact are exact longs < 2^53 → exact doubles; one
+            # subtraction + one division, correctly rounded identically
+            (
+                F.abs(
+                    F.col("est_chars").cast("double")
+                    - F.col("exact_chars").cast("double")
+                )
+                / F.col("exact_chars").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
