@@ -178,7 +178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_lm_coverage, orders_incremental_rollup, events_twap_daily —
         # by demoting r04-green entries whose family keeps a
         # representative (update DRIVER_WINDOW in the test in the same
-        # commit).
+        # commit). The six round-4-built entries (doc_top_docs_per_lang,
+        # doc_priority_sample, doc_priority_sample_estimate,
+        # emb_ivf_index_knn, order_fill_profile,
+        # order_fill_profile_bucketed) are also rotation candidates —
+        # each already strict-checked at sf0.001/0.01/0.1 locally.
         # Round-3 demotions (each family keeps an in-window
         # representative; all were driver-green in r01/r02 with code
         # unchanged, or rows-only):
