@@ -100,6 +100,11 @@ def grouped_topk(
         # pandas→Arrow maps NaN back to SQL NULL (pandas has no separate
         # null for float64), so NaN order values would emerge from the
         # prune as nulls — flag them Spark-side and restore after.
+        if "__nan__" in df.columns:
+            raise ValueError(
+                "grouped_topk(missing='nan') reserves the column name "
+                "'__nan__'; rename the input column"
+            )
         src = df.withColumn("__nan__", F.isnan(order_col))
     pruned = src.mapInPandas(prune, schema=src.schema)
     if missing == "nan":

@@ -574,6 +574,25 @@ def training_shuffle(
     )
 
 
+def _doc_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_chars, q): the shared deterministic priority
+    frame for priority_sample AND priority_sample_estimate — the hash
+    recipe is the contract both queries and both oracles must agree on,
+    so it lives in exactly one place. q = w/u with u = (h+1)/2^32, h =
+    first 8 md5 hex digits; u in (0,1] (+1 keeps u>0, h+1 ≤ 2^32 is
+    exact in double), and the parenthesization (w / ((h+1) / 2^32)) is
+    mirrored by the oracle SQL so both engines perform the same two
+    correctly-rounded divisions."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    return docs.withColumn("q", F.col("n_chars").cast("double") / u)
+
+
 def priority_sample(
     spark: SparkSession, sf_dir: str, k: int = 8
 ) -> DataFrame:
@@ -598,17 +617,7 @@ def priority_sample(
     """
     from neo4j_database_spark.operators.topk import grouped_topk
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "lang", "doc_id", "n_chars"
-    )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    # u in (0,1]: +1 keeps u>0 (h+1 ≤ 2^32 is exact in double); the
-    # parenthesization (w / (h+1 / 2^32)) is mirrored by the oracle SQL
-    # so both engines perform the same two correctly-rounded divisions
-    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
-    pri = docs.withColumn("q", F.col("n_chars").cast("double") / u)
+    pri = _doc_priorities(spark, sf_dir)
     return grouped_topk(
         pri, ["lang"], "q", k=k, tie_cols=["doc_id"]
     ).orderBy("lang", "rnk")
@@ -632,14 +641,8 @@ def priority_sample_estimate(
     """
     from neo4j_database_spark.operators.topk import grouped_topk
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "lang", "doc_id", "n_chars"
-    )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
-    pri = docs.withColumn("q", F.col("n_chars").cast("double") / u)
+    pri = _doc_priorities(spark, sf_dir)
+    docs = pri.select("lang", "doc_id", "n_chars")
     # top-(k+1): rows 1..k are the sample, row k+1's priority is τ
     # (groups with ≤ k rows have no τ → their estimate is the exact sum)
     topk1 = grouped_topk(pri, ["lang"], "q", k=k + 1, tie_cols=["doc_id"])

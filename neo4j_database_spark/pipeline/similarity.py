@@ -661,42 +661,67 @@ def ensure_ivf_index(
     per query, is provided by the storage layout rather than a runtime
     filter over everything. Rebuild cost is one scan + one write.
 
-    Cache key = layout version + source-file fingerprint (mtime+size of
-    embeddings.parquet), so regenerated testdata at the same path gets
-    a fresh index instead of stale answers. Concurrent first builds of
-    the same key write identical content; a cache dir is never
-    overwritten while live because a data change moves the key.
+    Cache key = layout version + source fingerprint (mtime+size of the
+    embeddings parquet file, or the newest-part mtime + total size for
+    a directory-style table), so regenerated data gets a fresh index
+    instead of stale answers. Builds land in a builder-private temp dir
+    and are published by ONE atomic rename — a concurrent builder that
+    loses the race just discards its temp dir, and a partially-written
+    index can never sit behind the committed marker.
     """
     from neo4j_database_spark.sources.warehouse import _ident
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
+    st = os.stat(src)
+    if os.path.isdir(src):
+        # directory mtime doesn't change on in-place part overwrite —
+        # fingerprint the parts themselves
+        parts = [
+            os.stat(os.path.join(src, f))
+            for f in os.listdir(src)
+            if not f.startswith((".", "_"))
+        ]
+        fp = (
+            f"{max((int(p.st_mtime) for p in parts), default=0)}_"
+            f"{sum(p.st_size for p in parts)}"
+        )
+    else:
         fp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:  # directory-style parquet: fingerprint the dir
-        st = os.stat(sf_dir)
-        fp = f"{int(st.st_mtime)}_0"
     path = os.path.join(
         IVF_INDEX_ROOT,
         f"v{IVF_INDEX_VERSION}_{_ident(sf_dir)}_l{n_lists}_{fp}",
     )
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        assigned = _ivf_assign(spark, sf_dir, n_lists)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        # build privately, publish atomically: overwrite-into-a-shared-
+        # path is delete-then-write, so two racing builders would
+        # corrupt each other and the marker would make it permanent
+        tmp = f"{path}.building.{os.getpid()}"
+        # one plan execution feeds both writes (the assignment is a
+        # crossJoin + exact-decimal cosine + window — too expensive to
+        # run twice)
+        assigned = _ivf_assign(spark, sf_dir, n_lists).localCheckpoint()
         (
             assigned.write.mode("overwrite")
             .partitionBy("cent_id")
-            .parquet(os.path.join(path, "lists"))
+            .parquet(os.path.join(tmp, "lists"))
         )
         (
             assigned.select("vec_id", "cent_id")
             .repartition(1)
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "assign"))
+            .parquet(os.path.join(tmp, "assign"))
         )
-        with open(marker, "w") as f:
+        with open(os.path.join(tmp, "_BUILT"), "w") as f:
             f.write(sf_dir)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another builder published first — identical content; keep
+            # theirs, drop ours
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
@@ -722,12 +747,18 @@ def ivf_index_knn(
     in the plan.
     """
     path = ensure_ivf_index(spark, sf_dir, n_lists)
-    q_cent, = (
+    q_rows = (
         spark.read.parquet(os.path.join(path, "assign"))
         .filter(F.col("vec_id") == query_vec_id)
         .collect()
     )
-    probes = [q_cent.cent_id]
+    if not q_rows:
+        # unknown query id: same contract as ivf_knn — empty result,
+        # not an unpack crash
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank_score double"
+        )
+    probes = [q_rows[0].cent_id]
     emb = load_table(spark, "embeddings", sf_dir)
     q_vec = (
         emb.filter(F.col("vec_id") == query_vec_id)

@@ -572,35 +572,57 @@ def test_priority_sample_matches_python_recompute(spark, sf_dir):
 
 def test_grouped_topk_nan_mode(spark):
     """missing='nan': Spark ranks NaN as the LARGEST double (desc →
-    first), the opposite side from nulls — the prune must keep them."""
+    first, asc → LAST — the opposite side from nulls). NaN is sparse
+    (~1 per group) and k=4, so the cut crosses the NaN/numeric boundary
+    in desc mode and stays fully numeric in asc mode — both placements
+    exercised against the plain-window plan."""
     from pyspark.sql import Window
 
     from neo4j_database_spark.operators.topk import grouped_topk
 
     df = spark.range(0, 3000).select(
         (F.col("id") % 5).cast("string").alias("g"),
-        F.when(F.col("id") % 13 == 0, F.lit(float("nan")))
+        F.when(F.col("id") % 997 == 0, F.lit(float("nan")))
         .otherwise((F.col("id") % 10).cast("double"))
         .alias("v"),
         F.col("id").alias("k"),
     )
 
     def norm(rows):
+        # NaN != NaN breaks tuple equality, and mixed str/float columns
+        # break tuple ordering — compare canonical strings instead
         return sorted(
-            tuple("NaN" if isinstance(x, float) and x != x else x for x in r)
+            repr(
+                tuple(
+                    "NaN" if isinstance(x, float) and x != x else x
+                    for x in r
+                )
+            )
             for r in rows
         )
 
-    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
-    want = norm(
-        df.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 4)
-        .collect()
-    )
-    got = norm(
+    for ascending in (False, True):
+        order = [
+            F.asc("v") if ascending else F.desc("v"), F.asc("k")
+        ]
+        w = Window.partitionBy("g").orderBy(*order)
+        want = norm(
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 4)
+            .collect()
+        )
+        got = norm(
+            grouped_topk(
+                df.repartition(7), ["g"], "v", k=4, tie_cols=["k"],
+                missing="nan", ascending=ascending,
+            ).collect()
+        )
+        assert got == want, ascending
+    # reserved-name guard must be loud, not silent corruption
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
         grouped_topk(
-            df.repartition(7), ["g"], "v", k=4, tie_cols=["k"],
-            missing="nan",
-        ).collect()
-    )
-    assert got == want
+            df.withColumnRenamed("k", "__nan__"), ["g"], "v", k=2,
+            tie_cols=["__nan__"], missing="nan",
+        )
