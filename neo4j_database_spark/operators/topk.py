@@ -18,6 +18,17 @@ instead of n.
 Determinism: ties on the order column are broken by ``tie_cols``
 (ascending) in BOTH the local prune and the final window, so the
 result is a total order and hash-stable under any partitioning.
+
+Measured trade-off (replicated sf0.1 documents, local[32], best-of-3):
+the prune ships the FULL input through the Arrow→Python round-trip,
+and on a single box that costs more than the window's in-memory JVM
+shuffle (64×: window 0.31-0.35 s vs pruned 0.63-0.66 s, with or
+without the wide text payload). The prune's k·P-rows-per-group shuffle
+bound pays off only where the exchange is the expensive resource — a
+congested multi-rack cluster shuffling wide rows — not where shuffle is
+memory-speed. Default to the plain window; reach for grouped_topk when
+the job is provably exchange-bound (or when composing with operators
+that already need the pruned frame, e.g. priority sampling's τ).
 """
 
 from __future__ import annotations

@@ -343,6 +343,20 @@ pagerank amortizes the SAME fixed cost over 10 supersteps, which is why
 its 64x/16x ratio stays 3.5 (sublinear) — and per-superstep marginal
 cost stays flat for both (pagerank: 13.8 -> 12.6 -> 10.5 s/replica at
 4x/16x/64x).
+
+## Round-4 operator cells (measured ad hoc on the same replicas)
+
+- Bucketed spine (order_fill_profile twins) on 16x lineitem/orders
+  (9.6M/2.4M rows): raw shuffle join **3.40 s**, bucketed co-located
+  join **1.12 s** (3.0x; sf0.1 was 1.68 -> 0.36 s, 4.7x); one-time
+  bucketed write 6.9 s — amortized after ~3 queries on the spine.
+- Grouped top-k (operators/topk.py) on 16x/64x documents: the plain
+  window WINS on this box (64x: 0.31-0.35 s vs 0.63-0.66 s pruned,
+  wide or narrow payload) because the prune ships the full input
+  through the Arrow/Python round-trip while the window's shuffle is
+  memory-speed. The k·P-per-group shuffle bound is the win only on
+  exchange-bound clusters; documented in the operator docstring —
+  measure, don't guess.
 """
 
 
