@@ -344,6 +344,12 @@ its 64x/16x ratio stays 3.5 (sublinear) — and per-superstep marginal
 cost stays flat for both (pagerank: 13.8 -> 12.6 -> 10.5 s/replica at
 4x/16x/64x).
 
+## Round-4 relational/vector 64x cells (measured ad hoc, /tmp/x64_rel_cells.py —
+38.4M lineitem / 6.4M events / 128k vectors): q1_scan_agg 1.76 s (16x 1.44,
+ratio 1.2), q3_join_agg 9.56 s (2.65, 3.6), session_windows 1.49 s (0.64,
+2.3), knn_bruteforce 0.85 s (0.34, 2.5) — all at-or-under linear for 4x the
+data.
+
 ## Round-4 operator cells (measured ad hoc on the same replicas)
 
 - Bucketed spine (order_fill_profile twins) on 16x lineitem/orders
