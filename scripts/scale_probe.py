@@ -355,7 +355,12 @@ data.
 - Bucketed spine (order_fill_profile twins) on 16x lineitem/orders
   (9.6M/2.4M rows): raw shuffle join **3.40 s**, bucketed co-located
   join **1.12 s** (3.0x; sf0.1 was 1.68 -> 0.36 s, 4.7x); one-time
-  bucketed write 6.9 s — amortized after ~3 queries on the spine.
+  bucketed write 6.9 s — amortized after ~3 queries on the spine. At
+  64x (38.4M rows) the q3 fact-fact join — the largest 64x/16x ratio in
+  the table (3.6) — drops from **9.56 s raw to 4.77 s co-located**
+  (2.0x; 29.9 s one-time write), and the gap is pure network-free
+  bucket zips, i.e. it WIDENS with cluster size while the raw join's
+  shuffle crosses the fabric.
 - Grouped top-k (operators/topk.py) on 16x/64x documents: the plain
   window WINS on this box (64x: 0.31-0.35 s vs 0.63-0.66 s pruned,
   wide or narrow payload) because the prune ships the full input
