@@ -368,6 +368,22 @@ data.
   memory-speed. The k·P-per-group shuffle bound is the win only on
   exchange-bound clusters; documented in the operator docstring —
   measure, don't guess.
+
+## Skewed-join cell (r04, /tmp/skew_probe2.py)
+
+16x lineitem re-keyed so ONE orderkey holds 6.2M of 9.6M rows (65%),
+forced SMJ (broadcast would mask the skew — and IS the first
+mitigation when the dim fits). AQE skew-join at DEFAULT thresholds:
+**9.49 s — the split never fires**, because the hot partition
+(~250 MB) sits under `skewedPartitionThresholdInBytes`'s 256 MB
+default. With the threshold sized to the partition budget (32 MB,
+advisory 16 MB): **2.41 s (3.9x)** — the hot partition splits across
+the idle cores. Lesson encoded: AQE skew handling is not free-by-flag;
+the threshold must be sized with `spark.sql.files.maxPartitionBytes` /
+executor memory, or a 65%-hot key rides one task while the cluster
+idles. The engine's own known-skew site (the quadratic same-house ETL
+join) carries an explicit salting fallback instead of relying on the
+default-threshold flag.
 """
 
 
