@@ -1508,7 +1508,7 @@ ORDER BY vec_id, subspace
 _FILL_PROFILE_SQL = """
 SELECT o_orderpriority,
   COUNT(*) AS n_orders,
-  SUM(n_items) AS n_items,
+  CAST(SUM(n_items) AS BIGINT) AS n_items,
   CAST(SUM(n_items) AS DOUBLE) / COUNT(*) AS avg_items,
   CAST(CAST(SUM(order_revenue) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
 FROM (
@@ -2721,7 +2721,8 @@ exact AS (
   SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS exact_chars
   FROM documents GROUP BY lang
 )
-SELECT e.lang, e.sample_n, e.est_chars, x.exact_chars,
+SELECT e.lang, e.sample_n,
+  CAST(e.est_chars AS BIGINT) AS est_chars, x.exact_chars,
   abs(CAST(e.est_chars AS DOUBLE) - CAST(x.exact_chars AS DOUBLE))
     / CAST(x.exact_chars AS DOUBLE) AS rel_err
 FROM est e JOIN exact x ON x.lang = e.lang
@@ -3813,7 +3814,7 @@ WITH big AS (
 SELECT c.c_name AS name, c.c_custkey AS custkey,
   o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
   o.o_totalprice AS totalprice,
-  b.total_qty
+  CAST(b.total_qty AS BIGINT) AS total_qty
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4017,7 +4018,8 @@ WITH per_supp AS (
 stats AS (
   SELECT SUM(promo_qty) AS total_qty, COUNT(*) AS n_supp FROM per_supp
 )
-SELECT s.s_name AS supplier, n.n_name AS nation, p.promo_qty
+SELECT s.s_name AS supplier, n.n_name AS nation,
+  CAST(p.promo_qty AS BIGINT) AS promo_qty
 FROM per_supp p, stats
 JOIN supplier s ON p.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -75,6 +75,35 @@ def lint_per_row_decimal_roundtrip(oracles):
     return bad
 
 
+# Column types whose DRIVER materialization diverges from fetchall().
+# Round-4 judge finding (the two-round Q18/Q20 red): DuckDB types a bare
+# SUM(BIGINT) as HUGEINT (int128). fetchall() — this script's row path —
+# returns a Python int, which matches Spark and hides the bug locally; a
+# pandas/Arrow materialization (the driver's path) yields float64 /
+# decimal128, so every cell stringifies as '204.0' vs Spark's '204' and
+# the value hash fails with rows+schema green. The cell compare can NEVER
+# catch this locally, so it must be caught at the TYPE level: describe the
+# oracle via relation binding (no execution) and hard-fail any HUGEINT /
+# UHUGEINT / DECIMAL output column. Fix at the query: CAST the aggregate
+# output to BIGINT (counts/sums that fit int64) or DOUBLE (money paths,
+# see relational.py::_money_out).
+BANNED_RESULT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def preflight_result_types(con, oracles):
+    """Bind every oracle (no execution) and return [(name, col, type)]
+    for output columns whose DuckDB type the driver materializes
+    differently than fetchall() does."""
+    bad = []
+    for name, sql in oracles.items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if t.startswith(BANNED_RESULT_TYPES):
+                bad.append((name, col, str(typ)))
+    return bad
+
+
 def table_fingerprint(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -94,6 +123,14 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    typebad = preflight_result_types(con, oracles)
+    if typebad:
+        print("TYPE PREFLIGHT: oracle output columns whose driver "
+              "materialization (pandas/Arrow) diverges from fetchall() — "
+              "CAST the output to BIGINT or DOUBLE:")
+        for name, col, typ in typebad:
+            print(f"  {name}: {col} is {typ}")
+        sys.exit(2)
     lint = lint_per_row_decimal_roundtrip(oracles)
     if lint:
         print("LINT: per-row DECIMAL round-trip of non-aggregated value "
