@@ -409,6 +409,98 @@ def image_near_dups(media: DataFrame, max_hamming: int = 7) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checkable audit twins (round-5): the synthetic fixture is a pure
+# function of the row index (dimensions, pixel pattern, waveform, container
+# fields are all integer formulas), so a SQL oracle can recompute every
+# expected statistic from generate_series and verify the DECODE PIPELINE
+# measured exactly what was encoded — retiring the rows-only status of the
+# multimodal entries the same way the r04 sketch audits were oracle-ified.
+# The Spark side still does the real work (PNG inflate + filters, RIFF
+# parse, ISO-BMFF box walk) on payload BYTES; only the expectation is
+# formula-derived.
+# ---------------------------------------------------------------------------
+
+
+def audit_image_stats(spark) -> DataFrame:
+    """REAL PNG decode over the fixture, projected to the integer stats a
+    SQL oracle can recompute from the generation formula: measured
+    dimensions, channel count, and mean intensity (sum(px)//len(px) —
+    exact integer math on decoded bytes)."""
+    feats = extract_image_features(synthetic_media(spark, n=96))
+    return feats.select(
+        "media_id", "width", "height", "channels", "mean_intensity", "decoded"
+    ).orderBy("media_id")
+
+
+def audit_audio_stats(spark) -> DataFrame:
+    """REAL PCM WAV parse: rate/duration from the RIFF header, peak and
+    mean-absolute amplitude from the samples themselves — all exact
+    integers the oracle recomputes from the sawtooth formula."""
+    feats = extract_audio_features(synthetic_media(spark, n=96))
+    return feats.select(
+        "media_id", "sample_rate", "duration_ms", "peak", "mean_abs", "decoded"
+    ).orderBy("media_id")
+
+
+def audit_video_stats(spark) -> DataFrame:
+    """REAL ISO-BMFF box walk: tkhd 16.16 dimensions, mvhd timescale
+    arithmetic, stts frame count, handler tag — plus the quarantine
+    contract (every third video is planted garbage and must surface as
+    decoded=False with NULL fields, n_bytes still measured)."""
+    feats = extract_video_features(synthetic_media(spark, n=96))
+    return feats.select(
+        "media_id", "n_bytes", "width", "height", "duration_ms",
+        "n_frames", "handler", "decoded",
+    ).orderBy("media_id")
+
+
+def audit_resize_roundtrip(spark, new_w: int = 20, new_h: int = 16) -> DataFrame:
+    """Resize e2e audit: decode → nearest-neighbor resample → re-encode
+    PNG → decode AGAIN, and report the resized mean intensity. The oracle
+    recomputes it from the floor source-pixel mapping
+    (sx = X*w//new_w, sy = Y*h//new_h), so any drift in either codec
+    direction or in the resample kernel fails the hash."""
+    resized = resize_images(synthetic_media(spark, n=96), new_w, new_h)
+    as_media = resized.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.lit("png").alias("format"),
+        "payload",
+    )
+    feats = extract_image_features(as_media)
+    return feats.select(
+        "media_id", "width", "height", "mean_intensity", "decoded"
+    ).orderBy("media_id")
+
+
+def audit_near_dup_pairs(spark) -> DataFrame:
+    """Oracle twin of image_near_dups: the fixture plants one perceptual
+    near-duplicate per 9 images (same content re-rendered at another
+    resolution); the banded-aHash join must find exactly those pairs.
+    The oracle recomputes every aHash from the block-pattern formula
+    (cell pooling == content blocks, integer arithmetic throughout) and
+    derives the ≤7-Hamming pair set — a complete end-to-end check of
+    decode + greyscale + pooling + banding + verification."""
+    return image_near_dups(synthetic_media(spark, n=96))
+
+
+def media_inventory(spark) -> DataFrame:
+    """JVM-side metadata pass (attach_payload_stats) over the fixture —
+    no Python stage; declared modality/format/dimensions only."""
+    stats = attach_payload_stats(synthetic_media(spark, n=96))
+    return stats.select(
+        "media_id", "modality", "format", "width", "height"
+    ).orderBy("media_id")
+
+
+def frame_sample_query(spark) -> DataFrame:
+    """Driver-facing frame-sampling lattice over the fixture videos."""
+    return frame_sample_plan(synthetic_media(spark, n=96)).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
 RESIZED_SCHEMA = (
     "media_id long, width int, height int, payload binary, decoded boolean"
 )

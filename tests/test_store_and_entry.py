@@ -61,59 +61,61 @@ def test_queries_and_oracles_aligned():
 # hand-counted "window ends here" comment drifted by two, leaving two
 # queries unchecked for two rounds).
 DRIVER_WINDOW = [
-    "g_directory",
-    "g_search",
-    "g_ego_network",
+    # round-5 rotation (VERDICT r04 items 2+4+5): 22 never-driver-checked
+    # entries promoted, 22 r04-greens demoted (each family keeps a
+    # representative); the two r04 reds (big_volume_customers,
+    # promo_part_suppliers) stay in to prove the HUGEINT-oracle fix
     "g_winder",
     "g_rule_edge_counts",
     "g_feature_matrix",
     "g_connected_components",
-    "g_bfs_distances",
     "g_pagerank",
-    "g_link_pred_scores",
     "doc_bm25",
     "cypher_winder",
-    "cypher_house_counts",
-    "cypher_call_topk",
     "cypher_write_roundtrip",
-    "brand_association_rules",
     "doc_lang_id",
-    "doc_exact_dedup",
     "doc_minhash_lsh",
-    "emb_knn_bruteforce",
     "emb_ivf_pq_knn",
-    "stream_hourly_rollup",
     "stream_click_attribution",
     "top_unshipped_orders",
     "urgent_lineitem_bloom",
     "events_state_transitions",
     "events_session_windows",
     "asof_order_events",
-    "cypher_search",
-    "g_hits",
-    "g_ktruss",
     "sales_marginals",
     "part_skyline",
     "user_error_window_overlap",
     "big_volume_customers",
-    "nation_market_share",
-    "volume_shipping",
-    "product_profit",
-    # round-4 promotions (VERDICT r03 item 2): never-driver-checked
-    # oracle-backed entries; demoted r03 greens each keep a family
-    # representative above (see __spark_entry__.py demotion comments)
     "pricing_summary_prod",
     "nation_revenue_prod",
     "returned_item_losses",
     "part_supplier_counts",
     "disjunctive_part_revenue",
-    "idle_rich_customers",
     "cheapest_supplier_per_part",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "important_parts",
     "promo_part_suppliers",
-    "forecast_revenue_change",
+    # round-5 promotions
+    "doc_token_heavy_hitters_audit",
+    "events_approx_users_audit",
+    "events_value_quantiles_audit",
+    "doc_len_quantiles_audit",
+    "customer_merge",
+    "user_state_scd2",
+    "events_ohlc_daily",
+    "customer_hierarchy_rollup",
+    "monthly_revenue_growth",
+    "customer_order_distribution",
+    "late_sole_suppliers",
+    "doc_lm_coverage",
+    "orders_incremental_rollup",
+    "events_twap_daily",
+    "doc_top_docs_per_lang",
+    "doc_priority_sample",
+    "doc_priority_sample_estimate",
+    "emb_ivf_index_knn",
+    "order_fill_profile",
+    "order_fill_profile_bucketed",
+    "mm_image_stats_audit",
+    "mm_video_stats_audit",
 ]
 
 
