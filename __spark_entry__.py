@@ -229,6 +229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": rel.top_supplier_revenue,  # Q15
         "important_parts": rel.important_parts,  # Q11
         "forecast_revenue_change": rel.forecast_revenue_change,  # Q6
+        # -- bucketed order-spine twins (VERDICT r04 item 8): same
+        #    answers as their raw twins (shared oracles), fact-fact join
+        #    and orderkey aggregates exchange-free off the warehouse
+        #    spine; r6 rotation candidates --
+        "top_unshipped_orders_bucketed": rel.top_unshipped_orders_bucketed,
+        "returned_item_losses_bucketed": rel.returned_item_losses_bucketed,
+        "big_volume_customers_bucketed": rel.big_volume_customers_bucketed,
         # -- multimodal audit twins kept out-of-window for the r8 slot --
         "mm_audio_stats_audit": _mm_audio_stats_audit,
         "mm_image_resize_audit": _mm_image_resize_audit,
@@ -4576,4 +4583,10 @@ ORDER BY y, m
     # in-memory IVF path's, so one SQL serves both — the list-partitioned
     # layout changes the plan, never the answer
     d["emb_ivf_index_knn"] = d["emb_ivf_knn"]
+    # bucketed order-spine twins share their raw twins' oracles — the
+    # storage layout changes the physical plan (exchange elimination,
+    # PLANS.md), never the result
+    d["top_unshipped_orders_bucketed"] = d["top_unshipped_orders"]
+    d["returned_item_losses_bucketed"] = d["returned_item_losses"]
+    d["big_volume_customers_bucketed"] = d["big_volume_customers"]
     return d

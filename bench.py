@@ -42,6 +42,14 @@ HEADLINE = (
     # decimal oracle kernel — pinned next to it so the ~30× decimal
     # penalty (VERDICT r02 item 2) and its fix are directly visible
     "top_unshipped_orders",
+    "top_unshipped_orders_bucketed",  # Q3 over the bucketed spine (3→1
+    # exchanges) — spine routing, VERDICT r04 item 8
+    "returned_item_losses",
+    "returned_item_losses_bucketed",  # Q10: fact join exchange-free
+    # (4→3); ties raw at sf0.1 (broadcast crossover, see docstring)
+    "big_volume_customers",
+    "big_volume_customers_bucketed",  # Q18: per-order agg + join
+    # exchange-free (4→2)
     "nation_revenue",
     "nation_revenue_prod",
     "events_sessionized",

@@ -174,17 +174,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join (broadcast dim filter → fact) + top-k."""
-    cust = load_table(spark, "customer", sf_dir).filter(
-        F.col("c_mktsegment") == "BUILDING"
+def _spine_tables(spark, sf_dir: str):
+    """(orders, lineitem) off the bucketed warehouse spine, merge-hinted:
+    both scans report HashPartitioning(orderkey, N), so the fact-fact
+    join and any orderkey-keyed aggregate run with zero Exchange (see
+    sources/warehouse.py). The merge hint keeps the planner off a
+    broadcast join whose output would lose one side's partitioning."""
+    from neo4j_database_spark.sources.warehouse import ensure_bucketed_spine
+
+    names = ensure_bucketed_spine(spark, sf_dir)
+    return (
+        spark.table(names["orders"]).hint("merge"),
+        spark.table(names["lineitem"]),
     )
-    orders = load_table(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") < F.lit("1998-03-15")
-    )
-    li = load_table(spark, "lineitem", sf_dir).filter(
-        F.col("l_shipdate") > F.lit("1998-03-15")
-    )
+
+
+def _top_unshipped(orders: DataFrame, li: DataFrame, cust: DataFrame, k: int) -> DataFrame:
+    orders = orders.filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = li.filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -194,6 +201,33 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast dim filter → fact) + top-k."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return _top_unshipped(
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        cust,
+        k,
+    )
+
+
+def top_unshipped_orders_bucketed(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Q3 over the bucketed order spine: the li⋈orders fact join and the
+    orderkey-keyed aggregate inherit HashPartitioning from the scans —
+    the only exchanges left are the broadcast dim and the final top-k.
+    Shares top_unshipped_orders' oracle (layout can't change answers)."""
+    orders, li = _spine_tables(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return _top_unshipped(orders, li, cust, k)
 
 
 def top_customers_by_spend(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
@@ -1613,15 +1647,23 @@ def returned_item_losses(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
     shipmode columns do not exist in this dataset; late_sole_suppliers
     carries the Q21 double-correlation shape on shipdate instead).
     """
-    li = load_table(spark, "lineitem", sf_dir).filter(
-        F.col("l_returnflag") == "R"
+    return _returned_losses(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        k,
     )
-    orders = load_table(spark, "orders", sf_dir).filter(
+
+
+def _returned_losses(
+    li: DataFrame, orders: DataFrame, cust: DataFrame, nation: DataFrame, k: int
+) -> DataFrame:
+    li = li.filter(F.col("l_returnflag") == "R")
+    orders = orders.filter(
         (F.col("o_orderdate") >= F.lit("1997-10-01"))
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
-    cust = load_table(spark, "customer", sf_dir)
-    nation = load_table(spark, "nation", sf_dir)
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1631,6 +1673,30 @@ def returned_item_losses(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         .agg(F.sum(revenue).cast(MONEY_SUM).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
+    )
+
+
+def returned_item_losses_bucketed(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Q10 over the bucketed order spine: the fact-fact li⋈orders join
+    is exchange-free (4 → 3 exchanges); only the customer enrich
+    (different key) still shuffles. Shares returned_item_losses' oracle.
+
+    Measured honesty: at sf0.1 this TIES the raw plan (~0.8 s both,
+    5-trial steady state) — the quarter-filtered orders side is small
+    enough that the raw plan's broadcast join matches the no-exchange
+    SMJ. The spine wins when the filtered fact side outgrows the
+    broadcast threshold — i.e., exactly at the scale this layout exists
+    for; the other two twins (Q3 3→1 exchanges 0.90→0.59 s, Q18 4→2
+    exchanges 0.63→0.39 s) already win at sf0.1."""
+    orders, li = _spine_tables(spark, sf_dir)
+    return _returned_losses(
+        li,
+        orders,
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        k,
     )
 
 
@@ -1733,9 +1799,17 @@ def big_volume_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250) -
     that is not aggregated needs no determinism cast at all — emitting
     the raw bits on both sides is exact under every engine version.
     """
-    li = load_table(spark, "lineitem", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    cust = load_table(spark, "customer", sf_dir)
+    return _big_volume(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        min_qty,
+    )
+
+
+def _big_volume(
+    li: DataFrame, orders: DataFrame, cust: DataFrame, min_qty: int
+) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
@@ -1753,6 +1827,19 @@ def big_volume_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250) -
             "total_qty",
         )
         .orderBy(F.desc("total_qty"), F.asc("orderkey"))
+    )
+
+
+def big_volume_customers_bucketed(
+    spark: SparkSession, sf_dir: str, min_qty: int = 250
+) -> DataFrame:
+    """Q18 over the bucketed order spine: the per-order quantity
+    aggregate — the only fact-sized shuffle in the raw plan — inherits
+    the scan's HashPartitioning and runs exchange-free, as does the
+    qualifying-set ⋈ orders join. Shares big_volume_customers' oracle."""
+    orders, li = _spine_tables(spark, sf_dir)
+    return _big_volume(
+        li, orders, load_table(spark, "customer", sf_dir), min_qty
     )
 
 
