@@ -305,15 +305,20 @@ def pagerank(
             # Piggyback the convergence check on the checkpoint job
             # itself: join the new ranks with the previous checkpoint
             # (both hash-partitioned on id — no exchange of the new
-            # side) and attach the L1 delta as an OBSERVED metric, so
-            # the sum is computed by the very job localCheckpoint()
-            # runs. Zero extra Spark jobs vs the fixed-round loop —
-            # the earlier separate join+agg+collect per checkpoint cost
-            # the prod twin +6% over fixed-10 at sf0.1 when the graph
-            # doesn't converge early (BENCH_r04 7.76 vs 7.34 s).
-            from pyspark.sql import Observation
-
-            obs = Observation()
+            # side) so the delta terms are computed and MATERIALIZED by
+            # the very job localCheckpoint() runs; the L1 sum is then a
+            # tiny aggregate over the in-memory checkpointed frame (no
+            # recompute, no shuffle of anything new). The earlier
+            # separate join+agg+collect per checkpoint cost the prod
+            # twin +6% over fixed-10 at sf0.1 when the graph doesn't
+            # converge early (BENCH_r04 7.76 vs 7.34 s). NOTE: the
+            # obvious df.observe(Observation, sum) formulation is
+            # banned here — combined with localCheckpoint it leaves the
+            # session's ObservationManager reachable from later task
+            # closures, and every subsequent spark.ml fit/transform
+            # dies with Task-not-serializable (reproduced on Spark
+            # 4.1; pinned by tests/test_algorithms.py::
+            # test_pagerank_tol_then_ml_pipeline_serializes).
             frame = (
                 ranks.join(
                     prev_checkpoint.select(
@@ -326,13 +331,12 @@ def pagerank(
                     "rank",
                     F.abs(F.col("rank") - F.col("prev_rank")).alias("_d"),
                 )
-                .observe(obs, F.sum("_d").alias("l1"))
                 .localCheckpoint()
             )
             ranks = frame.select("id", "rank")
             iso_rank = teleport_plus_dangling
             dangling_mass = n_dang * teleport_plus_dangling
-            l1 = obs.get["l1"]
+            l1 = frame.agg(F.sum("_d").alias("l1")).first()[0]
             if l1 is not None and l1 < tol:
                 break
             prev_checkpoint = ranks

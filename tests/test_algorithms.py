@@ -126,6 +126,37 @@ def test_pagerank_tol_early_exit_parity(tiny):
     assert sum(r["rank"] for r in first_ck) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_tol_then_ml_pipeline_serializes(tiny, spark):
+    """Session-poisoning regression (Spark 4.1): df.observe(Observation)
+    combined with localCheckpoint leaves the session's
+    ObservationManager reachable from later task closures — every
+    subsequent spark.ml fit/transform then dies with
+    Task-not-serializable. The convergence check must therefore stay
+    observation-free; this pins that an ML pipeline still runs after a
+    tol-mode pagerank in the same session (the exact full-suite
+    ordering that caught it: test_algorithms before test_engine)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    alg.pagerank(tiny, max_iter=6, tol=1e-9).collect()
+    train = spark.createDataFrame(
+        [(1.0, 2.0, 0.0), (2.0, 1.0, 1.0)] * 5,
+        "x double, y double, label double",
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["x", "y"], outputCol="features"),
+            RandomForestClassifier(
+                featuresCol="features", labelCol="label", numTrees=3
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(train).select("prediction").first()[0]
+    assert pred in (0.0, 1.0)
+
+
 def test_connected_components_copartitioned_mode_identical(tiny):
     comps = alg.connected_components(tiny).collect()
     copart = alg.connected_components(tiny, broadcast_node_limit=0).collect()
