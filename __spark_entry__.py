@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders_bucketed": rel.top_unshipped_orders_bucketed,
         "returned_item_losses_bucketed": rel.returned_item_losses_bucketed,
         "big_volume_customers_bucketed": rel.big_volume_customers_bucketed,
+        # KMV distinct sketch with set-intersection estimation — the
+        # join-cardinality primitive (integer-exact estimator, so even
+        # the estimate is oracle-checked); r6 rotation candidate
+        "events_kmv_join_cardinality": rel.events_kmv_join_cardinality,
         # -- multimodal audit twins kept out-of-window for the r8 slot --
         "mm_audio_stats_audit": _mm_audio_stats_audit,
         "mm_image_resize_audit": _mm_image_resize_audit,
@@ -4582,6 +4586,61 @@ ORDER BY y, m
     # persisted IVF twin: with n_probe=1 the candidate set equals the
     # in-memory IVF path's, so one SQL serves both — the list-partitioned
     # layout changes the plan, never the answer
+    # KMV join-cardinality: the estimator is pure integer arithmetic over
+    # deterministic md5-prefix hashes, so est AND exact are both pinned
+    d["events_kmv_join_cardinality"] = """
+WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+hv AS (
+  SELECT DISTINCT t,
+    CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM du
+),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+    FROM hv
+  ) WHERE rn <= 64
+),
+types AS (SELECT DISTINCT t FROM sk),
+pairs AS (
+  SELECT x.t AS ta, y.t AS tb FROM types x JOIN types y ON x.t < y.t
+),
+cand AS (
+  SELECT ta, tb, h, bool_or(in_a) AS in_a, bool_or(in_b) AS in_b
+  FROM (
+    SELECT p.ta, p.tb, s.h, TRUE AS in_a, FALSE AS in_b
+    FROM pairs p JOIN sk s ON s.t = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, s.h, FALSE, TRUE
+    FROM pairs p JOIN sk s ON s.t = p.tb
+  ) GROUP BY ta, tb, h
+),
+L AS (
+  SELECT * FROM (
+    SELECT ta, tb, h, in_a, in_b,
+      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM cand
+  ) WHERE rn <= 64
+),
+stats AS (
+  SELECT ta, tb, COUNT(*) AS kp,
+    SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS c,
+    MAX(h) AS hmax
+  FROM L GROUP BY ta, tb
+),
+exact AS (
+  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS exact_common
+  FROM du a JOIN du b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT s.ta AS type_a, s.tb AS type_b,
+  CAST(CASE WHEN s.kp < 64 THEN s.c
+       ELSE (s.c * (s.kp - 1) * 4294967296) // (s.kp * (s.hmax + 1))
+       END AS BIGINT) AS est_common_users,
+  CAST(COALESCE(e.exact_common, 0) AS BIGINT) AS exact_common_users
+FROM stats s LEFT JOIN exact e ON e.ta = s.ta AND e.tb = s.tb
+ORDER BY type_a, type_b
+"""
     d["emb_ivf_index_knn"] = d["emb_ivf_knn"]
     # bucketed order-spine twins share their raw twins' oracles — the
     # storage layout changes the physical plan (exchange elimination,

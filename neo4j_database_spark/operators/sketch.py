@@ -403,3 +403,132 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the join-cardinality primitive.
+# Keep the k smallest (deterministic) hash values of a column's distinct
+# set; the sketch is mergeable by "k smallest of the union", supports
+# distinct-count estimation ((k-1)/h_(k)), and — unlike plain HLL —
+# supports SET INTERSECTION estimation: combine two sketches into the
+# union's k-min set L, count how many of L lie in both input sketches,
+# and scale the union estimate by that Jaccard fraction. That is exactly
+# the |A ⋈ B| estimate a planner wants before committing to a join
+# strategy. Hashes use the cross-engine md5-prefix recipe and the
+# estimator is pure INTEGER arithmetic (c·(k'-1)·2^32 div (k'·(h_max+1)))
+# so the DuckDB oracle reproduces the estimate bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: (g, h) rows, the k smallest distinct
+    32-bit md5-prefix hashes of ``value_col`` within each group.
+
+    Scale shape: one distinct on (group, hash) — the only shuffle, with
+    map-side combine — then a per-group bottom-k window over ≤ the
+    distinct set. The sketch is k rows per group regardless of corpus
+    size; a group with fewer than k distinct values yields an
+    EXHAUSTIVE sketch (callers detect this via the row count and switch
+    estimates to exact counts).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    from pyspark.sql import Window
+
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_intersection_estimates(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise intersection-cardinality estimates between all groups,
+    from k-row sketches only — plus the exact intersection as the audit
+    column (the oracle pins both; production would drop the exact
+    branch, whose cost is the full-data self-join the sketch exists to
+    avoid).
+
+    For each group pair (a < b): L = k smallest of sketch_a ∪ sketch_b;
+    c = |{x ∈ L : x ∈ sketch_a ∧ x ∈ sketch_b}|; the union estimate is
+    (k'-1)·2^32 div (h_max+1) with k' = |L|, and the intersection
+    estimate scales it by c/k' — all integer arithmetic, identical in
+    Spark (`div`) and DuckDB (`//`). When k' < k both sketches were
+    exhaustive, so c IS the exact intersection and the estimate
+    degrades gracefully to it.
+    """
+    sk = kmv_sketch(df, group_col, value_col, k)
+    types = sk.select("g").distinct()
+    pairs = (
+        types.alias("x")
+        .join(types.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ta"), F.col("y.g").alias("tb"))
+    )
+    ca = (
+        F.broadcast(pairs)
+        .join(sk, sk.g == F.col("ta"))
+        .select(
+            "ta", "tb", "h",
+            F.lit(True).alias("in_a"), F.lit(False).alias("in_b"),
+        )
+    )
+    cb = (
+        F.broadcast(pairs)
+        .join(sk, sk.g == F.col("tb"))
+        .select(
+            "ta", "tb", "h",
+            F.lit(False).alias("in_a"), F.lit(True).alias("in_b"),
+        )
+    )
+    cand = (
+        ca.unionByName(cb)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    L = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    stats = L.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("kp"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("c"),
+        F.max("h").alias("hmax"),
+    )
+    est = F.when(F.col("kp") < k, F.col("c")).otherwise(
+        F.expr("(c * (kp - 1) * 4294967296) div (kp * (hmax + 1))")
+    )
+    dist = df.select(
+        F.col(group_col).alias("t"), F.col(value_col).alias("u")
+    ).distinct()
+    exact = (
+        dist.alias("a")
+        .join(
+            dist.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("ta"), F.col("b.t").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        stats.join(exact, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            est.cast("long").alias("est_common_users"),
+            F.coalesce("exact_common", F.lit(0))
+            .cast("long")
+            .alias("exact_common_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2766,3 +2766,26 @@ def order_fill_profile_bucketed(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return _fill_profile(o, li)
+
+
+def events_kmv_join_cardinality(
+    spark: SparkSession, sf_dir: str, k: int = 64
+) -> DataFrame:
+    """Join-cardinality estimation between event-type audiences from
+    k-row KMV sketches (operators/sketch.py::kmv_intersection_estimates)
+    — the pre-join planning primitive HLL alone cannot provide (HLL
+    union is exact-ish, HLL intersection is not a sketch operation).
+
+    Deterministic md5-prefix hashing + integer-only estimator make the
+    ESTIMATE itself oracle-exact (same audit pattern as the priority-
+    sample estimator); the exact intersection rides along as the audit
+    column. At sf0.001 every audience has < k distinct users, so the
+    sketches are exhaustive and est == exact (the degenerate branch);
+    from sf0.01 up the estimation branch is exercised for real.
+    """
+    from neo4j_database_spark.operators.sketch import (
+        kmv_intersection_estimates,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_intersection_estimates(ev, "event_type", "user_id", k)

@@ -1,0 +1,61 @@
+"""KMV distinct sketch + intersection estimator (operators/sketch.py).
+
+Cross-engine exactness of the integer estimator is the oracle's job
+(events_kmv_join_cardinality, green at sf0.001/0.01/0.1); these pin the
+Spark-side invariants: partitioning independence, the exhaustive-branch
+degradation to exact counts, and sketch size bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_database_spark.operators.sketch import (
+    kmv_intersection_estimates,
+    kmv_sketch,
+)
+
+
+def _toy(spark, n_per=40, overlap=10):
+    # groups A and B share `overlap` users
+    rows = [("A", i) for i in range(n_per)] + [
+        ("B", i) for i in range(n_per - overlap, 2 * n_per - overlap)
+    ]
+    return spark.createDataFrame(rows, "t string, u long")
+
+
+def test_exhaustive_branch_is_exact(spark):
+    df = _toy(spark)
+    out = kmv_intersection_estimates(df, "t", "u", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["exact_common_users"] == 10
+    # both sketches exhaustive (40 < 256) → estimate degrades to exact
+    assert r["est_common_users"] == 10
+
+
+def test_sketch_size_and_partitioning_independence(spark):
+    df = _toy(spark, n_per=500, overlap=100)
+    sk = kmv_sketch(df, "t", "u", k=64)
+    sizes = {
+        r["g"]: r["n"]
+        for r in sk.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"A": 64, "B": 64}
+    base = [
+        tuple(r)
+        for r in kmv_intersection_estimates(df, "t", "u", k=64).collect()
+    ]
+    shuffled = [
+        tuple(r)
+        for r in kmv_intersection_estimates(
+            df.repartition(13, "u"), "t", "u", k=64
+        ).collect()
+    ]
+    assert base == shuffled  # sketch is a pure function of the data
+    # estimation branch: sanity-band check (k=64 on 900 distinct union;
+    # the deterministic fixture gives a stable, roughly-right estimate)
+    est, exact = base[0][2], base[0][3]
+    assert exact == 100
+    assert 0 < est < 500
