@@ -344,6 +344,50 @@ its 64x/16x ratio stays 3.5 (sublinear) — and per-superstep marginal
 cost stays flat for both (pagerank: 13.8 -> 12.6 -> 10.5 s/replica at
 4x/16x/64x).
 
+## Round-5 re-measure: LSH after the zip_with shingle rewrite
+
+The slice-per-offset shingle builder (one width-element array allocated
+per token) was 84% of the LSH pipeline; rebuilding shingles as width
+full-length slices folded pairwise with `zip_with(concat)` is
+byte-identical and re-prices every cell (same replicas, same
+best-of-2, production xxhash64 path):
+
+| query | 1x | 4x | 16x | 64x | 64x/16x |
+|---|---|---|---|---|---|
+| minhash_lsh_pairs (r4, slice-per-offset) | 4.05 | 13.6 | 21.07 | 47.13 | 2.2 |
+| minhash_lsh_pairs (r5, zip_with) | 2.12 | 4.29 | 16.08 | 20.68 | 1.3 |
+
+The 64x cell drops 2.3× and the 64x/16x ratio falls to 1.3 per 4×
+data — the band join was never the knee; shingle allocation was. The
+complementary negative result: folding the MinHash mins into
+`array_min(transform(...))` (removing the signature shuffle entirely)
+measured 4× SLOWER at sf0.1 — higher-order-function lambdas evaluate
+interpreted per element while the exploded aggregate stays inside
+whole-stage codegen. Construction HOFs (zip_with over slices) win;
+hot-fold HOFs lose.
+
+## Round-5 operator cells (measured ad hoc, /tmp/kmv_scale_cells.py, events replicas)
+
+KMV join-cardinality sketch (operators/sketch.py), k=64, 5 event-type
+groups, best-of-2:
+
+| path | 1x | 4x | 16x | 64x |
+|---|---|---|---|---|
+| sketch build + pair estimates | 1.57 | 1.11 | 1.23 | 1.90 |
+| exact-intersection audit (distinct self-join) | 0.38 | 0.35 | 0.67 | 1.05 |
+
+The sketch path is FLAT across 64× data — its only data-scale stage is
+the one distinct shuffle; everything downstream operates on k-row
+sketches. Honest negative at this box's scales: the exact audit is
+still CHEAPER, because 5 groups × ≤96k distinct users keep the
+self-join tiny — but it grows linearly (3× from 4x to 64x and nothing
+to stop it) while the sketch line doesn't move. At 100 TB the exact
+branch is a full-corpus distinct self-join per estimation request; the
+sketch is computed once per table and answers every pair from k rows —
+that reuse, not the single-shot race, is why planners carry sketches.
+Estimator accuracy at k=64 on these replicas: 11-30% relative error
+(≈1/√k), exact-oracle-checked bit-for-bit in events_kmv_join_cardinality.
+
 ## Round-4 relational/vector 64x cells (measured ad hoc, /tmp/x64_rel_cells.py —
 38.4M lineitem / 6.4M events / 128k vectors): q1_scan_agg 1.76 s (16x 1.44,
 ratio 1.2), q3_join_agg 9.56 s (2.65, 3.6), session_windows 1.49 s (0.64,
