@@ -58,6 +58,19 @@ def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     difference between scan-bound and allocation-bound.
     """
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(gram_array(toks, width))).alias("shingle")
+    )
+
+
+def gram_array(toks: F.Column, width: int) -> F.Column:
+    """Ordered word-``width``-gram array: element j (0-based) is the
+    space-joined gram starting at token j. Built as ``width``
+    full-length slices folded pairwise with ``zip_with(concat)`` — the
+    round-5 construction that beat transform-over-offsets 4.8× (one
+    width-element allocation per TOKEN vs ``width`` long slices total).
+    Documents shorter than ``width`` tokens yield n_grams = 0 → empty
+    slices → empty array; no explicit short-circuit needed."""
     n_grams = F.greatest(F.size(toks) - (width - 1), F.lit(0))
     acc = F.slice(toks, 1, n_grams)
     for k in range(2, width + 1):
@@ -66,28 +79,26 @@ def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
             F.slice(toks, k, n_grams),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    # documents shorter than `width` tokens yield n_grams = 0 → empty
-    # slices → empty array; no explicit short-circuit needed
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(acc)).alias("shingle")
-    )
+    return acc
 
 
 def positional_shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     """Shingles with their 1-based start position (for winnowing-style
-    windowed selection). Not deduplicated — position matters."""
+    windowed selection). Not deduplicated — position matters.
+
+    The gram array is ordered by construction, so the position is
+    ``posexplode``'s index + 1 — no per-gram (pos, s) struct to build
+    and carry through the explode (the struct-carrying transform was
+    the slice-per-offset shape the shingle rewrite measured 4.8×
+    slower)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= width,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
-            lambda i: F.struct(
-                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, width)).alias("s")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,s:string>>"))
-    ex = docs.select("doc_id", F.explode(grams).alias("g"))
-    return ex.select("doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("shingle"))
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(gram_array(toks, width)).alias("pos0", "shingle"),
+    )
+    return ex.select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "shingle"
+    )
 
 
 def simhash_fingerprints(
@@ -440,45 +451,45 @@ def duplicated_spans(
 
     Plan: tokenize → sliding k-gram spans (codegen'd array ops, no
     Python) → digest each span so the shuffle carries 32-byte keys, not
-    k-word strings → per-digest distinct-doc count → join the dup flag
-    back onto the span stream → per-doc aggregate. Both aggregations
-    and the join hash on the same digest key, so the exchange is
-    reused; a production run swaps md5 → xxhash64 (8-byte keys) —
-    md5 is kept for the DuckDB oracle. Spans are counted per occurrence
-    (a doc repeating a shared span twice has 2 dup spans).
+    k-word strings → collapse to per-(doc, digest) occurrence counts
+    (map-side combine absorbs within-doc repeats) → per-digest doc
+    count via a window over the collapsed frame → per-doc aggregate.
+    ONE pass over the corpus: the earlier formulation consumed the span
+    stream three times (distinct-doc count, dup-flag semi-join, per-doc
+    total), re-running the explode and md5 per consumer — at corpus
+    scale that is three scans where one suffices. A production run
+    swaps md5 → xxhash64 (8-byte keys) — md5 is kept for the DuckDB
+    oracle. Spans are counted per occurrence (a doc repeating a shared
+    span twice has 2 dup spans).
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, "documents", sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     spans = docs.select(
-        "doc_id", F.explode(grams).alias("span")
+        "doc_id", F.explode(gram_array(toks, k)).alias("span")
     ).select("doc_id", F.md5(F.col("span")).alias("digest"))
-    dup_digests = (
-        spans.groupBy("digest")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") > 1)
-        .select("digest")
+    occ = spans.groupBy("doc_id", "digest").agg(
+        F.count(F.lit(1)).alias("occ")
     )
-    flagged = spans.join(dup_digests, "digest", "left_semi")
-    per_doc_dup = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans")
-    )
+    # rows of `occ` are one-per-(doc, digest), so the count of rows per
+    # digest IS the distinct-doc count — no countDistinct needed
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("digest"))
     return (
-        per_doc.join(per_doc_dup, "doc_id", "left")
-        .fillna(0, subset=["n_dup_spans"])
+        occ.withColumn("ndocs", ndocs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("ndocs") > 1, F.col("occ")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            "n_dup_spans",
             (
                 F.col("n_dup_spans").cast("double")
                 / F.col("n_spans").cast("double")

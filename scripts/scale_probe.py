@@ -366,6 +366,19 @@ interpreted per element while the exploded aggregate stays inside
 whole-stage codegen. Construction HOFs (zip_with over slices) win;
 hot-fold HOFs lose.
 
+Applied to the whole gram family (shared `dedup.py::gram_array`;
+positional variant via `posexplode` over the ordered gram array instead
+of carrying (pos, s) structs), best-of-3 at sf0.1:
+`doc_winnow_fingerprints` 4.73 → 1.31 s, `doc_repetition_stats`
+4.24 → 1.29 s, `doc_bigram_lift` 4.08 → 0.98 s, `doc_dup_spans`
+9.54 → 2.63 s. dup_spans' extra 1.9× came from a plan fix, not the
+gram build: the old formulation consumed the span stream THREE times
+(distinct-doc count, dup-flag semi-join, per-doc total — each
+re-running explode+md5); collapsing to per-(doc, digest) occurrence
+counts and deriving the distinct-doc count as a window over the
+collapsed frame makes it one corpus pass. At 100 TB that is one scan
+where three were.
+
 ## Round-5 operator cells (measured ad hoc, /tmp/kmv_scale_cells.py, events replicas)
 
 KMV join-cardinality sketch (operators/sketch.py), k=64, 5 event-type
