@@ -447,6 +447,31 @@ def kmv_sketch(
     )
 
 
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two per-group KMV sketches: k smallest distinct hashes of
+    the union, per group — exactly ``kmv_sketch`` of the concatenated
+    inputs (the lossless-merge property that makes KMV a sketch rather
+    than a sample: sketches computed per partition / per day / per
+    table can be combined without revisiting any base data; pinned by
+    tests/test_kmv.py::test_merge_equals_sketch_of_union).
+
+    Scale shape: inputs are k rows per group by construction, so the
+    merge is sketch-sized work — one distinct + bottom-k over ≤ 2k rows
+    per group, no base-table access.
+    """
+    from pyspark.sql import Window
+
+    both = sketch_a.select("g", "h").unionByName(
+        sketch_b.select("g", "h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
 def kmv_intersection_estimates(
     df: DataFrame, group_col: str, value_col: str, k: int = 64
 ) -> DataFrame:

@@ -59,3 +59,29 @@ def test_sketch_size_and_partitioning_independence(spark):
     est, exact = base[0][2], base[0][3]
     assert exact == 100
     assert 0 < est < 500
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """The lossless-merge property: merging per-slice sketches equals
+    sketching the concatenated data — per-partition / per-day sketches
+    combine without revisiting base data. Also idempotent: re-merging a
+    sketch with itself is a no-op."""
+    from neo4j_database_spark.operators.sketch import kmv_merge
+
+    d1 = _toy(spark, n_per=300, overlap=50)
+    d2 = spark.createDataFrame(
+        [("A", i) for i in range(900, 1200)]
+        + [("C", i) for i in range(150)],
+        "t string, u long",
+    )
+    k = 64
+    merged = kmv_merge(
+        kmv_sketch(d1, "t", "u", k), kmv_sketch(d2, "t", "u", k), k
+    )
+    direct = kmv_sketch(d1.unionByName(d2), "t", "u", k)
+    m = sorted(tuple(r) for r in merged.collect())
+    d = sorted(tuple(r) for r in direct.collect())
+    assert m == d
+    sk = kmv_sketch(d1, "t", "u", k)
+    again = sorted(tuple(r) for r in kmv_merge(sk, sk, k).collect())
+    assert again == sorted(tuple(r) for r in sk.collect())
