@@ -39,17 +39,27 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
 
-    Strings shorter than ``q`` produce no grams and are never matched —
-    callers with very short keys should pad or lower ``q``.
+    Completeness boundary (standard Ed-Join): a pair is guaranteed
+    found only when both strings have ≥ q·(max_dist+1) characters —
+    below that, all n−q+1 grams can be destroyed by max_dist edits and
+    no shared prefix gram is forced (strings shorter than ``q`` produce
+    no grams at all). Callers with very short keys should pad, lower
+    ``q``, or brute-force the short stratum separately; the boundary is
+    pinned by test_edit_distance_pairs_short_string_contract.
     """
     prefix_len = q * max_dist + 1
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
-    grams = base.select(
+    # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty — a
+    # string shorter than q would emit two junk grams (and every empty
+    # string would land in one shared quadratic bucket), while DuckDB's
+    # generate_series(1, 0) is empty; the explicit length guard keeps
+    # the documented "no grams below q" contract on both engines
+    grams = base.filter(F.length("s") >= q).select(
         "id",
         "s",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(s) - {q - 1}, 0)),"
+                f"transform(sequence(1, length(s) - {q - 1}),"
                 f" i -> substring(s, i, {q}))"
             )
         ).alias("gram"),
@@ -61,20 +71,21 @@ def edit_distance_pairs(
             Window.partitionBy("id").orderBy("df", "gram")
         ),
     )
+    # the prefix frame carries only (gram, id, len): the length filter
+    # is the sole pre-verification use of the string, so the candidate
+    # join shuffles narrow rows — strings re-attach by id afterwards
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "gram", "id", "s"
+        "gram", "id", F.length("s").alias("len")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # dedup candidate pairs on the NARROW id columns (a pair is emitted
-    # once per shared prefix gram), then re-attach strings from the
-    # id-keyed base frame — the strings never ride the candidate
-    # shuffle, and verification sees each pair exactly once
+    # once per shared prefix gram), so verification sees each pair
+    # exactly once
     cand_ids = (
         a.join(b, "gram")
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(
-            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
-            <= max_dist
+            F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
         )
         .select(
             F.col("a.id").alias("id_a"),

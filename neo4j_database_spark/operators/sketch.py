@@ -436,9 +436,16 @@ def kmv_sketch(
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    return _kmv_bottom_k(hashes, k)
+
+
+def _kmv_bottom_k(hashes: DataFrame, k: int) -> DataFrame:
+    """k smallest distinct h per group g — THE sketch invariant; every
+    KMV path (build, merge, pair union) must apply the identical rule
+    or the lossless-merge property silently breaks."""
     from pyspark.sql import Window
 
-    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
     w = Window.partitionBy("g").orderBy("h")
     return (
         hashes.withColumn("rn", F.row_number().over(w))
@@ -459,17 +466,10 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFram
     merge is sketch-sized work — one distinct + bottom-k over ≤ 2k rows
     per group, no base-table access.
     """
-    from pyspark.sql import Window
-
     both = sketch_a.select("g", "h").unionByName(
         sketch_b.select("g", "h")
     ).distinct()
-    w = Window.partitionBy("g").orderBy("h")
-    return (
-        both.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("g", "h")
-    )
+    return _kmv_bottom_k(both, k)
 
 
 def kmv_intersection_estimates(

@@ -242,7 +242,9 @@ def _ivf_assign(
     ``n_lists`` stored vectors (a seedable, oracle-reproducible stand-in
     for a trained k-means codebook); assignment maximizes the
     exact-decimal cosine rank (ties → lowest centroid id). Returns
-    (vec_id, vec, cent_id).
+    (vec_id, vec, cent_id, n2) — n2 is the vector's exact-decimal
+    squared norm, folded once here so no caller (or the persisted
+    index) ever re-folds it.
     """
     emb = load_table(spark, "embeddings", sf_dir)
     # norms are per-vector / per-centroid quantities — fold them once on
@@ -260,6 +262,7 @@ def _ivf_assign(
         "vec_id",
         "vec",
         "cent_id",
+        F.col("nv").alias("n2"),
         (
             dot.cast("double")
             * F.abs(dot.cast("double"))
@@ -272,7 +275,7 @@ def _ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cent_id")
+        .select("vec_id", "vec", "cent_id", "n2")
     )
 
 
@@ -299,14 +302,10 @@ def semantic_dedup(
 
     Output: one row per vector (vec_id, cent_id, is_kept).
     """
-    # fold each vector's squared norm once BEFORE the quadratic
-    # per-cluster pair join (the interpreted decimal fold per PAIR was
-    # 2/3 of the pair-scoring cost); checkpoint materializes vec + n2
-    assigned = (
-        _ivf_assign(spark, sf_dir, n_lists)
-        .withColumn("n2", _dot_dec(F.col("vec"), F.col("vec")))
-        .localCheckpoint()
-    )
+    # each vector's squared norm arrives pre-folded from _ivf_assign
+    # (folding it per PAIR in the quadratic per-cluster join was 2/3 of
+    # the pair-scoring cost); checkpoint materializes vec + n2
+    assigned = _ivf_assign(spark, sf_dir, n_lists).localCheckpoint()
     a = assigned.select(
         F.col("cent_id"),
         F.col("vec_id").alias("id_a"),
@@ -380,15 +379,14 @@ def ivf_knn(
     """
     assigned = _ivf_assign(spark, sf_dir, n_lists)
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("vec").alias("q_vec"), F.col("cent_id").alias("q_cent")
+        F.col("vec").alias("q_vec"),
+        F.col("cent_id").alias("q_cent"),
+        F.col("n2").alias("n2q"),
     )
-    # query norm folded once in the 1-row broadcast, not per candidate
-    q = q.withColumn("n2q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     cand = assigned.filter(F.col("vec_id") != query_vec_id)
     qdot = _dot_dec(F.col("vec"), F.col("q_vec"))
-    qnv = _dot_dec(F.col("vec"), F.col("vec"))
     hits = cand.join(F.broadcast(q), F.col("cent_id") == F.col("q_cent")).select(
-        "vec_id", qdot.alias("dot"), qnv.alias("n2v"), "n2q"
+        "vec_id", qdot.alias("dot"), F.col("n2").alias("n2v"), "n2q"
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (
@@ -678,7 +676,8 @@ IVF_INDEX_ROOT = os.environ.get(
 )
 
 # Bump when the index layout changes so stale caches self-invalidate.
-IVF_INDEX_VERSION = 2
+# v3: lists carry the pre-folded exact-decimal squared norm (n2).
+IVF_INDEX_VERSION = 3
 
 
 def ensure_ivf_index(
@@ -829,9 +828,10 @@ def ivf_index_knn(
         .withColumn("n2q", _dot_dec(F.col("q_vec"), F.col("q_vec")))
     )
     dot = _dot_dec(F.col("vec"), F.col("q_vec"))
-    n2v = _dot_dec(F.col("vec"), F.col("vec"))
+    # candidate norms come pre-folded from the index (written by
+    # _ivf_assign) — the scan never re-folds them
     hits = idx.crossJoin(qdf).select(
-        "vec_id", dot.alias("dot"), n2v.alias("n2v"), "n2q"
+        "vec_id", dot.alias("dot"), F.col("n2").alias("n2v"), "n2q"
     )
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (

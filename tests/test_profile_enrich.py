@@ -161,6 +161,33 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
     assert fast == brute and len(brute) > 0
 
 
+def test_edit_distance_pairs_short_string_contract(spark):
+    """The completeness boundary, pinned: pairs are guaranteed found
+    only when both strings have >= q*(d+1) chars (n-q+1 grams must
+    exceed the q*d destroyable by d edits). Shorter strings are missed
+    CONSISTENTLY — the SQL oracle mirrors the same pipeline, so both
+    engines agree. Also pins the sequence(1, 0) fix: Spark's
+    sequence(1, 0) is a DESCENDING [1, 0] (not empty), so without the
+    explicit length guard every empty/short string emitted junk grams
+    and all empty strings collided in one shared quadratic bucket
+    (while the DuckDB oracle's ascending-only generate_series produced
+    none — a latent cross-engine divergence)."""
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+
+    rows = [
+        (0, ""), (1, ""),          # no grams at all (the guard)
+        (2, "ab"), (3, "ab"),      # below q
+        (4, "abc"), (5, "abd"),    # >= q but below q*(d+1): known miss
+        (6, "abcdef"), (7, "abcdeg"),  # at the boundary: must be found
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=1, q=3).collect()
+    }
+    assert got == {(6, 7)}
+
+
 def test_duplicated_spans_hand_case(spark, monkeypatch):
     from neo4j_database_spark.pipeline import dedup
 
