@@ -238,8 +238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_volume_customers_bucketed": rel.big_volume_customers_bucketed,
         # KMV distinct sketch with set-intersection estimation — the
         # join-cardinality primitive (integer-exact estimator, so even
-        # the estimate is oracle-checked); r6 rotation candidate
-        "events_kmv_join_cardinality": rel.events_kmv_join_cardinality,
+        # the estimate is oracle-checked). Split per VERDICT r05 item 3:
+        # the product entry's plan is one distinct shuffle + k-row
+        # frames; the audit twin carries the exact-intersection
+        # self-join for estimate-vs-truth pinning.
+        "events_kmv_estimates": rel.events_kmv_estimates,
+        "events_kmv_audit": rel.events_kmv_audit,
         # -- multimodal audit twins kept out-of-window for the r8 slot --
         "mm_audio_stats_audit": _mm_audio_stats_audit,
         "mm_image_resize_audit": _mm_image_resize_audit,
@@ -4587,9 +4591,14 @@ ORDER BY y, m
     # in-memory IVF path's, so one SQL serves both — the list-partitioned
     # layout changes the plan, never the answer
     # KMV join-cardinality: the estimator is pure integer arithmetic over
-    # deterministic md5-prefix hashes, so est AND exact are both pinned
-    d["events_kmv_join_cardinality"] = """
-WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    # deterministic md5-prefix hashes, so the product entry's ESTIMATE is
+    # pinned exactly, and the audit twin additionally pins the exact
+    # intersection (VERDICT r05 item 3 split). NULL user_ids are filtered
+    # before hashing on both engines (ADVICE r05: Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST — a NULL would diverge the sketch).
+    _KMV_PREFIX = """
+WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events
+            WHERE user_id IS NOT NULL),
 hv AS (
   SELECT DISTINCT t,
     CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8) AS BIGINT) AS h
@@ -4627,7 +4636,16 @@ stats AS (
     SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS c,
     MAX(h) AS hmax
   FROM L GROUP BY ta, tb
-),
+)"""
+    d["events_kmv_estimates"] = _KMV_PREFIX + """
+SELECT s.ta AS type_a, s.tb AS type_b,
+  CAST(CASE WHEN s.kp < 64 THEN s.c
+       ELSE (s.c * (s.kp - 1) * 4294967296) // (s.kp * (s.hmax + 1))
+       END AS BIGINT) AS est_common_users
+FROM stats s
+ORDER BY type_a, type_b
+"""
+    d["events_kmv_audit"] = _KMV_PREFIX + """,
 exact AS (
   SELECT a.t AS ta, b.t AS tb, COUNT(*) AS exact_common
   FROM du a JOIN du b ON a.u = b.u AND a.t < b.t

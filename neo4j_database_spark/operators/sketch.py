@@ -432,11 +432,21 @@ def kmv_sketch(
     size; a group with fewer than k distinct values yields an
     EXHAUSTIVE sketch (callers detect this via the row count and switch
     estimates to exact counts).
+
+    NULL values are excluded before hashing: md5(NULL) is NULL, and the
+    two engines disagree on where a NULL hash sorts (Spark ascending
+    windows put NULLs FIRST — stealing a bottom-k slot — while the
+    DuckDB oracle's ORDER BY is NULLS LAST), so a single NULL value
+    would silently diverge the sketch contents cross-engine.
     """
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
     return _kmv_bottom_k(hashes, k)
 
 
@@ -465,6 +475,14 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFram
     Scale shape: inputs are k rows per group by construction, so the
     merge is sketch-sized work — one distinct + bottom-k over ≤ 2k rows
     per group, no base-table access.
+
+    CONTRACT: the merge ``k`` must be <= the k used to BUILD both
+    inputs. A k-row sketch has already discarded hashes above its k-th
+    minimum, so merging with a LARGER k yields a frame that is NOT the
+    k-min sketch of the union — it simply cannot recover the discarded
+    values, and nothing downstream can detect the corruption. The
+    lossless-merge property test (tests/test_kmv.py) holds only under
+    this k relationship; pass the build k (or smaller) here.
     """
     both = sketch_a.select("g", "h").unionByName(
         sketch_b.select("g", "h")
@@ -473,21 +491,29 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFram
 
 
 def kmv_intersection_estimates(
-    df: DataFrame, group_col: str, value_col: str, k: int = 64
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    include_exact: bool = False,
 ) -> DataFrame:
     """Pairwise intersection-cardinality estimates between all groups,
-    from k-row sketches only — plus the exact intersection as the audit
-    column (the oracle pins both; production would drop the exact
-    branch, whose cost is the full-data self-join the sketch exists to
-    avoid).
+    from k-row sketches only. With ``include_exact=True`` the exact
+    intersection rides along as an audit column — that branch costs the
+    full-data self-join the sketch exists to avoid, so production runs
+    the default sketch-only path (the registry splits the two as
+    events_kmv_estimates / events_kmv_audit so plan audits see the
+    product plan, not the verification scaffold).
 
     For each group pair (a < b): L = k smallest of sketch_a ∪ sketch_b;
     c = |{x ∈ L : x ∈ sketch_a ∧ x ∈ sketch_b}|; the union estimate is
     (k'-1)·2^32 div (h_max+1) with k' = |L|, and the intersection
     estimate scales it by c/k' — all integer arithmetic, identical in
     Spark (`div`) and DuckDB (`//`). When k' < k both sketches were
-    exhaustive, so c IS the exact intersection and the estimate
-    degrades gracefully to it.
+    exhaustive, so c is the intersection of the full 32-bit md5-prefix
+    HASH sets — exact up to 32-bit prefix collisions between distinct
+    values (both engines hash identically, so the oracle still matches;
+    only the exactness claim carries that caveat).
     """
     sk = kmv_sketch(df, group_col, value_col, k)
     types = sk.select("g").distinct()
@@ -531,6 +557,12 @@ def kmv_intersection_estimates(
     est = F.when(F.col("kp") < k, F.col("c")).otherwise(
         F.expr("(c * (kp - 1) * 4294967296) div (kp * (hmax + 1))")
     )
+    if not include_exact:
+        return stats.select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            est.cast("long").alias("est_common_users"),
+        ).orderBy("type_a", "type_b")
     dist = df.select(
         F.col(group_col).alias("t"), F.col(value_col).alias("u")
     ).distinct()

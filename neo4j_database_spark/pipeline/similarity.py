@@ -219,9 +219,15 @@ def cosine_dup_pairs(
         .repartition(n_parts, "id_a", "id_b")
     )
     dot = _dot_dec(F.col("va"), F.col("vb"))
+    # eager=False: the checkpoint exists ONLY as an optimizer barrier
+    # (truncate lineage so the rank filter cannot be pushed into the
+    # join condition and re-evaluate the decimal fold); lazy keeps
+    # DataFrame construction side-effect-free, so explain/plan-audit/
+    # registry introspection no longer executes the scoring job
+    # (ADVICE r05).
     scored = pairs.select(
         "id_a", "id_b", dot.alias("dot"), "n2a", "n2b"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dot_d = F.col("dot").cast("double")
     rank = dot_d * F.abs(dot_d) / (
         F.col("n2a").cast("double") * F.col("n2b").cast("double")

@@ -399,7 +399,7 @@ branch is a full-corpus distinct self-join per estimation request; the
 sketch is computed once per table and answers every pair from k rows —
 that reuse, not the single-shot race, is why planners carry sketches.
 Estimator accuracy at k=64 on these replicas: 11-30% relative error
-(≈1/√k), exact-oracle-checked bit-for-bit in events_kmv_join_cardinality.
+(≈1/√k), exact-oracle-checked bit-for-bit in events_kmv_estimates/_audit.
 
 Two more round-5 hotspot kills (sf0.1 best-of-3, outputs hash-exact
 at sf0.001/0.01/0.1 before and after):

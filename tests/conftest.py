@@ -1,14 +1,17 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_database_spark.session import get_spark
 
-SF_SMALL = "/root/testdata/sf0.001"
+SF_SMALL = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 
 
 @pytest.fixture(scope="session")

@@ -10,12 +10,14 @@ honest.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo/scripts")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 import __spark_entry__ as entrymod
 from check_oracle import (
@@ -65,7 +67,7 @@ def test_decimal_roundtrip_lint_still_fires():
     ]
 
 
-def test_registry_oracles_pass_both_lints():
+def test_registry_oracles_pass_both_lints(sf_dir):
     """Every registered oracle binds clean: no HUGEINT/UHUGEINT/DECIMAL
     output column anywhere (judge r04: 3 latent bombs sat out-of-window
     passing fetchall() locally), no wide per-row decimal round-trips."""
@@ -75,6 +77,6 @@ def test_registry_oracles_pass_both_lints():
     for t in entrymod.ALL_TABLES:
         c.execute(
             f"CREATE VIEW {t} AS SELECT * "
-            f"FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f"FROM '{os.path.join(sf_dir, t)}.parquet'"
         )
     assert preflight_result_types(c, oracles) == []
