@@ -73,61 +73,108 @@ def entry(spark: SparkSession) -> DataFrame:
 # Spark-side query registry
 # --------------------------------------------------------------------------
 
+# REGISTRY ORDER IS LOAD-BEARING: the driver's correctness harness checks
+# only the FIRST 50 entries (round-1 finding). Since r06 the window is
+# this explicit list — queries() reorders its definition dict so these 50
+# come first, removing the hand-maintained-dict-order fragility that bit
+# round 2. tests/test_store_and_entry.py cross-pins an independent copy.
+#
+# Round-6 rotation (VERDICT r05 items 1+8): the full r6 slate (20) PLUS
+# the entire r7 slice (20) promoted a round early — every candidate was
+# judge-verified locally green at sf0.001+sf0.01 in round 5 and passes
+# the HUGEINT/DECIMAL result-type preflight — plus the two new KMV split
+# entries (item 3). 8 flagship keeps anchor the core families
+# (serving+Cypher, features, iterative graph, dedup, ANN, streaming,
+# money OLAP). 42 driver-greens rotate out; every demoted family keeps
+# an in-window representative among the keeps/promotions.
+DRIVER_WINDOW_R06 = [
+    # keeps (8)
+    "g_winder",
+    "cypher_winder",
+    "g_feature_matrix",
+    "g_pagerank",
+    "doc_minhash_lsh",
+    "emb_ivf_pq_knn",
+    "stream_click_attribution",
+    "big_volume_customers",
+    # r6 slate (20)
+    "doc_dedup_clusters",
+    "emb_pq_codes",
+    "emb_centroids",
+    "doc_bigram_lift",
+    "g_housemates",
+    "g_house_subgraph",
+    "doc_top_terms",
+    "emb_knn_lsh",
+    "events_hourly",
+    "g_ego_fuzzy",
+    "events_retention_cohorts",
+    "doc_regex_token_stats",
+    "doc_fingerprints",
+    "emb_cosine_dup_pairs",
+    "g_survival_features",
+    "g_house_histogram",
+    "sales_cube",
+    "g_house_adjacency",
+    "g_friend_counts_by_house",
+    "order_priority_counts",
+    # r7 slice, pulled forward (20)
+    "events_sessionized",
+    "events_json_extract",
+    "events_value_percentiles",
+    "customer_order_rank",
+    "orders_above_customer_avg",
+    "customer_year_sets",
+    "order_priority_pivot",
+    "events_daily_gapfill",
+    "customer_stratified_sample",
+    "doc_train_test_split",
+    "events_run_lengths",
+    "doc_clean_corpus",
+    "customers_without_orders",
+    "daily_orders_vs_events",
+    "region_customer_counts",
+    "doc_token_stats",
+    "doc_quality_score",
+    "g_house_nodes",
+    "doc_chunks",
+    "doc_repetition_stats",
+    # new this round: KMV product/audit split (VERDICT r05 item 3)
+    "events_kmv_estimates",
+    "events_kmv_audit",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def on_graph(fn):
         return lambda spark, sf_dir: fn(load_graph(spark, sf_dir))
 
-    # REGISTRY ORDER IS LOAD-BEARING: the driver's correctness harness
-    # checks only the FIRST 50 entries (round-1 finding). Entries 1-50
-    # cover every distinct capability family; tests/test_store_and_entry.py
-    # asserts the intended 50-set == list(queries())[:50] programmatically
-    # (round-2 verdict: a hand-counted comment drifted two entries, which
-    # left nation_revenue/top_customers_by_spend unchecked for two rounds).
-    # Round-5 rotation (VERDICT r04 items 2+4+5): 22 never-driver-checked
-    # entries enter — the 14 planned promotions, the 6 round-4-built
-    # entries, and 2 new multimodal codec audits; 22 driver-green entries
-    # whose family keeps an in-window representative rotate out (verdict
-    # guidance: demote long-green serving queries first). Every promotion
-    # passed the new HUGEINT/DECIMAL result-type preflight AND the strict
-    # local check at sf0.01 before entering. big_volume_customers and
-    # promo_part_suppliers STAY IN: their two-round red was the oracle's
-    # bare SUM(BIGINT) output (DuckDB HUGEINT → driver float64) — fixed
-    # this round with output CASTs; they need fresh driver rows to prove
-    # it.
-    #
-    # ROTATION SCHEDULE to full-registry driver coverage (VERDICT r04
-    # item 4) — never-driver-checked oracle-backed entries remaining
-    # after this round, by planned promotion round:
-    #   r6 (20): doc_dedup_clusters, emb_pq_codes, emb_centroids,
-    #     doc_bigram_lift, g_housemates, g_house_subgraph, doc_top_terms,
-    #     emb_knn_lsh, events_hourly, g_ego_fuzzy,
-    #     events_retention_cohorts, doc_regex_token_stats,
-    #     doc_fingerprints, emb_cosine_dup_pairs, g_survival_features,
-    #     g_house_histogram, sales_cube, g_house_adjacency,
-    #     g_friend_counts_by_house, order_priority_counts
-    #   r7 (20): events_sessionized, events_json_extract,
-    #     events_value_percentiles, customer_order_rank,
-    #     orders_above_customer_avg, customer_year_sets,
-    #     order_priority_pivot, events_daily_gapfill,
-    #     customer_stratified_sample, doc_train_test_split,
-    #     events_run_lengths, doc_clean_corpus, customers_without_orders,
-    #     daily_orders_vs_events, region_customer_counts, doc_token_stats,
-    #     doc_quality_score, g_house_nodes, doc_chunks,
-    #     doc_repetition_stats
-    #   r8 (rest ~22): stream_session_windows, emb_quantize_int8,
+    # ROTATION SCHEDULE to full-registry driver coverage: after the r06
+    # double-slate promotion (r6 + r7 slices together, 42 first-time
+    # entries), the never-driver-checked oracle-backed backlog is one
+    # final slice:
+    #   r7 (~23): stream_session_windows, emb_quantize_int8,
     #     stream_enrich, events_sliding_distinct_users, orders_profile,
     #     customer_fuzzy_matches, events_zorder_values, doc_dup_spans,
     #     g_sssp, lineitem_correlations, doc_decontaminate_fuzzy,
     #     customer_order_quartiles, regional_revenue_sql,
     #     events_hourly_anomalies, g_kcore, orders_quality_checks,
-    #     events_ohlc_daily leftovers + mm_audio_stats_audit,
-    #     mm_image_resize_audit, mm_image_near_dups_audit,
-    #     mm_media_inventory, mm_frame_sample_plan, orders_price_histogram,
-    #     doc_bpe_pair_counts, doc_training_shuffle, events_cm_user_counts,
-    #     customer_cdc_diff + remaining g_* oracle-backed analytics
-    # Demoted driver-greens re-enter opportunistically after r8.
-    return {
+    #     mm_audio_stats_audit, mm_image_resize_audit,
+    #     mm_image_near_dups_audit, mm_media_inventory,
+    #     mm_frame_sample_plan, orders_price_histogram,
+    #     doc_bpe_pair_counts, doc_training_shuffle,
+    #     events_cm_user_counts, customer_cdc_diff + remaining g_*
+    #     oracle-backed analytics (g_linkpred_training_set,
+    #     g_closeness_landmarks, g_clustering_coefficient,
+    #     g_jaccard_similarity, events_daily_forecast,
+    #     events_audience_overlap, nation_share_window, emb_ivf_knn,
+    #     top_customers_by_spend_prod, doc_lm_coverage leftovers)
+    # Demoted driver-greens re-enter opportunistically after r7.
+    #
+    # The dict below is DEFINITION order (grouped by family for
+    # readability); the actual driver window is DRIVER_WINDOW_R06 — the
+    # reorder at the bottom of this function puts those 50 first.
+    q = {
         # -- graph serving + ETL + features (reference app.py/get_insert/
         #    train_fix; g_directory/g_search/g_ego_network/g_bfs/g_hits/
         #    g_ktruss/g_link_pred demoted r05, all driver-green r04) --
@@ -197,12 +244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    see pipeline/multimodal.py audit docstrings) --
         "mm_image_stats_audit": _mm_image_stats_audit,
         "mm_video_stats_audit": _mm_video_stats_audit,
-        # ------------- driver check window ends at entry 50 -------------
-        # (pinned programmatically: tests/test_store_and_entry.py asserts
+        # (The driver window is DRIVER_WINDOW_R06 above, applied by the
+        # reorder at the bottom; tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
         # -- round-5 demotions (all driver-green in CORRECTNESS_r04.json;
-        #    every family keeps an in-window representative above): --
+        #    every family keeps an in-window representative): --
         "g_directory": on_graph(gq.directory),
         "g_search": on_graph(lambda g: gq.search(g, SEARCH_Q)),
         "g_ego_network": on_graph(lambda g: gq.ego_network(g, EGO_NAME)),
@@ -433,6 +480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree_centrality": on_graph(galg.degree_centrality),  # → g_pagerank stays
         "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),  # → g_ktruss stays
         "events_funnel": rel.events_funnel,  # → events_state_transitions stays
+    }
+    missing = [n for n in DRIVER_WINDOW_R06 if n not in q]
+    assert not missing, f"window names absent from registry: {missing}"
+    # the driver checks the first 50 entries: window first, then the
+    # rest in definition order
+    return {n: q[n] for n in DRIVER_WINDOW_R06} | {
+        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R06
     }
 
 
@@ -1077,22 +1131,17 @@ def _sql_list(values: list[str]) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
 
 
-def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
-    """Exact oracle for galg.pagerank: the iteration UNROLLED as chained
-    CTEs (10 supersteps), with the identical arithmetic contract —
-
-    - per-edge contributions rank/deg computed in IEEE doubles, then
-      quantized to LONG nano-units round(x·1e9) (Spark HALF_UP ==
-      DuckDB half-away-from-zero on positives) and summed exactly
-      (order-independent integer sum), back to double by an exact
-      /1e9 division (per-node inflow ≤ 1e9 nanos ≪ 2^53);
-    - the teleport + dangling-mass scalar recurrence computed in DOUBLE
-      with the same operation order as the Python driver code
-      (algorithms.py: (1-d)/n + d*mass/n; mass' = n_dang*tpd), literals
-      CAST to DOUBLE because DuckDB float literals default to DECIMAL.
-    """
+def _pagerank_ctes(
+    max_iter: int, damping: float, materialize: bool = False
+) -> list[str]:
+    """Shared CTE chain for the pagerank oracles: pr_r0..pr_r{max_iter}
+    plus the tpd/mass scalar recurrence. ``materialize`` marks every
+    rank level AS MATERIALIZED — required when a caller references a
+    level more than once (the tol variant's L1 checks), since DuckDB
+    inlines plain CTEs and re-executes the chain exponentially."""
     d = f"CAST({damping!r} AS DOUBLE)"
     one = "CAST(1.0 AS DOUBLE)"
+    mat = "MATERIALIZED " if materialize else ""
     ctes = [
         "pr_deg AS (SELECT src, COUNT(*) AS deg FROM sym_edges GROUP BY src)",
         (
@@ -1115,7 +1164,7 @@ def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
             f" FROM pr_t{k})"
         )
         ctes.append(
-            f"""pr_r{k + 1} AS (
+            f"""pr_r{k + 1} AS {mat}(
   SELECT p.id,
          t.tpd + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
   FROM persons p
@@ -1132,12 +1181,169 @@ def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
   ) i ON i.id = p.id
 )"""
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _pagerank_sql(max_iter: int = 10, damping: float = 0.85) -> str:
+    """Exact oracle for galg.pagerank: the iteration UNROLLED as chained
+    CTEs (10 supersteps), with the identical arithmetic contract —
+
+    - per-edge contributions rank/deg computed in IEEE doubles, then
+      quantized to LONG nano-units round(x·1e9) (Spark HALF_UP ==
+      DuckDB half-away-from-zero on positives) and summed exactly
+      (order-independent integer sum), back to double by an exact
+      /1e9 division (per-node inflow ≤ 1e9 nanos ≪ 2^53);
+    - the teleport + dangling-mass scalar recurrence computed in DOUBLE
+      with the same operation order as the Python driver code
+      (algorithms.py: (1-d)/n + d*mass/n; mass' = n_dang*tpd), literals
+      CAST to DOUBLE because DuckDB float literals default to DECIMAL.
+    """
+    body = ",\n".join(_pagerank_ctes(max_iter, damping))
     return f"""{GRAPH_CTES},
 {body}
 SELECT p.name, r.rank
 FROM persons p JOIN pr_r{max_iter} r ON r.id = p.id
 ORDER BY r.rank DESC, p.name ASC
+"""
+
+
+def _pagerank_tol_sql(
+    max_iter: int = 30, tol: float = 1e-3, damping: float = 0.85
+) -> str:
+    """Exact oracle for the PRODUCTION pagerank path (tol early exit,
+    galg.pagerank(tol=1e-3, max_iter=30)): unroll the full ceiling,
+    reproduce the convergence rule in SQL, and select the ranks of the
+    stop iteration.
+
+    The Spark loop checkpoints after supersteps 2, 4, 6, …; from the
+    second checkpoint on it compares consecutive checkpointed rank
+    frames over ACTIVE (non-isolated) nodes and stops at the first L1
+    < tol. So: kstop = min{k ∈ {4,6,…,ceiling} : Σ_active |r_k −
+    r_{k−2}| < tol}, else the ceiling. Rank values at any fixed k are
+    bit-exact cross-engine (the nano-quantized recurrence of
+    _pagerank_sql), so the oracle matches exactly whenever both
+    engines agree on kstop; the L1 sums are floats summed in different
+    orders, but agreement is ulp-robust in practice because the
+    trajectory crosses tol with a wide margin (measured at sf0.1:
+    L1 = 1.1e-2 → 5.3e-3 → 3.2e-3 → 6.1e-4 at k = 4/6/8/10 — a 40%
+    step at the crossing; check_oracle covers sf0.001 + sf0.01).
+    Retires the g_pagerank_prod rows-only entry (VERDICT r05 item 6).
+    """
+    ctes = _pagerank_ctes(max_iter, damping, materialize=True)
+    checkpoints = list(range(4, max_iter + 1, 2))
+    for k in checkpoints:
+        ctes.append(
+            f"""pr_l1_{k} AS (
+  SELECT SUM(ABS(a.rank - b.rank)) AS l1
+  FROM pr_r{k} a JOIN pr_r{k - 2} b ON a.id = b.id
+  WHERE a.id IN (SELECT src FROM pr_deg)
+)"""
+        )
+    stops = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT l1 FROM pr_l1_{k}) AS l1"
+        for k in checkpoints
+    )
+    ctes.append(f"pr_stops AS ({stops})")
+    ctes.append(
+        "pr_kstop AS (SELECT COALESCE(MIN(k) FILTER (WHERE l1 <"
+        f" CAST('{tol!r}' AS DOUBLE)), {max_iter}) AS k FROM pr_stops)"
+    )
+    allranks = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, id, rank FROM pr_r{k}" for k in checkpoints
+    )
+    ctes.append(f"pr_allranks AS ({allranks})")
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT p.name, r.rank
+FROM persons p
+JOIN pr_allranks r ON r.id = p.id
+JOIN pr_kstop s ON r.k = s.k
+ORDER BY r.rank DESC, p.name ASC
+"""
+
+
+def _betweenness_sql(n_landmarks: int = 4, max_depth: int = 6) -> str:
+    """Exact oracle for galg.betweenness_landmarks (types=None): both
+    Brandes phases UNROLLED as chained CTEs — forward multi-source BFS
+    carrying integer path counts σ, then the dependency sweep from
+    depth ``max_depth`` down with δ in exact nano-units (long).
+
+    Determinism contract (same as _pagerank_sql, one step further):
+    the only float work is the per-edge dependency ratio, computed in
+    IEEE doubles with the IDENTICAL operation order as the Spark code
+    — ((σv/σw) · (1 + δn/1e9)) · 1e9, round half-away-from-zero, cast
+    BIGINT — then every aggregate (per-level δ sums AND the final
+    per-name sum over landmarks) is integer arithmetic, so results are
+    bit-identical cross-engine. Unrolling a FIXED max_depth is safe
+    even when the BFS exhausts earlier: extra forward levels are empty
+    frontiers, and extra backward levels set δ of already-0 rows to 0.
+    Every multiply-referenced CTE is AS MATERIALIZED (DuckDB otherwise
+    inlines and re-executes the chain exponentially).
+    """
+    one = "CAST(1 AS DOUBLE)"
+    scale = "CAST(1000000000 AS DOUBLE)"
+    ctes = [
+        "bw_edges AS MATERIALIZED (SELECT src, dst FROM sym_edges)",
+        (
+            "bw_f0 AS MATERIALIZED (SELECT lm, lm AS id, 0 AS dist,"
+            " CAST(1 AS BIGINT) AS sigma FROM (SELECT id AS lm FROM"
+            f" persons ORDER BY id LIMIT {n_landmarks}))"
+        ),
+        "bw_v0 AS MATERIALIZED (SELECT * FROM bw_f0)",
+    ]
+    for k in range(1, max_depth + 1):
+        ctes.append(
+            f"""bw_f{k} AS MATERIALIZED (
+  SELECT n.lm, n.id, {k} AS dist, n.sigma FROM (
+    SELECT f.lm, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+    FROM bw_f{k - 1} f JOIN bw_edges e ON f.id = e.src
+    GROUP BY f.lm, e.dst
+  ) n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bw_v{k - 1} v WHERE v.lm = n.lm AND v.id = n.id
+  )
+)"""
+        )
+        ctes.append(
+            f"bw_v{k} AS MATERIALIZED (SELECT * FROM bw_v{k - 1}"
+            f" UNION ALL SELECT * FROM bw_f{k})"
+        )
+    ctes.append(
+        f"bw_d{max_depth + 1} AS MATERIALIZED (SELECT lm, id, dist,"
+        f" sigma, CAST(0 AS BIGINT) AS dn FROM bw_v{max_depth})"
+    )
+    for d in range(max_depth, 0, -1):
+        ctes.append(
+            f"""bw_c{d} AS MATERIALIZED (
+  SELECT v.lm, v.id,
+    CAST(SUM(CAST(round(((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+      * ({one} + CAST(w.dn AS DOUBLE) / {scale})) * {scale}) AS BIGINT))
+      AS BIGINT) AS dd
+  FROM bw_d{d + 1} v
+  JOIN bw_edges e ON v.id = e.src
+  JOIN bw_d{d + 1} w ON w.lm = v.lm AND w.id = e.dst AND w.dist = {d}
+  WHERE v.dist = {d - 1}
+  GROUP BY v.lm, v.id
+)"""
+        )
+        ctes.append(
+            f"""bw_d{d} AS MATERIALIZED (
+  SELECT s.lm, s.id, s.dist, s.sigma,
+    CASE WHEN s.dist = {d - 1} THEN CAST(COALESCE(c.dd, 0) AS BIGINT)
+         ELSE s.dn END AS dn
+  FROM bw_d{d + 1} s LEFT JOIN bw_c{d} c ON c.lm = s.lm AND c.id = s.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT p.name,
+  CAST(SUM(d.dn) AS DOUBLE) / {scale} AS betweenness
+FROM persons p JOIN bw_d1 d ON d.id = p.id AND d.dist > 0
+GROUP BY p.name
+HAVING SUM(d.dn) > 0
+ORDER BY betweenness DESC, p.name ASC
 """
 
 
@@ -1797,6 +2003,16 @@ FROM (
 )
 """,
         "g_pagerank": _pagerank_sql(),
+        # production pagerank: the convergence rule itself unrolled in
+        # SQL (kstop = first checkpoint with L1 < tol) — retires the
+        # rows-only entry (VERDICT r05 item 6; the naive "share the
+        # fixed-10 oracle" suggestion was tested and is false — the
+        # early exit stops at a different iteration, values differ)
+        "g_pagerank_prod": _pagerank_tol_sql(),
+        # landmark betweenness: both Brandes phases unrolled, δ in
+        # exact nano-units — the last real-semantics rows-only entry
+        # retired (VERDICT r05 item 4)
+        "g_betweenness_landmarks": _betweenness_sql(),
         "g_hits": _hits_sql(),
         "g_ktruss": _ktruss_sql(),
         "g_link_pred_scores": f"""{GRAPH_CTES}

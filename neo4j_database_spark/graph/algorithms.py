@@ -926,11 +926,15 @@ def betweenness_landmarks(
     accumulating hop distance AND path counts σ (integer sums — exact).
     Backward phase: dependencies sweep layer-by-layer from the deepest
     hop level down, δ(v) += σ(v)/σ(w)·(1+δ(w)) over DAG edges
-    (dist(w) = dist(v)+1); each level is one join + one aggregate, and
-    δ contributions are nano-quantized (CONTRIB_SCALE) so sums are
-    partition-order-independent — the same determinism contract as
-    pagerank, making results reproducible run-to-run even though the
-    ratios are floats.
+    (dist(w) = dist(v)+1); each level is one join + one aggregate. δ is
+    carried as exact NANO-UNITS (long, CONTRIB_SCALE): contributions
+    are computed in IEEE doubles with a fixed operation order, then
+    round(x·1e9)→long and summed exactly, so every aggregate — levels
+    AND the final per-name sum over landmarks — is integer arithmetic,
+    partition-order-independent, and bit-identical in the unrolled
+    DuckDB oracle (the pagerank determinism contract, one step
+    further: pagerank re-floats between supersteps, here δ stays
+    integral until the single output division).
 
     State is O(landmarks · V); both sweeps are bounded by ``max_depth``
     supersteps. Output: (name, betweenness) for nodes with nonzero
@@ -976,23 +980,27 @@ def betweenness_landmarks(
             break
         visited = visited.unionByName(frontier).localCheckpoint()
 
-    # backward: delta per (lm, node), deepest level first
+    # backward: delta (in exact nano-units) per (lm, node), deepest
+    # level first
     max_d = visited.agg(F.max("dist")).first()[0]
     delta = visited.select(
-        "lm", "id", "dist", "sigma", F.lit(0.0).alias("delta")
+        "lm", "id", "dist", "sigma", F.lit(0).cast("long").alias("dn")
     ).localCheckpoint()
     for d in range(max_d, 0, -1):
         wside = delta.filter(F.col("dist") == d).select(
             "lm",
             F.col("id").alias("w_id"),
             F.col("sigma").alias("w_sigma"),
-            F.col("delta").alias("w_delta"),
+            F.col("dn").alias("w_dn"),
         )
         vlevel = delta.filter(F.col("dist") == d - 1).select(
             F.col("lm").alias("v_lm"),
             F.col("id").alias("v_id"),
             F.col("sigma").alias("sigma"),
         )
+        # fixed IEEE operation order — mirrored token-for-token by the
+        # unrolled oracle (__spark_entry__._betweenness_sql):
+        # ((σv/σw) * (1 + dn/1e9)) * 1e9, round half-away, long
         contrib = (
             vlevel.join(edges, vlevel.v_id == edges.src)
             .join(
@@ -1006,7 +1014,11 @@ def betweenness_landmarks(
                     (
                         F.col("sigma").cast("double")
                         / F.col("w_sigma").cast("double")
-                        * (1.0 + F.col("w_delta"))
+                        * (
+                            1.0
+                            + F.col("w_dn").cast("double")
+                            / F.lit(CONTRIB_SCALE)
+                        )
                     )
                     * CONTRIB_SCALE
                 )
@@ -1014,7 +1026,7 @@ def betweenness_landmarks(
                 .alias("c"),
             )
             .groupBy("lm", "id")
-            .agg((F.sum("c").cast("double") / F.lit(CONTRIB_SCALE)).alias("dd"))
+            .agg(F.sum("c").alias("dd"))
         )
         delta = (
             delta.join(contrib, ["lm", "id"], "left")
@@ -1025,10 +1037,10 @@ def betweenness_landmarks(
                 "sigma",
                 F.when(
                     F.col("dist") == d - 1,
-                    F.coalesce(F.col("dd"), F.lit(0.0)),
+                    F.coalesce(F.col("dd"), F.lit(0).cast("long")),
                 )
-                .otherwise(F.col("delta"))
-                .alias("delta"),
+                .otherwise(F.col("dn"))
+                .alias("dn"),
             )
             .localCheckpoint()
         )
@@ -1036,7 +1048,11 @@ def betweenness_landmarks(
         g.persons.select("id", "name")
         .join(delta.filter(F.col("dist") > 0), "id")
         .groupBy("name")
-        .agg(F.sum("delta").alias("betweenness"))
+        .agg(
+            (F.sum("dn").cast("double") / F.lit(CONTRIB_SCALE)).alias(
+                "betweenness"
+            )
+        )
         .filter(F.col("betweenness") > 0.0)
         .orderBy(F.desc("betweenness"), F.asc("name"))
     )

@@ -40,12 +40,12 @@ ROWS_ONLY = {
     "mm_image_near_dups",  # generated media input — no SQL twin
     "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
     "mm_video_features",  # generated media input — no SQL twin
-    "g_betweenness_landmarks",  # float path-ratio dependencies
     "doc_bpe_train",  # iterative merge loop — fold not SQL-expressible
     "mm_image_resize",  # generated media input — no SQL twin
     "doc_minhash_lsh_prod",  # seeded xxhash64 — engine-specific hashes
-    "g_pagerank_prod",  # tol early exit — iteration count diverges from
-    # the fixed-round unrolled oracle; parity pytest-pinned instead
+    # (measured r06: xxhash64 banding finds a DIFFERENT pair set than
+    # the md5 path — 26 vs 31 pairs at sf0.01 — so sharing the md5
+    # oracle, as VERDICT r05 item 6 suggested, would be a false oracle)
 }
 
 
@@ -61,61 +61,66 @@ def test_queries_and_oracles_aligned():
 # hand-counted "window ends here" comment drifted by two, leaving two
 # queries unchecked for two rounds).
 DRIVER_WINDOW = [
-    # round-5 rotation (VERDICT r04 items 2+4+5): 22 never-driver-checked
-    # entries promoted, 22 r04-greens demoted (each family keeps a
-    # representative); the two r04 reds (big_volume_customers,
-    # promo_part_suppliers) stay in to prove the HUGEINT-oracle fix
+    # round-6 rotation (VERDICT r05 items 1+3+8): the r6 slate (20) plus
+    # the ENTIRE r7 slice (20) promoted a round early, plus the two new
+    # KMV split entries; 8 flagship keeps anchor the core families.
+    # Independent copy of __spark_entry__.DRIVER_WINDOW_R06 — kept
+    # separate on purpose so a registry edit cannot silently move the
+    # window without this test noticing.
+    # keeps (8)
     "g_winder",
-    "g_rule_edge_counts",
-    "g_feature_matrix",
-    "g_connected_components",
-    "g_pagerank",
-    "doc_bm25",
     "cypher_winder",
-    "cypher_write_roundtrip",
-    "doc_lang_id",
+    "g_feature_matrix",
+    "g_pagerank",
     "doc_minhash_lsh",
     "emb_ivf_pq_knn",
     "stream_click_attribution",
-    "top_unshipped_orders",
-    "urgent_lineitem_bloom",
-    "events_state_transitions",
-    "events_session_windows",
-    "asof_order_events",
-    "sales_marginals",
-    "part_skyline",
-    "user_error_window_overlap",
     "big_volume_customers",
-    "pricing_summary_prod",
-    "nation_revenue_prod",
-    "returned_item_losses",
-    "part_supplier_counts",
-    "disjunctive_part_revenue",
-    "cheapest_supplier_per_part",
-    "promo_part_suppliers",
-    # round-5 promotions
-    "doc_token_heavy_hitters_audit",
-    "events_approx_users_audit",
-    "events_value_quantiles_audit",
-    "doc_len_quantiles_audit",
-    "customer_merge",
-    "user_state_scd2",
-    "events_ohlc_daily",
-    "customer_hierarchy_rollup",
-    "monthly_revenue_growth",
-    "customer_order_distribution",
-    "late_sole_suppliers",
-    "doc_lm_coverage",
-    "orders_incremental_rollup",
-    "events_twap_daily",
-    "doc_top_docs_per_lang",
-    "doc_priority_sample",
-    "doc_priority_sample_estimate",
-    "emb_ivf_index_knn",
-    "order_fill_profile",
-    "order_fill_profile_bucketed",
-    "mm_image_stats_audit",
-    "mm_video_stats_audit",
+    # r6 slate (20)
+    "doc_dedup_clusters",
+    "emb_pq_codes",
+    "emb_centroids",
+    "doc_bigram_lift",
+    "g_housemates",
+    "g_house_subgraph",
+    "doc_top_terms",
+    "emb_knn_lsh",
+    "events_hourly",
+    "g_ego_fuzzy",
+    "events_retention_cohorts",
+    "doc_regex_token_stats",
+    "doc_fingerprints",
+    "emb_cosine_dup_pairs",
+    "g_survival_features",
+    "g_house_histogram",
+    "sales_cube",
+    "g_house_adjacency",
+    "g_friend_counts_by_house",
+    "order_priority_counts",
+    # r7 slice, pulled forward (20)
+    "events_sessionized",
+    "events_json_extract",
+    "events_value_percentiles",
+    "customer_order_rank",
+    "orders_above_customer_avg",
+    "customer_year_sets",
+    "order_priority_pivot",
+    "events_daily_gapfill",
+    "customer_stratified_sample",
+    "doc_train_test_split",
+    "events_run_lengths",
+    "doc_clean_corpus",
+    "customers_without_orders",
+    "daily_orders_vs_events",
+    "region_customer_counts",
+    "doc_token_stats",
+    "doc_quality_score",
+    "g_house_nodes",
+    "doc_chunks",
+    "doc_repetition_stats",
+    # new this round: KMV product/audit split
+    "events_kmv_estimates",
+    "events_kmv_audit",
 ]
 
 
