@@ -3503,22 +3503,24 @@ ORDER BY c_custkey
         # Ed-Join prefix-filtered edit-distance self-join — mirrors
         # operators/er.py::edit_distance_pairs (q=3, d=1, prefix q*d+1=4;
         # occurrence-counted gram frequency, (df, gram) total order).
+        # deletion-neighborhood (FastSS) candidates since r06 — for
+        # max_dist=1 the candidate stage is a complete generator, so
+        # the semantics are exactly "all pairs with levenshtein <= 1"
+        # and the oracle only mirrors the blocking to keep DuckDB off
+        # the quadratic all-pairs scan
         "customer_fuzzy_matches": """
 WITH names AS (SELECT c_custkey AS id, c_name AS s FROM customer),
-grams AS (
-  SELECT id, s, substr(s, CAST(i AS INT), 3) AS gram
-  FROM names, UNNEST(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+variants AS (
+  SELECT id, s, s AS v FROM names
+  UNION ALL
+  SELECT id, s,
+    substr(s, 1, CAST(i AS INT) - 1)
+      || substr(s, CAST(i AS INT) + 1, length(s)) AS v
+  FROM names, UNNEST(generate_series(1, length(s))) AS t(i)
 ),
-dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
-ranked AS (
-  SELECT g.id, g.s, g.gram,
-         row_number() OVER (PARTITION BY g.id ORDER BY d.df, g.gram) AS rn
-  FROM grams g JOIN dfreq d USING (gram)
-),
-pfx AS (SELECT gram, id, s FROM ranked WHERE rn <= 4),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
-  FROM pfx a JOIN pfx b USING (gram)
+  FROM variants a JOIN variants b USING (v)
   WHERE a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
 )
 SELECT id_a, id_b, s_a, s_b,

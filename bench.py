@@ -58,6 +58,8 @@ HEADLINE = (
     "asof_order_events",
     "doc_minhash_lsh",
     "doc_minhash_lsh_prod",  # xxhash64 production path vs the md5 oracle path
+    "customer_fuzzy_matches",  # deletion-neighborhood ER join (r06:
+    # 25.8 -> 5.4 s via FastSS blocking; was the heaviest registry line)
     "emb_knn_bruteforce",
     "order_fill_profile",  # raw-parquet spine join (both facts shuffle)
     "order_fill_profile_bucketed",  # same query over the bucketed

@@ -2,8 +2,27 @@
 
 The fuzzy-matching primitive behind dedupe/record-linkage pipelines:
 find all pairs of strings within Levenshtein distance ``max_dist``
-WITHOUT the quadratic all-pairs scan. This is the Ed-Join / prefix
-filtering algorithm (Xiao et al., VLDB'08; same family as PPJoin):
+WITHOUT the quadratic all-pairs scan.
+
+Two candidate-generation strategies, picked by ``max_dist``:
+
+- ``max_dist == 1`` (the overwhelmingly common ER setting): the
+  DELETION-NEIGHBORHOOD join (FastSS, Bocek et al. 2007; the SymSpell
+  family). Each string emits itself plus its length single-deletion
+  variants; ed(a,b) <= 1 implies the variant sets intersect
+  (substitution at i -> both del_i variants equal; indel -> the longer
+  string's deletion equals the shorter's identity), so an equi-join on
+  variants is a complete candidate generator with NO length boundary —
+  exact for arbitrarily short strings. Candidate volume is
+  near-duplicate-group-sized rather than gram-bucket-sized: on the
+  padded customer keys at sf0.1 this is 1.46M candidates vs the gram
+  prefix filter's 11.1M, and the measured r06 profile showed the
+  banded-levenshtein VERIFICATION (2.6 us/pair) was ~90% of the old
+  25.8 s runtime — cutting candidates 7.6x cut the query to 2.4 s.
+
+- ``max_dist >= 2``: Ed-Join / prefix filtering (Xiao et al., VLDB'08;
+  same family as PPJoin) — deletion neighborhoods grow O(len^d) keys
+  per string at distance d, so gram prefixes win there:
 
 1. q-gram multiset per string (an edit destroys ≤ q grams; an indel
    shifts positions but not gram *contents*, so the multiset changes by
@@ -36,19 +55,58 @@ def edit_distance_pairs(
     s_col: str,
     max_dist: int = 1,
     q: int = 3,
+    broadcast_row_limit: int = 5_000_000,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
 
-    Completeness boundary (standard Ed-Join): a pair is guaranteed
-    found only when both strings have ≥ q·(max_dist+1) characters —
-    below that, all n−q+1 grams can be destroyed by max_dist edits and
-    no shared prefix gram is forced (strings shorter than ``q`` produce
-    no grams at all). Callers with very short keys should pad, lower
-    ``q``, or brute-force the short stratum separately; the boundary is
-    pinned by test_edit_distance_pairs_short_string_contract.
+    max_dist == 1 routes to the deletion-neighborhood join (exact for
+    ALL string lengths — no completeness boundary; see module
+    docstring). max_dist >= 2 uses Ed-Join prefix filtering, whose
+    completeness boundary is standard: a pair is guaranteed found only
+    when both strings have ≥ q·(max_dist+1) characters — below that,
+    all n−q+1 grams can be destroyed by max_dist edits and no shared
+    prefix gram is forced (strings shorter than ``q`` produce no grams
+    at all). Ed-Join callers with very short keys should pad, lower
+    ``q``, or brute-force the short stratum separately; both contracts
+    are pinned by test_edit_distance_pairs_short_string_contract.
+
+    Shared plan shape (r06 rewrite): the candidate stream is never
+    shuffled between generation and verification. Profiling showed the
+    old pre-verification ``distinct`` removed only ~10% of candidates
+    for 9 s of shuffle, and the two string re-attach joins shuffled the
+    candidate set twice more. Now: candidate equi-join → length filter
+    → two BROADCAST joins re-attach strings map-side (the (id, s)
+    projection is key-universe-sized; gated by ``broadcast_row_limit``
+    — above it, e.g. billion-key corpora on a cluster, the plan falls
+    back to shuffle joins and re-instates the narrow pre-verification
+    dedup, which IS worth it when the candidate set must shuffle
+    anyway) → banded levenshtein map-side → dedup the matches.
     """
-    prefix_len = q * max_dist + 1
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
+    if max_dist == 1:
+        # identity + all single-deletion variants; the CASE guards the
+        # Spark sequence(1, 0) descending-not-empty trap for empty
+        # strings (same trap as the gram path below)
+        cand_ids = _candidates_on(
+            base.select(
+                "id",
+                F.length("s").alias("len"),
+                F.explode(
+                    F.concat(
+                        F.array(F.col("s")),
+                        F.expr(
+                            "CASE WHEN length(s) = 0 THEN array() ELSE"
+                            " transform(sequence(1, length(s)),"
+                            " i -> concat(left(s, i-1), substr(s, i+1)))"
+                            " END"
+                        ),
+                    )
+                ).alias("k"),
+            ),
+            max_dist,
+        )
+        return _verify(base, cand_ids, max_dist, broadcast_row_limit)
+    prefix_len = q * max_dist + 1
     # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty — a
     # string shorter than q would emit two junk grams (and every empty
     # string would land in one shared quadratic bucket), while DuckDB's
@@ -75,35 +133,58 @@ def edit_distance_pairs(
     # is the sole pre-verification use of the string, so the candidate
     # join shuffles narrow rows — strings re-attach by id afterwards
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "gram", "id", F.length("s").alias("len")
+        F.col("gram").alias("k"), "id", F.length("s").alias("len")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # dedup candidate pairs on the NARROW id columns (a pair is emitted
-    # once per shared prefix gram), so verification sees each pair
-    # exactly once
-    cand_ids = (
-        a.join(b, "gram")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(
-            F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
-        .distinct()
+    cand_ids = _candidates_on(prefix, max_dist)
+    return _verify(base, cand_ids, max_dist, broadcast_row_limit)
+
+
+def _candidates_on(keyed: DataFrame, max_dist: int) -> DataFrame:
+    """Ordered candidate id pairs from an equi-join on a blocking key
+    ``k``: (id, len, k) → (id_a < id_b) with the length filter applied
+    on the NARROW frame, before strings re-attach. A pair is emitted
+    once per shared key; dedup placement is _verify's call."""
+    a = keyed.select(
+        "k", F.col("id").alias("id_a"), F.col("len").alias("len_a")
     )
+    b = keyed.select(
+        "k", F.col("id").alias("id_b"), F.col("len").alias("len_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .select("id_a", "id_b")
+    )
+
+
+def _verify(
+    base: DataFrame,
+    cand_ids: DataFrame,
+    max_dist: int,
+    broadcast_row_limit: int,
+) -> DataFrame:
+    """Re-attach strings and run the exact verification.
+
+    Thresholded levenshtein: banded O(len·d) with early exit instead
+    of the full O(len²) DP — ~2× at d=1 on 18-char keys, growing with
+    string length; returns −1 above the bound, and the banded value
+    equals the exact distance for every surviving pair.
+    """
     na = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     nb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    if base.count() <= broadcast_row_limit:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    else:
+        # shuffle path: the candidate set must move anyway, so the
+        # narrow pre-verification dedup pays for itself again
+        cand_ids = cand_ids.distinct()
     cand = cand_ids.join(na, "id_a").join(nb, "id_b")
-    # thresholded levenshtein: banded O(len·d) with early exit instead
-    # of the full O(len²) DP — ~2× at d=1 on 18-char keys, growing with
-    # string length; returns −1 above the bound, and the banded value
-    # equals the exact distance for every surviving pair
     return (
         cand.withColumn(
             "dist", F.levenshtein("s_a", "s_b", max_dist).cast("long")
         )
         .filter(F.col("dist").between(0, max_dist))
         .select("id_a", "id_b", "s_a", "s_b", "dist")
+        .distinct()
     )

@@ -162,30 +162,46 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
 
 
 def test_edit_distance_pairs_short_string_contract(spark):
-    """The completeness boundary, pinned: pairs are guaranteed found
-    only when both strings have >= q*(d+1) chars (n-q+1 grams must
-    exceed the q*d destroyable by d edits). Shorter strings are missed
-    CONSISTENTLY — the SQL oracle mirrors the same pipeline, so both
-    engines agree. Also pins the sequence(1, 0) fix: Spark's
-    sequence(1, 0) is a DESCENDING [1, 0] (not empty), so without the
-    explicit length guard every empty/short string emitted junk grams
-    and all empty strings collided in one shared quadratic bucket
-    (while the DuckDB oracle's ascending-only generate_series produced
-    none — a latent cross-engine divergence)."""
+    """Both strategies' completeness contracts, pinned.
+
+    max_dist=1 (deletion-neighborhood since r06): EXACT for all string
+    lengths — no boundary; empty strings pair via identity variants
+    (and the CASE guard keeps Spark's descending sequence(1, 0) from
+    emitting junk variants for them).
+
+    max_dist>=2 (Ed-Join): pairs guaranteed found only when both
+    strings have >= q*(d+1) chars (n-q+1 grams must exceed the q*d
+    destroyable by d edits). Shorter strings are missed CONSISTENTLY.
+    Also pins the gram-path sequence(1, 0) fix: without the length
+    guard every empty/short string emitted junk grams and all empty
+    strings collided in one shared quadratic bucket."""
     from neo4j_database_spark.operators.er import edit_distance_pairs
 
     rows = [
-        (0, ""), (1, ""),          # no grams at all (the guard)
-        (2, "ab"), (3, "ab"),      # below q
-        (4, "abc"), (5, "abd"),    # >= q but below q*(d+1): known miss
-        (6, "abcdef"), (7, "abcdeg"),  # at the boundary: must be found
+        (0, ""), (1, ""),          # ed 0 — found by identity variants
+        (2, "xy"), (3, "xy"),      # ed 0 below q — found
+        (4, "abc"), (5, "abd"),    # ed 1 on short strings — found
+        (6, "abcdef"), (7, "abcdeg"),  # ed 1 — found
     ]
     df = spark.createDataFrame(rows, "id long, s string")
     got = {
         (r.id_a, r.id_b)
         for r in edit_distance_pairs(df, "id", "s", max_dist=1, q=3).collect()
     }
-    assert got == {(6, 7)}
+    assert got == {(0, 1), (2, 3), (4, 5), (6, 7)}
+
+    # Ed-Join path (d=2, q=2 -> boundary q*(d+1) = 6 chars): the short
+    # ed-2 pair is missed by design, the boundary-length pair is found
+    rows2 = [
+        (0, "abc"), (1, "axy"),            # ed 2 below the boundary: miss
+        (2, "abcdef"), (3, "abxyef"),      # ed 2 at the boundary: found
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, s string")
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df2, "id", "s", max_dist=2, q=2).collect()
+    }
+    assert got2 == {(2, 3)}
 
 
 def test_duplicated_spans_hand_case(spark, monkeypatch):
