@@ -515,7 +515,16 @@ def kmv_intersection_estimates(
     values (both engines hash identically, so the oracle still matches;
     only the exactness claim carries that caveat).
     """
-    sk = kmv_sketch(df, group_col, value_col, k)
+    # the sketch is referenced three times below (the type list and
+    # both pair sides); without a barrier Catalyst re-executes the
+    # full base-data distinct per reference (measured: 19 exchanges in
+    # the product plan, 3 redundant base scans). The sketch is k rows
+    # per group — materialize it once, lazily (eager=False keeps
+    # DataFrame construction side-effect-free, same contract as
+    # cosine_dup_pairs).
+    sk = kmv_sketch(df, group_col, value_col, k).localCheckpoint(
+        eager=False
+    )
     types = sk.select("g").distinct()
     pairs = (
         types.alias("x")
