@@ -346,7 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_top_terms": text.top_distinctive_terms,
         "emb_knn_lsh": similarity.knn_lsh,
-        "emb_kmeans": _kmeans,  # rows-only (iterative float fitting)
+        "emb_kmeans": _kmeans,  # rows-only (Spark-ML k-means|| init,
+        # float iteration order — engine-specific by construction)
+        "emb_lloyd_clusters": _lloyd,  # deterministic Lloyd audit twin:
+        # integer-exact assignment/update, unrolled SQL oracle (r06)
         "events_hourly": rel.events_hourly,
         # Entries below fall into two classes, both green under
         # scripts/check_oracle.py at sf0.001 AND sf0.01 locally:
@@ -1056,6 +1059,12 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(spark, sf_dir)
 
 
+def _lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_database_spark.ml.clustering import lloyd_clusters
+
+    return lloyd_clusters(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1344,6 +1353,87 @@ FROM persons p JOIN bw_d1 d ON d.id = p.id AND d.dist > 0
 GROUP BY p.name
 HAVING SUM(d.dn) > 0
 ORDER BY betweenness DESC, p.name ASC
+"""
+
+
+def _lloyd_sql(k: int = 8, iters: int = 3) -> str:
+    """Exact oracle for ml.clustering.lloyd_clusters: the deterministic
+    Lloyd iteration unrolled — init = k smallest vec_ids nano-quantized,
+    assignment = integer sum of per-dimension quantized squared-L2
+    terms with argmin ties to the lowest centroid id, update =
+    per-dimension integer mean (truncating division, verified identical
+    to Spark's ``div`` on negatives r06). Every cross-row aggregate is
+    integer, so the clustering is bit-identical cross-engine."""
+    one_e9 = "CAST(1000000000 AS DOUBLE)"
+    ctes = [
+        (
+            # no WITH ORDINALITY in the pinned DuckDB — index via
+            # generate_series + 1-based array subscript instead
+            "km_dims AS MATERIALIZED (SELECT e.vec_id, CAST(t.i AS INT)"
+            " AS pos, CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)"
+            " AS val FROM embeddings e,"
+            " UNNEST(generate_series(1, len(e.embedding))) AS t(i))"
+        ),
+        f"""km_c0 AS MATERIALIZED (
+  SELECT r.cid, d.pos,
+    CAST(round(d.val * {one_e9}) AS BIGINT) AS cn
+  FROM (
+    SELECT vec_id,
+      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+    FROM embeddings ORDER BY vec_id LIMIT {k}
+  ) r JOIN km_dims d ON d.vec_id = r.vec_id
+)""",
+    ]
+    cdiff = f"(d.val - CAST(c.cn AS DOUBLE) / {one_e9})"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""km_d{t} AS MATERIALIZED (
+  SELECT d.vec_id, c.cid,
+    SUM(CAST(round(({cdiff} * {cdiff}) * {one_e9}) AS BIGINT)) AS dist
+  FROM km_dims d JOIN km_c{t - 1} c ON c.pos = d.pos
+  GROUP BY d.vec_id, c.cid
+)"""
+        )
+        ctes.append(
+            f"""km_a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM km_d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""km_c{t} AS MATERIALIZED (
+  SELECT a.cid, d.pos,
+    CAST(SUM(CAST(round(d.val * {one_e9}) AS BIGINT)) AS BIGINT)
+      // COUNT(*) AS cn
+  FROM km_a{t} a JOIN km_dims d ON d.vec_id = a.vec_id
+  GROUP BY a.cid, d.pos
+)"""
+            )
+    body = ",\n".join(ctes)
+    return f"""WITH {body},
+km_sizes AS (
+  SELECT cid, COUNT(*) AS n FROM km_a{iters} GROUP BY cid
+),
+km_lab AS (
+  SELECT a.cid, e.label, COUNT(*) AS n
+  FROM km_a{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.label
+),
+km_maj AS (
+  SELECT cid, label, n FROM (
+    SELECT cid, label, n,
+      row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+    FROM km_lab
+  ) WHERE rn = 1
+)
+SELECT s.cid AS cluster_id, CAST(s.n AS BIGINT) AS n,
+  m.label AS majority_label, CAST(m.n AS BIGINT) AS n_majority
+FROM km_sizes s JOIN km_maj m ON m.cid = s.cid
+ORDER BY cluster_id
 """
 
 
@@ -2003,6 +2093,10 @@ FROM (
 )
 """,
         "g_pagerank": _pagerank_sql(),
+        # deterministic Lloyd k-means audit twin (integer-exact
+        # assignment + centroid means; emb_kmeans itself stays
+        # rows-only — Spark-ML k-means|| is engine-specific)
+        "emb_lloyd_clusters": _lloyd_sql(),
         # production pagerank: the convergence rule itself unrolled in
         # SQL (kstop = first checkpoint with L1 < tol) — retires the
         # rows-only entry (VERDICT r05 item 6; the naive "share the

@@ -43,6 +43,24 @@ def test_kmeans_clusters(spark, sf_dir):
     assert sorted(r["n"] for r in rows) == sorted(r["n"] for r in again)
 
 
+def test_lloyd_clusters_deterministic(spark, sf_dir):
+    """The deterministic-Lloyd audit twin: every vector assigned, runs
+    bit-reproducible (integer-exact assignment + centroid means — the
+    cross-engine contract the unrolled SQL oracle checks), iteration
+    actually moves assignments off the init partition."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.ml.clustering import lloyd_clusters
+
+    rows = lloyd_clusters(spark, sf_dir, k=4, iters=2).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == load_table(spark, "embeddings", sf_dir).count()
+    assert all(r["n_majority"] <= r["n"] for r in rows)
+    again = lloyd_clusters(spark, sf_dir, k=4, iters=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    one_iter = lloyd_clusters(spark, sf_dir, k=4, iters=1).collect()
+    assert sorted(map(tuple, one_iter)) != sorted(map(tuple, rows))
+
+
 def test_streaming_hourly_matches_batch(spark, sf_dir):
     stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
     assert stream.isStreaming
