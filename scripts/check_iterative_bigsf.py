@@ -258,8 +258,72 @@ def oracle_sssp(con, rounds: int = 8):
     )
 
 
+def oracle_pagerank_prod(
+    con, max_iter: int = 30, damping: float = 0.85, tol: float = 1e-3
+):
+    """Per-round materialized twin of _pagerank_tol_sql: the same
+    nano-quantized rounds as oracle_pagerank, plus the engine's
+    convergence rule — checkpoints after supersteps 2, 4, 6, …, L1
+    between consecutive checkpoints over ACTIVE (non-isolated) nodes
+    only, stop at the first L1 < tol (ceiling ``max_iter``)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    con.execute("DROP TABLE IF EXISTS pr_deg")
+    con.execute(
+        "CREATE TEMP TABLE pr_deg AS "
+        "SELECT src, COUNT(*) AS deg FROM t_sym GROUP BY src"
+    )
+    n = con.execute("SELECT COUNT(*) FROM t_persons").fetchone()[0]
+    n_deg = con.execute("SELECT COUNT(*) FROM pr_deg").fetchone()[0]
+    n_dang = n - n_deg
+    dangling_mass = n_dang / n
+    con.execute("DROP TABLE IF EXISTS pr_r")
+    con.execute(
+        "CREATE TEMP TABLE pr_r AS SELECT id, ? AS rank FROM t_persons",
+        [1.0 / n],
+    )
+    con.execute("DROP TABLE IF EXISTS pr_prev")
+    have_prev = False
+    for it in range(max_iter):
+        tpd = (1.0 - damping) / n + damping * dangling_mass / n
+        con.execute(
+            f"""CREATE TEMP TABLE pr_next AS
+SELECT p.id,
+       ? + {d} * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+FROM t_persons p
+LEFT JOIN (
+  SELECT e.dst AS id,
+         CAST(SUM(CAST(round((r.rank / CAST(dg.deg AS DOUBLE)) * {NANO})
+                       AS BIGINT)) AS DOUBLE) / {NANO} AS inflow
+  FROM t_sym e
+  JOIN pr_r r ON e.src = r.id
+  JOIN pr_deg dg ON dg.src = e.src
+  GROUP BY e.dst
+) i ON i.id = p.id""",
+            [tpd],
+        )
+        _swap_in(con, "pr_r", "pr_next")
+        dangling_mass = n_dang * tpd
+        if it % 2 == 1 or it == max_iter - 1:
+            if have_prev:
+                l1 = con.execute(
+                    "SELECT SUM(ABS(a.rank - b.rank)) FROM pr_r a "
+                    "JOIN pr_prev b ON a.id = b.id "
+                    "WHERE a.id IN (SELECT src FROM pr_deg)"
+                ).fetchone()[0]
+                if l1 is not None and l1 < tol:
+                    break
+            con.execute("DROP TABLE IF EXISTS pr_prev")
+            con.execute("CREATE TEMP TABLE pr_prev AS SELECT * FROM pr_r")
+            have_prev = True
+    return con.execute(
+        "SELECT p.name, r.rank FROM t_persons p JOIN pr_r r ON r.id = p.id "
+        "ORDER BY r.rank DESC, p.name ASC"
+    )
+
+
 ORACLES = {
     "g_pagerank": oracle_pagerank,
+    "g_pagerank_prod": oracle_pagerank_prod,
     "g_connected_components": oracle_connected_components,
     "g_hits": oracle_hits,
     "g_ktruss": oracle_ktruss,

@@ -213,3 +213,24 @@ def test_ivf_index_partition_pruning(spark, sf_dir):
     assert [tuple(r) for r in bkt.collect()] == [
         tuple(r) for r in ivf_knn(spark, sf_dir).collect()
     ]
+
+
+def test_fuzzy_join_plan_broadcast_reattach(spark, sf_dir):
+    """The r06 deletion-neighborhood fuzzy join: the candidate stream
+    must flow from the variant equi-join through levenshtein without an
+    intermediate shuffle — strings re-attach via TWO broadcast joins
+    (size-gated), and the only hash exchanges are the variant join's
+    two inputs plus the post-verification dedup."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    df = edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1, q=3)
+    plan = plan_of(df)
+    # >= 2: the two string re-attach joins; at tiny SFs the variant
+    # self-join broadcasts too (3 total), at sf0.1 it shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") == 0
+    # the candidate stream itself must NOT appear as an exchange —
+    # only the variant join inputs + the post-verification dedup
+    assert plan.count("Exchange hashpartitioning") <= 4
