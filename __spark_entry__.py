@@ -151,24 +151,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ROTATION SCHEDULE to full-registry driver coverage: after the r06
     # double-slate promotion (r6 + r7 slices together, 42 first-time
-    # entries), the never-driver-checked oracle-backed backlog is one
-    # final slice:
-    #   r7 (~23): stream_session_windows, emb_quantize_int8,
-    #     stream_enrich, events_sliding_distinct_users, orders_profile,
-    #     customer_fuzzy_matches, events_zorder_values, doc_dup_spans,
-    #     g_sssp, lineitem_correlations, doc_decontaminate_fuzzy,
-    #     customer_order_quartiles, regional_revenue_sql,
-    #     events_hourly_anomalies, g_kcore, orders_quality_checks,
-    #     mm_audio_stats_audit, mm_image_resize_audit,
-    #     mm_image_near_dups_audit, mm_media_inventory,
-    #     mm_frame_sample_plan, orders_price_histogram,
-    #     doc_bpe_pair_counts, doc_training_shuffle,
-    #     events_cm_user_counts, customer_cdc_diff + remaining g_*
-    #     oracle-backed analytics (g_linkpred_training_set,
+    # entries), exactly 41 oracle-backed entries have never had a
+    # driver row — one final 41-promotion + 9-keep window finishes ALL
+    # oracle-backed coverage in r7 (computed against the union of
+    # CORRECTNESS_r01-r05; the 9 remaining rows-only entries are
+    # engine-specific sketches / Spark-ML / generated-media by design):
+    #   r7 (41): big_volume_customers_bucketed, customer_cdc_diff,
+    #     customer_fuzzy_matches, customer_order_quartiles,
+    #     doc_bpe_pair_counts, doc_decontaminate_fuzzy, doc_dup_spans,
+    #     doc_training_shuffle, emb_ivf_knn, emb_lloyd_clusters,
+    #     emb_quantize_int8, events_audience_overlap,
+    #     events_cm_user_counts, events_daily_forecast,
+    #     events_hourly_anomalies, events_sliding_distinct_users,
+    #     events_zorder_values, g_betweenness_landmarks,
     #     g_closeness_landmarks, g_clustering_coefficient,
-    #     g_jaccard_similarity, events_daily_forecast,
-    #     events_audience_overlap, nation_share_window, emb_ivf_knn,
-    #     top_customers_by_spend_prod, doc_lm_coverage leftovers)
+    #     g_jaccard_similarity, g_kcore, g_linkpred_training_set,
+    #     g_pagerank_prod, g_sssp, lineitem_correlations,
+    #     mm_audio_stats_audit, mm_frame_sample_plan,
+    #     mm_image_near_dups_audit, mm_image_resize_audit,
+    #     mm_media_inventory, nation_share_window,
+    #     orders_price_histogram, orders_profile, orders_quality_checks,
+    #     regional_revenue_sql, returned_item_losses_bucketed,
+    #     stream_enrich, stream_session_windows,
+    #     top_customers_by_spend_prod, top_unshipped_orders_bucketed
     # Demoted driver-greens re-enter opportunistically after r7.
     #
     # The dict below is DEFINITION order (grouped by family for
