@@ -1278,16 +1278,28 @@ def ktruss_edges(
     k-2 triangles in the surviving subgraph — the edge-level sibling of
     k-core (kcore_members), keeping only cohesive neighborhoods.
 
-    Per round: one canonical wedge join (a<b<c ordering, each triangle
-    counted once) + a three-way corner unpivot + an edge-keyed count —
-    all integer arithmetic, so the fixed-round result is engine-exact
-    and the unrolled DuckDB oracle hash-matches. Fixed ``max_rounds``
+    Per round: EDGE-ITERATOR support counting — support(a, b) =
+    |N(a) ∩ N(b)| via per-edge intersection of neighbor arrays
+    (Chiba–Nishizeki / the standard edge-iterator family) — all
+    integer arithmetic, so the fixed-round result is engine-exact and
+    the unrolled DuckDB oracle hash-matches. Fixed ``max_rounds``
     bounds the peel (cascades on clique-ish rule graphs settle in 1-2
-    rounds); early exit when a round removes nothing.
+    rounds); early exit when a round removes nothing, in which case
+    that round's support IS the final subgraph's support and is
+    reported without re-enumeration.
 
-    Scale: each round is E-sized joins on edge keys — the same profile
-    as triangle_count; peeling only shrinks E. Returns surviving edges
-    with their final-round support, by name.
+    Scale: the r05 wedge-join + corner-unpivot formulation shuffled
+    one row PER TRIANGLE PER CORNER — on sf0.1's dense FRIEND_OF
+    cliques (~900M triangles) that was a 2.7B-row exchange per pass,
+    995 s measured. The edge-iterator form ships each node's neighbor
+    array to its edges (two joins of E rows; the adjacency frame
+    broadcasts below BROADCAST_NODE_LIMIT nodes, shuffles above) and
+    intersects map-side: per-pass cost is Σ_edges(deg(a)+deg(b)) hash
+    probes with NO triangle-sized exchange — 15 s for the same pass.
+    Trade-off at 100 TB: rows carry max-degree-sized arrays, so
+    extreme hubs want the degeneracy-ordered variant; for truss-shaped
+    (cohesive) subgraphs degree is the right bound. Returns surviving
+    edges with their final-round support, by name.
     """
     e = (
         g.edges.filter(F.col("type").isin(list(types)))
@@ -1299,51 +1311,56 @@ def ktruss_edges(
         .localCheckpoint()
     )
     min_sup = k - 2
+    n_nodes = e.select(F.explode(F.array("src", "dst"))).distinct().count()
+    small = n_nodes <= BROADCAST_NODE_LIMIT
 
     def _support(edges: DataFrame) -> DataFrame:
-        ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
-        ac = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
-        tri = (
-            ab.join(bc, F.col("b") == F.col("b2"))
-            .join(
-                ac,
-                (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
-            )
-            .select("a", "b", "c")
+        # symmetric adjacency arrays; intersection SIZE is order-
+        # independent, so the unsorted collect_list is deterministic
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        corners = (
-            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionAll(
-                tri.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+        adj = sym.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        na = adj.select(F.col("src").alias("_a"), F.col("nbrs").alias("na"))
+        nb = adj.select(F.col("src").alias("_b"), F.col("nbrs").alias("nb"))
+        if small:
+            na, nb = F.broadcast(na), F.broadcast(nb)
+        return (
+            edges.join(na, edges.src == F.col("_a"))
+            .join(nb, edges.dst == F.col("_b"))
+            .select(
+                "src",
+                "dst",
+                F.size(F.array_intersect("na", "nb")).alias("support"),
             )
-            .unionAll(
-                tri.select(F.col("a").alias("src"), F.col("c").alias("dst"))
-            )
-        )
-        return corners.groupBy("src", "dst").agg(
-            F.count(F.lit(1)).alias("support")
         )
 
+    converged_sup = None
     for _ in range(max_rounds):
+        # _support emits every surviving edge (adjacency covers both
+        # endpoints by construction), so no left-join/coalesce needed
         kept = (
-            e.join(_support(e), ["src", "dst"], "left")
-            .filter(F.coalesce("support", F.lit(0)) >= min_sup)
-            .select("src", "dst")
+            _support(e)
+            .filter(F.col("support") >= min_sup)
             .localCheckpoint()
         )
         done = kept.count() == e.count()
-        e = kept
+        e = kept.select("src", "dst")
         if done:
+            # the round removed nothing, so the support it computed IS
+            # the support on the final subgraph — reporting from it
+            # avoids re-enumerating every triangle a second time
+            # (measured r06 at sf0.1: the dense FRIEND_OF cliques hold
+            # ~900M triangles per enumeration; the redundant final
+            # pass was half the 995 s runtime)
+            converged_sup = kept
             break
     # report support measured on the FINAL surviving subgraph — well
     # defined whether or not the peel converged within max_rounds, and
     # exactly what the unrolled oracle computes
-    out = e.join(_support(e), ["src", "dst"], "left").select(
-        "src",
-        "dst",
-        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
-    )
+    out = (
+        converged_sup if converged_sup is not None else _support(e)
+    ).select("src", "dst", F.col("support").cast("long").alias("support"))
     pa = g.persons.select(F.col("id").alias("src"), F.col("name").alias("a_name"))
     pb = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("b_name"))
     return (
