@@ -79,16 +79,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # come first, removing the hand-maintained-dict-order fragility that bit
 # round 2. tests/test_store_and_entry.py cross-pins an independent copy.
 #
-# Round-6 rotation (VERDICT r05 items 1+8): the full r6 slate (20) PLUS
-# the entire r7 slice (20) promoted a round early — every candidate was
-# judge-verified locally green at sf0.001+sf0.01 in round 5 and passes
-# the HUGEINT/DECIMAL result-type preflight — plus the two new KMV split
-# entries (item 3). 8 flagship keeps anchor the core families
-# (serving+Cypher, features, iterative graph, dedup, ANN, streaming,
-# money OLAP). 42 driver-greens rotate out; every demoted family keeps
-# an in-window representative among the keeps/promotions.
-DRIVER_WINDOW_R06 = [
-    # keeps (8)
+# Round-7 rotation (VERDICT r06 item 1): the FINAL promotion slate —
+# the 41 oracle-backed entries with no driver row across
+# CORRECTNESS_r01–r06 (mechanically recomputed by
+# `python scripts/coverage_report.py --check-window`, which also
+# verified this window contains the entire backlog) plus 9 keeps
+# anchoring the core families (serving+Cypher, features, iterative
+# graph, dedup, ANN, streaming, money OLAP, sketches). Every promotion
+# was judge-verified locally green at sf0.001 AND sf0.01 in round 6 and
+# passes the HUGEINT/DECIMAL result-type preflight. A green r07 makes
+# oracle-backed driver coverage 178/178 complete.
+DRIVER_WINDOW_R07 = [
+    # keeps (9)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -97,51 +99,50 @@ DRIVER_WINDOW_R06 = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    # r6 slate (20)
-    "doc_dedup_clusters",
-    "emb_pq_codes",
-    "emb_centroids",
-    "doc_bigram_lift",
-    "g_housemates",
-    "g_house_subgraph",
-    "doc_top_terms",
-    "emb_knn_lsh",
-    "events_hourly",
-    "g_ego_fuzzy",
-    "events_retention_cohorts",
-    "doc_regex_token_stats",
-    "doc_fingerprints",
-    "emb_cosine_dup_pairs",
-    "g_survival_features",
-    "g_house_histogram",
-    "sales_cube",
-    "g_house_adjacency",
-    "g_friend_counts_by_house",
-    "order_priority_counts",
-    # r7 slice, pulled forward (20)
-    "events_sessionized",
-    "events_json_extract",
-    "events_value_percentiles",
-    "customer_order_rank",
-    "orders_above_customer_avg",
-    "customer_year_sets",
-    "order_priority_pivot",
-    "events_daily_gapfill",
-    "customer_stratified_sample",
-    "doc_train_test_split",
-    "events_run_lengths",
-    "doc_clean_corpus",
-    "customers_without_orders",
-    "daily_orders_vs_events",
-    "region_customer_counts",
-    "doc_token_stats",
-    "doc_quality_score",
-    "g_house_nodes",
-    "doc_chunks",
-    "doc_repetition_stats",
-    # new this round: KMV product/audit split (VERDICT r05 item 3)
     "events_kmv_estimates",
-    "events_kmv_audit",
+    # final slate (41): the never-driver-checked oracle-backed backlog,
+    # exactly as pinned in round 6 and re-derived by coverage_report.py
+    "big_volume_customers_bucketed",
+    "customer_cdc_diff",
+    "customer_fuzzy_matches",
+    "customer_order_quartiles",
+    "doc_bpe_pair_counts",
+    "doc_decontaminate_fuzzy",
+    "doc_dup_spans",
+    "doc_training_shuffle",
+    "emb_ivf_knn",
+    "emb_lloyd_clusters",
+    "emb_quantize_int8",
+    "events_audience_overlap",
+    "events_cm_user_counts",
+    "events_daily_forecast",
+    "events_hourly_anomalies",
+    "events_sliding_distinct_users",
+    "events_zorder_values",
+    "g_betweenness_landmarks",
+    "g_closeness_landmarks",
+    "g_clustering_coefficient",
+    "g_jaccard_similarity",
+    "g_kcore",
+    "g_linkpred_training_set",
+    "g_pagerank_prod",
+    "g_sssp",
+    "lineitem_correlations",
+    "mm_audio_stats_audit",
+    "mm_frame_sample_plan",
+    "mm_image_near_dups_audit",
+    "mm_image_resize_audit",
+    "mm_media_inventory",
+    "nation_share_window",
+    "orders_price_histogram",
+    "orders_profile",
+    "orders_quality_checks",
+    "regional_revenue_sql",
+    "returned_item_losses_bucketed",
+    "stream_enrich",
+    "stream_session_windows",
+    "top_customers_by_spend_prod",
+    "top_unshipped_orders_bucketed",
 ]
 
 
@@ -149,35 +150,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def on_graph(fn):
         return lambda spark, sf_dir: fn(load_graph(spark, sf_dir))
 
-    # ROTATION SCHEDULE to full-registry driver coverage: after the r06
-    # double-slate promotion (r6 + r7 slices together, 42 first-time
-    # entries), exactly 41 oracle-backed entries have never had a
-    # driver row — one final 41-promotion + 9-keep window finishes ALL
-    # oracle-backed coverage in r7 (computed against the union of
-    # CORRECTNESS_r01-r05; the 9 remaining rows-only entries are
-    # engine-specific sketches / Spark-ML / generated-media by design):
-    #   r7 (41): big_volume_customers_bucketed, customer_cdc_diff,
-    #     customer_fuzzy_matches, customer_order_quartiles,
-    #     doc_bpe_pair_counts, doc_decontaminate_fuzzy, doc_dup_spans,
-    #     doc_training_shuffle, emb_ivf_knn, emb_lloyd_clusters,
-    #     emb_quantize_int8, events_audience_overlap,
-    #     events_cm_user_counts, events_daily_forecast,
-    #     events_hourly_anomalies, events_sliding_distinct_users,
-    #     events_zorder_values, g_betweenness_landmarks,
-    #     g_closeness_landmarks, g_clustering_coefficient,
-    #     g_jaccard_similarity, g_kcore, g_linkpred_training_set,
-    #     g_pagerank_prod, g_sssp, lineitem_correlations,
-    #     mm_audio_stats_audit, mm_frame_sample_plan,
-    #     mm_image_near_dups_audit, mm_image_resize_audit,
-    #     mm_media_inventory, nation_share_window,
-    #     orders_price_histogram, orders_profile, orders_quality_checks,
-    #     regional_revenue_sql, returned_item_losses_bucketed,
-    #     stream_enrich, stream_session_windows,
-    #     top_customers_by_spend_prod, top_unshipped_orders_bucketed
-    # Demoted driver-greens re-enter opportunistically after r7.
+    # ROTATION SCHEDULE — numbers are GENERATED, never hand-written
+    # (VERDICT r06 items 2+8; the r06 prose drifted to "union 162/187"
+    # when the true union was 137/188). Source of truth:
+    #     python scripts/coverage_report.py [--check-window]
+    # which recomputes first-time/union/backlog from CORRECTNESS_r*.json
+    # ∩ queries(). State entering r07: union 137/178 oracle-backed,
+    # backlog 41 = exactly DRIVER_WINDOW_R07's promotion slate (the
+    # --check-window assertion passes). A green r07 completes
+    # oracle-backed driver coverage at 178/178.
+    #
+    # RE-CHECK ROTATION from r08 on (VERDICT r06 item 8): with the
+    # backlog empty, demoted driver-greens re-enter the window ~20 per
+    # round ordered by OLDEST latest-green round first (ties by registry
+    # order), so no entry's driver evidence goes more than ~4 rounds
+    # stale. The batches are printed by coverage_report.py
+    # ("re-check schedule"); r08 takes batch 1 (r02/r03-era greens:
+    # g_label_propagation, doc_mixture_sample, pricing_summary, ...).
     #
     # The dict below is DEFINITION order (grouped by family for
-    # readability); the actual driver window is DRIVER_WINDOW_R06 — the
+    # readability); the actual driver window is DRIVER_WINDOW_R07 — the
     # reorder at the bottom of this function puts those 50 first.
     q = {
         # -- graph serving + ETL + features (reference app.py/get_insert/
@@ -249,7 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    see pipeline/multimodal.py audit docstrings) --
         "mm_image_stats_audit": _mm_image_stats_audit,
         "mm_video_stats_audit": _mm_video_stats_audit,
-        # (The driver window is DRIVER_WINDOW_R06 above, applied by the
+        # (The driver window is DRIVER_WINDOW_R07 above, applied by the
         # reorder at the bottom; tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
@@ -310,9 +302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a 30-iteration ceiling, instead of the oracle's fixed 10
         # rounds — at sf0.1 it exits at ~iter 10, saving 20 of the 30
         # ceiling iterations (measured trajectory: per-checkpoint L1 =
-        # 1.1e-2 → 5.3e-3 → 3.2e-3 → 6.1e-4 at iters 4/6/8/10). Values
-        # drift from the unrolled DuckDB twin by the differing stop
-        # round, so rows-only; parity vs fixed rounds is pytest-pinned.
+        # 1.1e-2 → 5.3e-3 → 3.2e-3 → 6.1e-4 at iters 4/6/8/10).
+        # EXACT-ORACLED since r06: _pagerank_tol_sql unrolls the
+        # convergence RULE itself (kstop = first checkpoint with
+        # L1 < tol, 30-iter ceiling) so the oracle stops at the same
+        # round the engine does; parity vs fixed rounds also
+        # pytest-pinned.
         "g_pagerank_prod": on_graph(
             lambda g: galg.pagerank(g, tol=1e-3, max_iter=30)
         ),
@@ -448,7 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # all edge types: FRIEND_OF alone is per-house cliques, where
             # every pair is adjacent and betweenness is identically zero
             lambda g: galg.betweenness_landmarks(g, types=None)
-        ),  # rows-only (float path-ratio dependencies)
+        ),  # exact-oracled since r06: _betweenness_sql carries the
+        # dependency accumulation δ as exact nano-units (integer
+        # arithmetic) through BOTH Brandes phases, so no float
+        # path-ratio drift remains
         "g_clustering_coefficient": on_graph(
             lambda g: galg.clustering_coefficient(g)
         ),
@@ -489,12 +487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),  # → g_ktruss stays
         "events_funnel": rel.events_funnel,  # → events_state_transitions stays
     }
-    missing = [n for n in DRIVER_WINDOW_R06 if n not in q]
+    missing = [n for n in DRIVER_WINDOW_R07 if n not in q]
     assert not missing, f"window names absent from registry: {missing}"
     # the driver checks the first 50 entries: window first, then the
     # rest in definition order
-    return {n: q[n] for n in DRIVER_WINDOW_R06} | {
-        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R06
+    return {n: q[n] for n in DRIVER_WINDOW_R07} | {
+        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R07
     }
 
 

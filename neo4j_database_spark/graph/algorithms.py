@@ -53,6 +53,16 @@ def degree_centrality(g: GraphModel, types: tuple[str, ...] | None = None) -> Da
 # frame. ~10M ids × ~16B/row ≈ 160 MB broadcast — a sane ceiling.
 BROADCAST_NODE_LIMIT = 10_000_000
 
+# Entry-count threshold for broadcasting ADJACENCY frames (node →
+# neighbor-array). Unlike the node-state frames above, an adjacency
+# frame's size scales with EDGE count (2·|E| array entries after
+# symmetrization), not node count — FRIEND_OF is quadratic per house,
+# so a graph can pass the node gate while its adjacency is multi-GB
+# (ADVICE r06, medium). 20M long entries ≈ 160-320 MB serialized —
+# the same ceiling as BROADCAST_NODE_LIMIT, measured in what actually
+# ships.
+BROADCAST_ADJ_ENTRY_LIMIT = 20_000_000
+
 _AQE_TOGGLE_LOCK = threading.Lock()
 
 
@@ -1293,7 +1303,9 @@ def ktruss_edges(
     cliques (~900M triangles) that was a 2.7B-row exchange per pass,
     995 s measured. The edge-iterator form ships each node's neighbor
     array to its edges (two joins of E rows; the adjacency frame
-    broadcasts below BROADCAST_NODE_LIMIT nodes, shuffles above) and
+    broadcasts only when BOTH node count ≤ BROADCAST_NODE_LIMIT and
+    2·|E| ≤ BROADCAST_ADJ_ENTRY_LIMIT — the payload is edge-bound —
+    and shuffles otherwise) and
     intersects map-side: per-pass cost is Σ_edges(deg(a)+deg(b)) hash
     probes with NO triangle-sized exchange — 15 s for the same pass.
     Trade-off at 100 TB: rows carry max-degree-sized arrays, so
@@ -1312,7 +1324,16 @@ def ktruss_edges(
     )
     min_sup = k - 2
     n_nodes = e.select(F.explode(F.array("src", "dst"))).distinct().count()
-    small = n_nodes <= BROADCAST_NODE_LIMIT
+    # gate the adjacency broadcast on BOTH node count and total
+    # adjacency entries (2·|E| after symmetrization): the payload is
+    # the neighbor arrays, whose size is edge-bound — on quadratic
+    # FRIEND_OF cliques the node gate alone calls a multi-GB adjacency
+    # "small" (ADVICE r06). e is checkpointed, so count() is cheap.
+    n_edges = e.count()
+    small = (
+        n_nodes <= BROADCAST_NODE_LIMIT
+        and 2 * n_edges <= BROADCAST_ADJ_ENTRY_LIMIT
+    )
 
     def _support(edges: DataFrame) -> DataFrame:
         # symmetric adjacency arrays; intersection SIZE is order-

@@ -56,6 +56,8 @@ def edit_distance_pairs(
     max_dist: int = 1,
     q: int = 3,
     broadcast_row_limit: int = 5_000_000,
+    size_hint_rows: int | None = None,
+    dedup_candidates: bool | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
 
@@ -81,6 +83,24 @@ def edit_distance_pairs(
     back to shuffle joins and re-instates the narrow pre-verification
     dedup, which IS worth it when the candidate set must shuffle
     anyway) → banded levenshtein map-side → dedup the matches.
+
+    The broadcast/shuffle decision is made WITHOUT an eager Spark job
+    (ADVICE r06: the old ``base.count()`` ran a job at plan-construction
+    time): pass ``size_hint_rows`` when the caller knows the key-universe
+    cardinality; otherwise the gate reads Catalyst's optimized-plan
+    ``sizeInBytes`` estimate (metadata-only — derived from file sizes ×
+    projection ratio) against ``broadcast_row_limit`` × a conservative
+    32 B/row for the narrow (id, string) projection.
+
+    ``dedup_candidates`` controls the PRE-verification candidate dedup.
+    Default ``None`` = automatic: dedup on the shuffle path (the
+    candidate set moves anyway), skip on the broadcast path — profiling
+    on near-unique keys showed the distinct costing 9 s to remove ~10%
+    of candidates. CAVEAT (ADVICE r06): on duplicate-heavy corpora the
+    broadcast path verifies each of an m-duplicate group's m²/2 pairs
+    once per shared variant (L+1 times for length-L strings at d=1);
+    such callers should pass ``dedup_candidates=True`` (or exact-dedup
+    the corpus first, which is strictly better).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
     if max_dist == 1:
@@ -105,7 +125,10 @@ def edit_distance_pairs(
             ),
             max_dist,
         )
-        return _verify(base, cand_ids, max_dist, broadcast_row_limit)
+        return _verify(
+            base, cand_ids, max_dist, broadcast_row_limit,
+            size_hint_rows, dedup_candidates,
+        )
     prefix_len = q * max_dist + 1
     # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty — a
     # string shorter than q would emit two junk grams (and every empty
@@ -136,7 +159,10 @@ def edit_distance_pairs(
         F.col("gram").alias("k"), "id", F.length("s").alias("len")
     )
     cand_ids = _candidates_on(prefix, max_dist)
-    return _verify(base, cand_ids, max_dist, broadcast_row_limit)
+    return _verify(
+        base, cand_ids, max_dist, broadcast_row_limit,
+        size_hint_rows, dedup_candidates,
+    )
 
 
 def _candidates_on(keyed: DataFrame, max_dist: int) -> DataFrame:
@@ -158,11 +184,26 @@ def _candidates_on(keyed: DataFrame, max_dist: int) -> DataFrame:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df`` — metadata
+    only (file sizes × projection ratio, or runtime stats for cached /
+    checkpointed inputs); runs NO Spark job, so building the plan stays
+    side-effect-free (ADVICE r06 on the old construction-time count)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+# conservative serialized width of the narrow (id, string-key) row used
+# to convert broadcast_row_limit (rows) into a sizeInBytes gate
+_BYTES_PER_KEY_ROW = 32
+
+
 def _verify(
     base: DataFrame,
     cand_ids: DataFrame,
     max_dist: int,
     broadcast_row_limit: int,
+    size_hint_rows: int | None = None,
+    dedup_candidates: bool | None = None,
 ) -> DataFrame:
     """Re-attach strings and run the exact verification.
 
@@ -173,11 +214,22 @@ def _verify(
     """
     na = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     nb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    if base.count() <= broadcast_row_limit:
-        na, nb = F.broadcast(na), F.broadcast(nb)
+    if size_hint_rows is not None:
+        small = size_hint_rows <= broadcast_row_limit
     else:
+        small = (
+            _plan_size_bytes(na)
+            <= broadcast_row_limit * _BYTES_PER_KEY_ROW
+        )
+    if dedup_candidates is None:
         # shuffle path: the candidate set must move anyway, so the
-        # narrow pre-verification dedup pays for itself again
+        # narrow pre-verification dedup pays for itself; broadcast
+        # path skips it (measured: 9 s to remove ~10% on near-unique
+        # keys — see the public docstring's duplicate-heavy caveat)
+        dedup_candidates = not small
+    if small:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    if dedup_candidates:
         cand_ids = cand_ids.distinct()
     cand = cand_ids.join(na, "id_a").join(nb, "id_b")
     return (

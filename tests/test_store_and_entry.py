@@ -61,13 +61,14 @@ def test_queries_and_oracles_aligned():
 # hand-counted "window ends here" comment drifted by two, leaving two
 # queries unchecked for two rounds).
 DRIVER_WINDOW = [
-    # round-6 rotation (VERDICT r05 items 1+3+8): the r6 slate (20) plus
-    # the ENTIRE r7 slice (20) promoted a round early, plus the two new
-    # KMV split entries; 8 flagship keeps anchor the core families.
-    # Independent copy of __spark_entry__.DRIVER_WINDOW_R06 — kept
-    # separate on purpose so a registry edit cannot silently move the
-    # window without this test noticing.
-    # keeps (8)
+    # round-7 rotation (VERDICT r06 item 1): the FINAL promotion slate —
+    # the 41 never-driver-checked oracle-backed entries (mechanically
+    # recomputed: `python scripts/coverage_report.py --check-window`)
+    # plus 9 family-anchor keeps. Independent copy of
+    # __spark_entry__.DRIVER_WINDOW_R07 — kept separate on purpose so a
+    # registry edit cannot silently move the window without this test
+    # noticing.
+    # keeps (9)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -76,51 +77,49 @@ DRIVER_WINDOW = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    # r6 slate (20)
-    "doc_dedup_clusters",
-    "emb_pq_codes",
-    "emb_centroids",
-    "doc_bigram_lift",
-    "g_housemates",
-    "g_house_subgraph",
-    "doc_top_terms",
-    "emb_knn_lsh",
-    "events_hourly",
-    "g_ego_fuzzy",
-    "events_retention_cohorts",
-    "doc_regex_token_stats",
-    "doc_fingerprints",
-    "emb_cosine_dup_pairs",
-    "g_survival_features",
-    "g_house_histogram",
-    "sales_cube",
-    "g_house_adjacency",
-    "g_friend_counts_by_house",
-    "order_priority_counts",
-    # r7 slice, pulled forward (20)
-    "events_sessionized",
-    "events_json_extract",
-    "events_value_percentiles",
-    "customer_order_rank",
-    "orders_above_customer_avg",
-    "customer_year_sets",
-    "order_priority_pivot",
-    "events_daily_gapfill",
-    "customer_stratified_sample",
-    "doc_train_test_split",
-    "events_run_lengths",
-    "doc_clean_corpus",
-    "customers_without_orders",
-    "daily_orders_vs_events",
-    "region_customer_counts",
-    "doc_token_stats",
-    "doc_quality_score",
-    "g_house_nodes",
-    "doc_chunks",
-    "doc_repetition_stats",
-    # new this round: KMV product/audit split
     "events_kmv_estimates",
-    "events_kmv_audit",
+    # final slate (41): the oracle-backed backlog, alphabetical
+    "big_volume_customers_bucketed",
+    "customer_cdc_diff",
+    "customer_fuzzy_matches",
+    "customer_order_quartiles",
+    "doc_bpe_pair_counts",
+    "doc_decontaminate_fuzzy",
+    "doc_dup_spans",
+    "doc_training_shuffle",
+    "emb_ivf_knn",
+    "emb_lloyd_clusters",
+    "emb_quantize_int8",
+    "events_audience_overlap",
+    "events_cm_user_counts",
+    "events_daily_forecast",
+    "events_hourly_anomalies",
+    "events_sliding_distinct_users",
+    "events_zorder_values",
+    "g_betweenness_landmarks",
+    "g_closeness_landmarks",
+    "g_clustering_coefficient",
+    "g_jaccard_similarity",
+    "g_kcore",
+    "g_linkpred_training_set",
+    "g_pagerank_prod",
+    "g_sssp",
+    "lineitem_correlations",
+    "mm_audio_stats_audit",
+    "mm_frame_sample_plan",
+    "mm_image_near_dups_audit",
+    "mm_image_resize_audit",
+    "mm_media_inventory",
+    "nation_share_window",
+    "orders_price_histogram",
+    "orders_profile",
+    "orders_quality_checks",
+    "regional_revenue_sql",
+    "returned_item_losses_bucketed",
+    "stream_enrich",
+    "stream_session_windows",
+    "top_customers_by_spend_prod",
+    "top_unshipped_orders_bucketed",
 ]
 
 
