@@ -83,14 +83,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 41 oracle-backed entries with no driver row across
 # CORRECTNESS_r01–r06 (mechanically recomputed by
 # `python scripts/coverage_report.py --check-window`, which also
-# verified this window contains the entire backlog) plus 9 keeps
-# anchoring the core families (serving+Cypher, features, iterative
-# graph, dedup, ANN, streaming, money OLAP, sketches). Every promotion
-# was judge-verified locally green at sf0.001 AND sf0.01 in round 6 and
-# passes the HUGEINT/DECIMAL result-type preflight. A green r07 makes
-# oracle-backed driver coverage 178/178 complete.
+# verified this window contains the entire backlog), PLUS
+# doc_token_heavy_hitters — newly oracle-backed this round (merge-form
+# MG, VERDICT r06 item 5), so it joins the backlog and the window —
+# plus 8 keeps anchoring the core families (serving+Cypher, features,
+# iterative graph, dedup, ANN, streaming, money OLAP). Every promotion
+# was judge-verified locally green at sf0.001 AND sf0.01 (the 41 in
+# round 6; the new MG entry this round) and passes the HUGEINT/DECIMAL
+# result-type preflight. A green r07 makes oracle-backed driver
+# coverage 179/179 complete.
 DRIVER_WINDOW_R07 = [
-    # keeps (9)
+    # keeps (8)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -99,7 +102,8 @@ DRIVER_WINDOW_R07 = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    "events_kmv_estimates",
+    # newly oracle-backed this round (left rows-only in r07)
+    "doc_token_heavy_hitters",
     # final slate (41): the never-driver-checked oracle-backed backlog,
     # exactly as pinned in round 6 and re-derived by coverage_report.py
     "big_volume_customers_bucketed",
@@ -425,7 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomalies": rel.events_hourly_anomalies,
         "g_kcore": on_graph(lambda g: galg.kcore_members(g, k=70)),
         "orders_quality_checks": _orders_quality,
-        "doc_token_heavy_hitters": _token_heavy_hitters,  # rows-only (MG sketch)
+        "doc_token_heavy_hitters": _token_heavy_hitters,  # merge-form MG
+        # — order-insensitive, exact-oracled since r07 (was rows-only)
         "orders_price_histogram": rel.orders_price_histogram,
         "doc_bpe_pair_counts": text.bpe_pair_counts,
         "doc_training_shuffle": curation.training_shuffle,
@@ -695,14 +700,18 @@ def _events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-form MG summary (order-insensitive, so exact-oracled —
+    VERDICT r06 item 5 retired this entry from rows-only); the
+    single-pass mapInPandas variant stays in sketch.py for streams,
+    certified by doc_token_heavy_hitters_audit."""
     from neo4j_database_spark.catalog import load_table
-    from neo4j_database_spark.operators.sketch import misra_gries_topk
+    from neo4j_database_spark.operators.sketch import misra_gries_merged
     from neo4j_database_spark.pipeline.text import _tokens
     from pyspark.sql import functions as F
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
-    return misra_gries_topk(toks, "tok", k=15, capacity=256)
+    return misra_gries_merged(toks, "tok", k=15, capacity=256)
 
 
 def _token_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,6 +1282,53 @@ JOIN pr_allranks r ON r.id = p.id
 JOIN pr_kstop s ON r.k = s.k
 ORDER BY r.rank DESC, p.name ASC
 """
+
+
+def _pagerank_tol_margin_sql(
+    max_iter: int = 30, tol: float = 1e-3, damping: float = 0.85
+) -> str:
+    """Safety lint for _pagerank_tol_sql (ADVICE r06): the kstop
+    selection compares float L1 sums (accumulated in different orders
+    per engine) against tol, so the oracle is only trustworthy while
+    every checkpoint's L1 stays clear of the threshold. This query
+    returns the minimum relative margin min |L1 − tol| / tol over all
+    checkpoints; check_oracle fails the run when it drops below
+    ORACLE_MARGIN_FLOOR, flagging the trajectory as oracle-UNSAFE at
+    that scale instead of letting a near-tie surface as a value diff
+    (measured: sf0.1 crosses with a 40% step; the floor is 1%)."""
+    ctes = _pagerank_ctes(max_iter, damping, materialize=True)
+    checkpoints = list(range(4, max_iter + 1, 2))
+    for k in checkpoints:
+        ctes.append(
+            f"""pr_l1_{k} AS (
+  SELECT SUM(ABS(a.rank - b.rank)) AS l1
+  FROM pr_r{k} a JOIN pr_r{k - 2} b ON a.id = b.id
+  WHERE a.id IN (SELECT src FROM pr_deg)
+)"""
+        )
+    stops = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT l1 FROM pr_l1_{k}) AS l1"
+        for k in checkpoints
+    )
+    ctes.append(f"pr_stops AS ({stops})")
+    body = ",\n".join(ctes)
+    return f"""{GRAPH_CTES},
+{body}
+SELECT MIN(ABS(l1 - CAST('{tol!r}' AS DOUBLE)) / CAST('{tol!r}' AS DOUBLE))
+  AS margin
+FROM pr_stops WHERE l1 IS NOT NULL
+"""
+
+
+# Oracle-safety lints (name → margin SQL): run by scripts/check_oracle.py
+# whenever the named query is checked; the single-row result column
+# `margin` must exceed ORACLE_MARGIN_FLOOR or the check FAILS with an
+# "oracle-unsafe at this scale" diagnosis rather than a confusing diff.
+ORACLE_MARGIN_FLOOR = 0.01
+
+
+def oracle_margin_lints() -> dict[str, str]:
+    return {"g_pagerank_prod": _pagerank_tol_margin_sql()}
 
 
 def _betweenness_sql(n_landmarks: int = 4, max_depth: int = 6) -> str:
@@ -3048,6 +3104,31 @@ FROM region
 LEFT JOIN nation ON r_regionkey = n_regionkey
 LEFT JOIN customer ON n_nationkey = c_nationkey
 GROUP BY r_name ORDER BY region
+""",
+        # Merge-form MG summary (sketch.py::misra_gries_merged): exact
+        # counts folded by the Agarwal-merge — subtract the
+        # (capacity+1)-th largest count (257 = capacity+1), drop
+        # non-positives, top-15 by est. A pure function of the token
+        # multiset, so the oracle recomputes it exactly (retired from
+        # rows-only, VERDICT r06 item 5). CASTs: COUNT(*) is BIGINT but
+        # SUM(cnt) is HUGEINT → CAST.
+        "doc_token_heavy_hitters": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS item
+  FROM documents
+),
+cnt AS MATERIALIZED (SELECT item, COUNT(*) AS cnt FROM tok GROUP BY item),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+cut AS (
+  SELECT CASE WHEN COUNT(*) >= 257 THEN MIN(cnt) ELSE 0 END AS cut
+  FROM (SELECT cnt FROM cnt ORDER BY cnt DESC LIMIT 257)
+)
+SELECT c.item, CAST(c.cnt - cut.cut AS BIGINT) AS est_count,
+       tot.n_total, CAST(cut.cut AS BIGINT) AS max_underestimate
+FROM cnt c, cut, tot
+WHERE c.cnt - cut.cut > 0
+ORDER BY est_count DESC, c.item
+LIMIT 15
 """,
         # MG-sketch exact-audit: the guaranteed-heavy-hitter set is pure
         # exact math; the guarantee booleans are pinned TRUE (the Spark

@@ -111,6 +111,69 @@ def misra_gries_topk(
     )
 
 
+def misra_gries_merged(
+    df: DataFrame, col: str, k: int | None = 20, capacity: int = 256
+) -> DataFrame:
+    """Order-insensitive Misra-Gries summary via the MERGE form
+    (Agarwal et al., "Mergeable Summaries", PODS'12): treat each item's
+    exact count as a trivially-correct MG summary of its own
+    occurrences and fold them all with the standard merge — sum
+    counters (one exact groupBy count), subtract the (capacity+1)-th
+    largest counter, drop non-positives. Same contract as
+    ``misra_gries_topk`` (≤ capacity counters; est ≤ true ≤
+    est + n/(capacity+1), since capacity+1 counters ≥ cut implies
+    (capacity+1)·cut ≤ n) — but the result is a pure function of the
+    MULTISET: identical under any partitioning, row order, or batch
+    boundaries, so the registry entry carrying it is exact-oracle-
+    checkable (VERDICT r06 item 5). For survivors the offset is exact:
+    true − est == cut, reported as ``max_underestimate``.
+
+    Cost: the exact count's single item shuffle (map-side combined)
+    plus a top-(capacity+1) threshold (TakeOrdered — capacity-sized,
+    driver-merged) re-broadcast into the plan; fully lazy, no
+    construction-time job. The single-pass ``misra_gries_topk``
+    remains the bounded-memory path when even one count shuffle is
+    unwanted (true streams); its partition-dependent guarantees are
+    certified by the doc_token_heavy_hitters_audit entry.
+    """
+    cnts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    # the (capacity+1)-th largest count VALUE (0 when fewer than
+    # capacity+1 distinct items): min over a top-(capacity+1) limit —
+    # deterministic under ties because it is a value, not a row pick
+    cut = (
+        cnts.orderBy(F.desc("cnt"))
+        .limit(capacity + 1)
+        .agg(
+            F.when(
+                F.count(F.lit(1)) >= capacity + 1, F.min("cnt")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cut")
+        )
+    )
+    out = (
+        cnts.crossJoin(F.broadcast(cut))
+        .withColumn("est_count", (F.col("cnt") - F.col("cut")).cast("long"))
+        .filter(F.col("est_count") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item",
+            "est_count",
+            "n_total",
+            F.col("cut").alias("max_underestimate"),
+        )
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("est_count"), F.asc("item")).limit(k)
+    return out
+
+
 _Q_PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("value", T.DoubleType()),

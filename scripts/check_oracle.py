@@ -139,10 +139,26 @@ def main():
         for name, expr in lint:
             print(f"  {name}: CAST({expr} AS DECIMAL ...)")
         sys.exit(2)
+    margin_lints = entrymod.oracle_margin_lints()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # oracle-safety margin lints (ADVICE r06): an oracle whose
+        # correctness hinges on a float threshold comparison (e.g. the
+        # pagerank kstop rule) must demonstrate a safe margin at THIS
+        # scale, or the run fails with a diagnosis instead of a diff
+        if name in margin_lints:
+            margin = con.execute(margin_lints[name]).fetchone()[0]
+            if margin is None or margin < entrymod.ORACLE_MARGIN_FLOOR:
+                print(
+                    f"{name:32s} MARGIN-UNSAFE: min relative margin "
+                    f"{margin!r} < floor {entrymod.ORACLE_MARGIN_FLOOR} "
+                    f"— the float-threshold trajectory grazes tol at "
+                    f"this SF; the oracle cannot be trusted here"
+                )
+                failures.append(name)
+                continue
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]

@@ -80,3 +80,23 @@ def test_registry_oracles_pass_both_lints(sf_dir):
             f"FROM '{os.path.join(sf_dir, t)}.parquet'"
         )
     assert preflight_result_types(c, oracles) == []
+
+
+def test_pagerank_margin_lint_safe_at_test_sf(sf_dir):
+    """ADVICE r06: the g_pagerank_prod oracle's kstop rule compares
+    float L1 sums against tol, so it is trustworthy only while every
+    checkpoint's L1 keeps a relative margin above ORACLE_MARGIN_FLOOR.
+    check_oracle enforces this at run time; this test pins that the
+    margin SQL runs, yields a margin, and the test SF sits safely above
+    the floor (measured: 4.97% at sf0.001, 2.62% at sf0.01)."""
+    c = duckdb.connect()
+    for t in entrymod.ALL_TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM '{os.path.join(sf_dir, t)}.parquet'"
+        )
+    lints = entrymod.oracle_margin_lints()
+    assert "g_pagerank_prod" in lints
+    margin = c.execute(lints["g_pagerank_prod"]).fetchone()[0]
+    assert margin is not None
+    assert margin > entrymod.ORACLE_MARGIN_FLOOR

@@ -275,3 +275,55 @@ def test_misra_gries_heavy_hitters_bounds(spark, sf_dir):
     got = {r.item for r in out}
     if len(heavy) <= 15:
         assert heavy <= got
+
+
+def test_misra_gries_merged_is_deterministic_and_bounded(spark, sf_dir):
+    """Merge-form MG (VERDICT r06 item 5): same MG contract as the
+    single-pass sketch, but a pure function of the multiset — the
+    output must be byte-identical under different partitionings, obey
+    est ≤ true ≤ est + n/(capacity+1) with the EXACT offset
+    true − est == cut for every survivor, and keep ≤ capacity items."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.sketch import misra_gries_merged
+    from neo4j_database_spark.pipeline.text import _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    cap = 64
+    full = misra_gries_merged(toks, "tok", k=None, capacity=cap).collect()
+    assert len(full) <= cap
+    for r in full:
+        assert r.n_total == n
+        true = exact[r.item]
+        # the merge offset is exact, and bounded by n/(cap+1)
+        assert true - r.est_count == r.max_underestimate
+        assert r.max_underestimate <= n // (cap + 1)
+    # every guaranteed heavy hitter (count > n/(cap+1) ≥ cut) survives
+    heavy = {t for t, c in exact.items() if c > n // (cap + 1)}
+    assert heavy <= {r.item for r in full}
+    # determinism under repartitioning: same rows regardless of layout
+    a = sorted(
+        map(tuple, misra_gries_merged(toks, "tok", k=15, capacity=cap).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            misra_gries_merged(
+                toks.repartition(7, "tok"), "tok", k=15, capacity=cap
+            ).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            misra_gries_merged(
+                toks.coalesce(1), "tok", k=15, capacity=cap
+            ).collect(),
+        )
+    )
+    assert a == b == c

@@ -38,7 +38,11 @@ ROWS_ONLY = {
     "events_approx_users",  # HLL sketch — engine-specific estimate
     "events_value_percentiles_approx",  # GK sketch — engine-specific
     "mm_image_near_dups",  # generated media input — no SQL twin
-    "doc_token_heavy_hitters",  # MG sketch — partition-dependent summary
+    # (doc_token_heavy_hitters left this set in r07: the registry entry
+    # now runs sketch.py::misra_gries_merged — the order-insensitive
+    # Agarwal-merge form — so it is exact-oracle-checkable; the
+    # partition-dependent single-pass variant stays certified by
+    # doc_token_heavy_hitters_audit)
     "mm_video_features",  # generated media input — no SQL twin
     "doc_bpe_train",  # iterative merge loop — fold not SQL-expressible
     "mm_image_resize",  # generated media input — no SQL twin
@@ -68,7 +72,7 @@ DRIVER_WINDOW = [
     # __spark_entry__.DRIVER_WINDOW_R07 — kept separate on purpose so a
     # registry edit cannot silently move the window without this test
     # noticing.
-    # keeps (9)
+    # keeps (8)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -77,7 +81,8 @@ DRIVER_WINDOW = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    "events_kmv_estimates",
+    # newly oracle-backed this round (merge-form MG, ex-rows-only)
+    "doc_token_heavy_hitters",
     # final slate (41): the oracle-backed backlog, alphabetical
     "big_volume_customers_bucketed",
     "customer_cdc_diff",
