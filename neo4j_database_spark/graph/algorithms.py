@@ -63,6 +63,15 @@ BROADCAST_NODE_LIMIT = 10_000_000
 # ships.
 BROADCAST_ADJ_ENTRY_LIMIT = 20_000_000
 
+# Per-cell adjacency-entry budget for the 2D-grid support kernel
+# (_grid_support): each grid cell holds the full neighbor arrays of
+# two node blocks (~2·ENTRIES/B where ENTRIES = 2·|E|), so this bounds
+# per-task memory at ~128 MB of array payload regardless of graph
+# size. Smaller target = more cells = lower task memory but a larger
+# adjacency replication exchange (2·B·|adj| per pass) — see
+# _grid_support's docstring for the trade.
+GRID_CELL_ENTRY_TARGET = 16_000_000
+
 _AQE_TOGGLE_LOCK = threading.Lock()
 
 
@@ -1278,6 +1287,142 @@ def hits(
     )
 
 
+def _grid_support(
+    edges: DataFrame,
+    n_edges: int,
+    cell_entry_target: int | None = None,
+) -> DataFrame:
+    """Edge support |N(a) ∩ N(b)| via 2D grid partitioning — the
+    large-graph path of ``ktruss_edges``.
+
+    Why not a plain join: attaching both endpoints' neighbor arrays to
+    every edge row makes the shuffled row ~(deg(a)+deg(b))·8 B wide;
+    the total exchange is Σ_edges(deg(a)+deg(b)) entries — measured
+    r07 at a 16×-replicated sf0.1 FRIEND_OF graph (72M edges, deg≈600)
+    that is ~700 GB of sort spill, which filled the disk and killed
+    the job. Broadcasting the adjacency instead (the small-graph path)
+    caps out at executor memory.
+
+    The standard fix from distributed triangle counting (2D / PATRIC-
+    style partitioning): hash nodes into B blocks, place edge (a, b)
+    in cell (block(a), block(b)), and replicate each node's neighbor
+    array to the B cells of its block-row (as the src side) and the B
+    cells of its block-column (as the dst side). Each cell then holds
+    the FULL arrays of exactly two blocks:
+
+    - per-task memory: 2·ENTRIES/B (ENTRIES = 2·|E| symmetric
+      adjacency entries) — bounded by ``cell_entry_target`` at any
+      graph size, the property neither the broadcast nor the join
+      fallback has;
+    - exchange per pass: edges once (narrow 16-B rows) + 2·B·|adj|
+      replicated adjacency — at the 16× probe graph B=18 ⇒ ~41 GB vs
+      the join path's ~700 GB, and the replication is narrow rows
+      that hash-partition without sorting;
+    - intersection counts are exact integers computed per cell
+      (numpy, grouped by src so one vectorized ``searchsorted`` per
+      source node covers all its edges) — independent of partitioning,
+      so the result is byte-identical to the broadcast path and the
+      unrolled DuckDB oracle (pinned by
+      tests/test_graph_algorithms.py::test_ktruss_grid_path_parity).
+
+    B grows as ceil(2·ENTRIES/target) ≈ |E|/4M: the replication
+    exchange 2·B·|adj| therefore scales ~|E|²/target·avg_deg — at
+    extreme scale pair it with per-pass block compression or the
+    degeneracy-ordered orientation (smaller arrays ⇒ smaller |adj|);
+    for truss-shaped graphs the array payload is what bounds it.
+    """
+    target = (
+        cell_entry_target
+        if cell_entry_target is not None
+        else GRID_CELL_ENTRY_TARGET  # module global: test-overridable
+    )
+    entries = 2 * n_edges
+    b = max(2, -(-2 * entries // target))
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = sym.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+
+    def block(col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(b)).cast("int")
+
+    adj_a = adj.select(
+        block("src").alias("bi"),
+        blocks.alias("bj"),
+        F.col("src").alias("node"),
+        "nbrs",
+        F.lit("a").alias("side"),
+    )
+    adj_b = adj.select(
+        blocks.alias("bi"),
+        block("src").alias("bj"),
+        F.col("src").alias("node"),
+        "nbrs",
+        F.lit("b").alias("side"),
+    )
+    adj_rep = adj_a.unionByName(adj_b)
+    edge_cells = edges.select(
+        "src", "dst", block("src").alias("bi"), block("dst").alias("bj")
+    )
+
+    def cell_support(epdf, apdf):
+        import numpy as np
+        import pandas as pd
+
+        if epdf.empty:
+            return pd.DataFrame({"src": [], "dst": [], "support": []}).astype(
+                {"src": "int64", "dst": "int64", "support": "int64"}
+            )
+        na: dict = {}
+        nb: dict = {}
+        for node, nbrs, side in zip(
+            apdf["node"].to_numpy(),
+            apdf["nbrs"].to_numpy(),
+            apdf["side"].to_numpy(),
+        ):
+            tgt = na if side == "a" else nb
+            tgt[node] = np.sort(np.asarray(nbrs, dtype=np.int64))
+        src = epdf["src"].to_numpy()
+        dst = epdf["dst"].to_numpy()
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        support = np.zeros(len(src_s), dtype=np.int64)
+        group_starts = np.flatnonzero(
+            np.r_[True, src_s[1:] != src_s[:-1]]
+        )
+        bounds = np.r_[group_starts, len(src_s)]
+        for gi in range(len(group_starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            a_arr = na[src_s[lo]]  # sorted; KeyError = broken invariant
+            cats = [nb[d] for d in dst_s[lo:hi]]
+            lens = np.fromiter(
+                (len(c) for c in cats), dtype=np.int64, count=hi - lo
+            )
+            cat = np.concatenate(cats)
+            idx = np.searchsorted(a_arr, cat)
+            # int64, not bool: np.add.reduceat on a bool array keeps
+            # bool dtype (saturates at 1 — a logical-or, not a count)
+            hits = (
+                a_arr[np.minimum(idx, len(a_arr) - 1)] == cat
+            ).astype(np.int64)
+            seg_starts = np.r_[0, np.cumsum(lens)[:-1]]
+            support[lo:hi] = np.add.reduceat(hits, seg_starts)
+        return pd.DataFrame(
+            {"src": src_s, "dst": dst_s, "support": support}
+        )
+
+    return (
+        edge_cells.groupBy("bi", "bj")
+        .cogroup(adj_rep.groupBy("bi", "bj"))
+        .applyInPandas(
+            lambda e, a: cell_support(e, a),
+            "src long, dst long, support long",
+        )
+    )
+
+
 def ktruss_edges(
     g: GraphModel,
     k: int = 5,
@@ -1305,13 +1450,21 @@ def ktruss_edges(
     array to its edges (two joins of E rows; the adjacency frame
     broadcasts only when BOTH node count ≤ BROADCAST_NODE_LIMIT and
     2·|E| ≤ BROADCAST_ADJ_ENTRY_LIMIT — the payload is edge-bound —
-    and shuffles otherwise) and
+    and routes to the 2D grid kernel otherwise) and
     intersects map-side: per-pass cost is Σ_edges(deg(a)+deg(b)) hash
     probes with NO triangle-sized exchange — 15 s for the same pass.
     Trade-off at 100 TB: rows carry max-degree-sized arrays, so
     extreme hubs want the degeneracy-ordered variant; for truss-shaped
     (cohesive) subgraphs degree is the right bound. Returns surviving
     edges with their final-round support, by name.
+
+    Above the broadcast gate the support kernel switches to 2D grid
+    partitioning (_grid_support): per-task memory bounded at
+    2·ENTRIES/B regardless of graph size, byte-identical counts. The
+    r06-era join fallback (attach both neighbor arrays to every edge
+    row) is GONE — measured r07 at 16× sf0.1 it sort-spilled ~700 GB
+    of array-widened edge rows and died on disk; see the r07
+    SCALE_PROBE.md cells.
     """
     e = (
         g.edges.filter(F.col("type").isin(list(types)))
@@ -1335,7 +1488,13 @@ def ktruss_edges(
         and 2 * n_edges <= BROADCAST_ADJ_ENTRY_LIMIT
     )
 
-    def _support(edges: DataFrame) -> DataFrame:
+    def _support(edges: DataFrame, m: int) -> DataFrame:
+        # Large graphs: 2D grid partitioning (see _grid_support) — a
+        # broadcast would exceed executor memory and the plain join
+        # ships (deg(a)+deg(b))-wide rows per edge (~700 GB of sort
+        # spill measured at the 16× probe graph, r07).
+        if not small:
+            return _grid_support(edges, m)
         # symmetric adjacency arrays; intersection SIZE is order-
         # independent, so the unsorted collect_list is deterministic
         sym = edges.unionByName(
@@ -1344,8 +1503,7 @@ def ktruss_edges(
         adj = sym.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         na = adj.select(F.col("src").alias("_a"), F.col("nbrs").alias("na"))
         nb = adj.select(F.col("src").alias("_b"), F.col("nbrs").alias("nb"))
-        if small:
-            na, nb = F.broadcast(na), F.broadcast(nb)
+        na, nb = F.broadcast(na), F.broadcast(nb)
         return (
             edges.join(na, edges.src == F.col("_a"))
             .join(nb, edges.dst == F.col("_b"))
@@ -1357,16 +1515,19 @@ def ktruss_edges(
         )
 
     converged_sup = None
+    m = n_edges
     for _ in range(max_rounds):
         # _support emits every surviving edge (adjacency covers both
         # endpoints by construction), so no left-join/coalesce needed
         kept = (
-            _support(e)
+            _support(e, m)
             .filter(F.col("support") >= min_sup)
             .localCheckpoint()
         )
-        done = kept.count() == e.count()
+        m_new = kept.count()
+        done = m_new == m
         e = kept.select("src", "dst")
+        m = m_new
         if done:
             # the round removed nothing, so the support it computed IS
             # the support on the final subgraph — reporting from it
@@ -1380,7 +1541,7 @@ def ktruss_edges(
     # defined whether or not the peel converged within max_rounds, and
     # exactly what the unrolled oracle computes
     out = (
-        converged_sup if converged_sup is not None else _support(e)
+        converged_sup if converged_sup is not None else _support(e, m)
     ).select("src", "dst", F.col("support").cast("long").alias("support"))
     pa = g.persons.select(F.col("id").alias("src"), F.col("name").alias("a_name"))
     pb = g.persons.select(F.col("id").alias("dst"), F.col("name").alias("b_name"))

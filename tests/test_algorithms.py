@@ -495,3 +495,50 @@ def test_ktruss_peeling_cascades(spark):
     assert got == {
         (f"N{a}", f"N{b}"): 2 for a, b in clique
     }
+
+
+def test_ktruss_grid_path_parity(spark, sf_dir, monkeypatch):
+    """The 2D-grid support kernel (large-graph path) is byte-identical
+    to the broadcast path on the real sf graph — support counts are
+    exact integers, so the routing gate can never change the answer.
+    A tiny cell_entry_target forces a multi-block grid (B >> 2) so
+    cross-cell edge placement and both replication sides are
+    exercised, not just the degenerate 2x2 grid."""
+    from neo4j_database_spark.graph.model import build_graph
+
+    g = build_graph(spark, sf_dir)
+    base = sorted(
+        (r.a_name, r.b_name, r.support)
+        for r in alg.ktruss_edges(g).collect()
+    )
+    assert len(base) > 0
+    monkeypatch.setattr(alg, "BROADCAST_ADJ_ENTRY_LIMIT", 0)
+    monkeypatch.setattr(alg, "GRID_CELL_ENTRY_TARGET", 1_000)
+    grid = sorted(
+        (r.a_name, r.b_name, r.support)
+        for r in alg.ktruss_edges(g).collect()
+    )
+    assert grid == base
+
+
+def test_ktruss_grid_peeling_cascades(spark, monkeypatch):
+    """The grid path peels identically on the clique+bowtie fixture
+    (multi-round cascade, B=2 minimum grid)."""
+    monkeypatch.setattr(alg, "BROADCAST_ADJ_ENTRY_LIMIT", 0)
+    persons = spark.createDataFrame(
+        [(i, f"N{i}", "H", "S", 0.0) for i in range(1, 9)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    clique = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in clique + bowtie],
+        "src long, dst long, type string",
+    )
+    houses = persons.select(F.col("house").alias("name")).distinct()
+    g = GraphModel(persons=persons, houses=houses, edges=edges)
+    got = {
+        (r.a_name, r.b_name): r.support
+        for r in alg.ktruss_edges(g, k=4).collect()
+    }
+    assert got == {(f"N{a}", f"N{b}"): 2 for a, b in clique}
