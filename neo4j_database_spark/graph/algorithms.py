@@ -1423,11 +1423,107 @@ def _grid_support(
     )
 
 
+def _oriented_support(edges: DataFrame, small: bool) -> DataFrame:
+    """Edge support via degree-ordered triangle enumeration — the
+    hub-graph strategy of ``ktruss_edges`` (strategy="oriented").
+
+    Orient every edge from its lower-(degree, id) endpoint (the
+    standard degeneracy-order surrogate: Cohen, "Graph Twiddling in a
+    MapReduce World"; Latapy's compact-forward). Each triangle
+    {u < v < w} in that order is then enumerated exactly ONCE as
+    w ∈ N⁺(u) ∩ N⁺(v), and scatters +1 support to its three edges.
+
+    Cost trade vs the edge-iterator paths (_support/_grid_support):
+    arrays shipped per edge are OUT-neighbor arrays, bounded by the
+    orientation (≈ O(√m) on degeneracy-bounded graphs; O(1) on
+    stars) instead of full degree — but the scatter is a
+    3·|triangles| narrow-row exchange, which on dense clique graphs
+    is exactly the triangle-sized shuffle the edge-iterator form
+    exists to avoid (995 s measured r05). Pick oriented when hubs
+    dominate and triangles are sparse; adjacency/grid when triangles
+    are dense. Counts are exact integers — all three strategies are
+    byte-identical (pinned by tests/test_algorithms.py and the
+    hypothesis parity property).
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # orient u→v iff (deg(u), u) < (deg(v), v): a total order, so the
+    # oriented graph is acyclic and every triangle has one source pair
+    da = deg.select(F.col("src").alias("_u"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("src").alias("_v"), F.col("deg").alias("degb"))
+    if small:
+        da, db = F.broadcast(da), F.broadcast(db)
+    lo_first = edges.join(da, edges.src == F.col("_u")).join(
+        db, edges.dst == F.col("_v")
+    )
+    fwd = F.struct(
+        F.col("dega").alias("d"), F.col("src").alias("n")
+    ) < F.struct(F.col("degb").alias("d"), F.col("dst").alias("n"))
+    oriented = lo_first.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    out_adj = oriented.groupBy(F.col("u").alias("node")).agg(
+        F.sort_array(F.collect_list("v")).alias("outs")
+    )
+    oa = out_adj.select(F.col("node").alias("_a"), F.col("outs").alias("oa"))
+    ob = out_adj.select(F.col("node").alias("_b"), F.col("outs").alias("ob"))
+    if small:
+        oa, ob = F.broadcast(oa), F.broadcast(ob)
+    # left joins: an oriented edge whose endpoint has no out-neighbors
+    # (e.g. the top-ranked node) still closes no triangle but must not
+    # vanish before the scatter
+    tri_w = (
+        oriented.join(oa, oriented.u == F.col("_a"), "left")
+        .join(ob, oriented.v == F.col("_b"), "left")
+        .select(
+            "u",
+            "v",
+            F.explode(
+                F.array_intersect(
+                    F.coalesce(F.col("oa"), F.array().cast("array<long>")),
+                    F.coalesce(F.col("ob"), F.array().cast("array<long>")),
+                )
+            ).alias("w"),
+        )
+    )
+    # scatter each triangle once to its three ID-canonical edges
+    tri_edges = tri_w.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("src"),
+                    F.greatest("u", "v").alias("dst"),
+                ),
+                F.struct(
+                    F.least("u", "w").alias("src"),
+                    F.greatest("u", "w").alias("dst"),
+                ),
+                F.struct(
+                    F.least("v", "w").alias("src"),
+                    F.greatest("v", "w").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    counts = tri_edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("_sup")
+    )
+    return edges.join(counts, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce(F.col("_sup"), F.lit(0)).cast("int").alias("support"),
+    )
+
+
 def ktruss_edges(
     g: GraphModel,
     k: int = 5,
     types: tuple[str, ...] = ("FRIEND_OF",),
     max_rounds: int = 5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """k-truss decomposition: iteratively peel edges with fewer than
     k-2 triangles in the surviving subgraph — the edge-level sibling of
@@ -1488,7 +1584,15 @@ def ktruss_edges(
         and 2 * n_edges <= BROADCAST_ADJ_ENTRY_LIMIT
     )
 
+    if strategy not in ("auto", "oriented"):
+        raise ValueError(f"unknown ktruss strategy: {strategy!r}")
+
     def _support(edges: DataFrame, m: int) -> DataFrame:
+        # Hub-graph opt-in: degree-ordered triangle enumeration
+        # (arrays bounded by orientation, scatter 3·|triangles| narrow
+        # rows) — see _oriented_support for when to pick it.
+        if strategy == "oriented":
+            return _oriented_support(edges, small)
         # Large graphs: 2D grid partitioning (see _grid_support) — a
         # broadcast would exceed executor memory and the plain join
         # ships (deg(a)+deg(b))-wide rows per edge (~700 GB of sort

@@ -542,3 +542,42 @@ def test_ktruss_grid_peeling_cascades(spark, monkeypatch):
         for r in alg.ktruss_edges(g, k=4).collect()
     }
     assert got == {(f"N{a}", f"N{b}"): 2 for a, b in clique}
+
+
+def test_ktruss_oriented_strategy_parity(spark, sf_dir):
+    """strategy="oriented" (degree-ordered triangle enumeration) is
+    byte-identical to the default edge-iterator on the real sf graph
+    and on the multi-round clique+bowtie cascade."""
+    from neo4j_database_spark.graph.model import build_graph
+
+    g = build_graph(spark, sf_dir)
+    base = sorted(
+        (r.a_name, r.b_name, r.support)
+        for r in alg.ktruss_edges(g).collect()
+    )
+    oriented = sorted(
+        (r.a_name, r.b_name, r.support)
+        for r in alg.ktruss_edges(g, strategy="oriented").collect()
+    )
+    assert oriented == base and len(base) > 0
+
+    persons = spark.createDataFrame(
+        [(i, f"N{i}", "H", "S", 0.0) for i in range(1, 9)],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    clique = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in clique + bowtie],
+        "src long, dst long, type string",
+    )
+    tiny = GraphModel(
+        persons=persons,
+        houses=persons.select(F.col("house").alias("name")).distinct(),
+        edges=edges,
+    )
+    got = {
+        (r.a_name, r.b_name): r.support
+        for r in alg.ktruss_edges(tiny, k=4, strategy="oriented").collect()
+    }
+    assert got == {(f"N{a}", f"N{b}"): 2 for a, b in clique}

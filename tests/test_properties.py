@@ -168,3 +168,65 @@ def test_merge_into_matches_reference(spark, case):
         if k not in tgt_keys:
             want[k] = (srcd[k][0], "inserted")
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=graph_strategy, target=st.sampled_from([4, 40, 10_000]))
+def test_grid_support_matches_bruteforce(spark, data, target):
+    """_grid_support (the large-graph k-truss kernel) vs brute-force
+    Python |N(a) ∩ N(b)| on random graphs, across grid granularities:
+    target=4 forces B ≈ entry-count (mostly-empty cells, every edge
+    crossing blocks), 10_000 collapses to the minimum 2x2 grid."""
+    persons, edges = data
+    if not edges:
+        return
+    g = make_graph(spark, persons, edges)
+    e = g.edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    got = {
+        (r.src, r.dst): r.support
+        for r in alg._grid_support(e, len(edges), cell_entry_target=target)
+        .collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in edges}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=graph_strategy, small=st.booleans())
+def test_oriented_support_matches_bruteforce(spark, data, small):
+    """_oriented_support (degree-ordered triangle enumeration) vs
+    brute-force |N(a) ∩ N(b)| on random graphs, both the broadcast
+    and the shuffle-join variants."""
+    persons, edges = data
+    if not edges:
+        return
+    g = make_graph(spark, persons, edges)
+    e = g.edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    got = {
+        (r.src, r.dst): r.support
+        for r in alg._oriented_support(e, small).collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in edges}
+    assert got == want
