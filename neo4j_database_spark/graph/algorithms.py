@@ -437,7 +437,11 @@ def bfs_distances(
     )
 
 
-def triangle_count(g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)) -> DataFrame:
+def triangle_count(
+    g: GraphModel,
+    types: tuple[str, ...] = ("SAME_FAMILY",),
+    strategy: str = "auto",
+) -> DataFrame:
     """Total triangle count via the canonical-order three-way edge join.
 
     Canonical storage (src < dst by construction for symmetric types)
@@ -445,8 +449,31 @@ def triangle_count(g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)) -> 
     edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c). Two shuffles; the candidate
     path explosion is bounded by per-key degree — on near-clique inputs
     restrict to sparser edge types (default SAME_FAMILY) or sample.
+
+    ``strategy="oriented"`` (opt-in, r07): compact-forward enumeration
+    via ``_oriented_triangles`` — the wedge fan-out drops from Σ deg²
+    to Σ outdeg² under the (degree, id) orientation. MEASURED
+    (scripts/ktruss_hub_probe.py): the default wedge join wins on this
+    box even at 1e11 wedges (4.5 s vs oriented 10.0 s, mid-id hubs at
+    100k spokes), because the wedge rows never exchange — both build
+    sides are edge-sized, so wedges generate-and-probe inside one
+    codegen stage at ~1-2 ns each. Σ deg² is CPU-only under pipelined
+    execution; pick oriented when wedge volume outgrows CPU (~1e13+)
+    or when a cluster plan would materialize the wedges across the
+    fabric. Identical integer count (parity-pinned); default plan
+    unchanged.
     """
+    if strategy not in ("auto", "oriented"):
+        raise ValueError(f"unknown triangle_count strategy: {strategy!r}")
     e = g.edges.filter(F.col("type").isin(list(types))).select("src", "dst")
+    if strategy == "oriented":
+        # small=False: no explicit broadcast hint, so plan construction
+        # stays action-free and AQE upgrades the degree/out-adjacency
+        # joins to broadcast when they fit (ktruss passes an explicit
+        # gate because it materializes counts anyway)
+        return _oriented_triangles(e, small=False).agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -1078,7 +1105,9 @@ def betweenness_landmarks(
 
 
 def clustering_coefficient(
-    g: GraphModel, types: tuple[str, ...] = ("SAME_FAMILY",)
+    g: GraphModel,
+    types: tuple[str, ...] = ("SAME_FAMILY",),
+    strategy: str = "auto",
 ) -> DataFrame:
     """Local clustering coefficient per node: the fraction of a node's
     neighbor pairs that are themselves adjacent, ``2·T(v) / (deg(v) ·
@@ -1092,16 +1121,31 @@ def clustering_coefficient(
     double division, identical in DuckDB, so the query has an exact
     oracle. Scale: wedge fan-out is bounded by per-key degree within
     the chosen edge types — default SAME_FAMILY keeps keys at family
-    size; for denser types pre-filter hubs like ``jaccard_similarity``.
+    size; for denser types pre-filter hubs like ``jaccard_similarity``,
+    or pass ``strategy="oriented"`` (opt-in, r07): compact-forward
+    triangle enumeration bounds the wedge fan-out by Σ outdeg² instead
+    of Σ deg², byte-identical output. Same measured caveat as
+    ``triangle_count``: the wedge join pipelines (CPU-only, no wedge
+    exchange) and wins on this box to at least 1e11 wedges — oriented
+    is the asymptotic/fabric-bound escape, not a local speedup.
     """
+    if strategy not in ("auto", "oriented"):
+        raise ValueError(
+            f"unknown clustering_coefficient strategy: {strategy!r}"
+        )
     e = g.edges.filter(F.col("type").isin(list(types))).select("src", "dst")
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    corners = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("id")
-    )
+    if strategy == "oriented":
+        corners = _oriented_triangles(e, small=False).select(
+            F.explode(F.array("u", "v", "w")).alias("id")
+        )
+    else:
+        ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        corners = tri.select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
     tcount = corners.groupBy("id").agg(
         F.count(F.lit(1)).alias("triangles")
     )
@@ -1423,27 +1467,21 @@ def _grid_support(
     )
 
 
-def _oriented_support(edges: DataFrame, small: bool) -> DataFrame:
-    """Edge support via degree-ordered triangle enumeration — the
-    hub-graph strategy of ``ktruss_edges`` (strategy="oriented").
+def _oriented_triangles(edges: DataFrame, small: bool) -> DataFrame:
+    """One row (u, v, w) per triangle, enumerated exactly once under
+    the (degree, id) total order — the shared core of the oriented
+    strategies of ``ktruss_edges``, ``triangle_count`` and
+    ``clustering_coefficient``.
 
     Orient every edge from its lower-(degree, id) endpoint (the
     standard degeneracy-order surrogate: Cohen, "Graph Twiddling in a
     MapReduce World"; Latapy's compact-forward). Each triangle
-    {u < v < w} in that order is then enumerated exactly ONCE as
-    w ∈ N⁺(u) ∩ N⁺(v), and scatters +1 support to its three edges.
-
-    Cost trade vs the edge-iterator paths (_support/_grid_support):
-    arrays shipped per edge are OUT-neighbor arrays, bounded by the
-    orientation (≈ O(√m) on degeneracy-bounded graphs; O(1) on
-    stars) instead of full degree — but the scatter is a
-    3·|triangles| narrow-row exchange, which on dense clique graphs
-    is exactly the triangle-sized shuffle the edge-iterator form
-    exists to avoid (995 s measured r05). Pick oriented when hubs
-    dominate and triangles are sparse; adjacency/grid when triangles
-    are dense. Counts are exact integers — all three strategies are
-    byte-identical (pinned by tests/test_algorithms.py and the
-    hypothesis parity property).
+    {u < v < w} in that order appears exactly ONCE as
+    w ∈ N⁺(u) ∩ N⁺(v). Arrays shipped per edge are OUT-neighbor
+    arrays, bounded by the orientation (≈ O(√m) on degeneracy-bounded
+    graphs; O(1) on stars) instead of full degree — the wedge or
+    full-adjacency fan-out Σ deg² becomes Σ outdeg², which is what
+    makes hub-heavy graphs tractable (SCALE_PROBE.md r07 hub cells).
     """
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1489,6 +1527,26 @@ def _oriented_support(edges: DataFrame, small: bool) -> DataFrame:
             ).alias("w"),
         )
     )
+    return tri_w
+
+
+def _oriented_support(edges: DataFrame, small: bool) -> DataFrame:
+    """Edge support via degree-ordered triangle enumeration — the
+    hub-graph strategy of ``ktruss_edges`` (strategy="oriented").
+
+    Each triangle from ``_oriented_triangles`` scatters +1 support to
+    its three edges. Cost trade vs the edge-iterator paths
+    (_support/_grid_support): bounded OUT-neighbor arrays instead of
+    full degree, but the scatter is a 3·|triangles| narrow-row
+    exchange, which on dense clique graphs is exactly the
+    triangle-sized shuffle the edge-iterator form exists to avoid
+    (995 s measured r05). Pick oriented when hubs dominate and
+    triangles are sparse; adjacency/grid when triangles are dense.
+    Counts are exact integers — all three strategies are
+    byte-identical (pinned by tests/test_algorithms.py and the
+    hypothesis parity property).
+    """
+    tri_w = _oriented_triangles(edges, small)
     # scatter each triangle once to its three ID-canonical edges
     tri_edges = tri_w.select(
         F.explode(

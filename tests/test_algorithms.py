@@ -581,3 +581,30 @@ def test_ktruss_oriented_strategy_parity(spark, sf_dir):
         for r in alg.ktruss_edges(tiny, k=4, strategy="oriented").collect()
     }
     assert got == {(f"N{a}", f"N{b}"): 2 for a, b in clique}
+
+
+def test_triangle_and_clustering_oriented_parity(spark, sf_dir):
+    """triangle_count and clustering_coefficient with the oriented
+    (compact-forward) strategy are byte-identical to the default
+    wedge-join plans on the real sf graph, for both a sparse
+    (SAME_FAMILY) and a dense (FRIEND_OF) type selection."""
+    from neo4j_database_spark.graph.model import build_graph
+
+    g = build_graph(spark, sf_dir)
+    for types, must_have in ((("SAME_FAMILY",), False), (("FRIEND_OF",), True)):
+        n_default = alg.triangle_count(g, types=types).first()["n_triangles"]
+        n_oriented = alg.triangle_count(
+            g, types=types, strategy="oriented"
+        ).first()["n_triangles"]
+        assert n_oriented == n_default, types
+        if must_have:  # the clique type is triangle-dense at any sf
+            assert n_default > 0
+    base = [
+        tuple(r)
+        for r in alg.clustering_coefficient(g).collect()
+    ]
+    oriented = [
+        tuple(r)
+        for r in alg.clustering_coefficient(g, strategy="oriented").collect()
+    ]
+    assert oriented == base and len(base) > 0
