@@ -65,12 +65,16 @@ BROADCAST_ADJ_ENTRY_LIMIT = 20_000_000
 
 # Per-cell adjacency-entry budget for the 2D-grid support kernel
 # (_grid_support): each grid cell holds the full neighbor arrays of
-# two node blocks (~2·ENTRIES/B where ENTRIES = 2·|E|), so this bounds
-# per-task memory at ~128 MB of array payload regardless of graph
-# size. Smaller target = more cells = lower task memory but a larger
-# adjacency replication exchange (2·B·|adj| per pass) — see
-# _grid_support's docstring for the trade.
-GRID_CELL_ENTRY_TARGET = 16_000_000
+# two node blocks (~2·ENTRIES/B where ENTRIES = 2·|E| ≈ the target),
+# so this bounds per-task memory at ~256 MB of array payload (×2-3
+# pandas/Arrow overhead per concurrent task) regardless of graph
+# size. Measured at the 16×-sf0.1 probe graph (144M entries): 16M →
+# B=18, 262 s warm; 32M → B=9, 191 s (the halved replication exchange
+# wins); 64M → B=5 KILLED the local[32] JVM (~1.4 GB of Arrow batch
+# per task × 32 concurrent). Smaller target = more cells = lower task
+# memory but a larger adjacency replication exchange (2·B·|adj| per
+# pass) — see _grid_support's docstring for the trade.
+GRID_CELL_ENTRY_TARGET = 32_000_000
 
 _AQE_TOGGLE_LOCK = threading.Lock()
 
