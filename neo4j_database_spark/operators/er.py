@@ -170,6 +170,15 @@ def _candidates_on(keyed: DataFrame, max_dist: int) -> DataFrame:
     ``k``: (id, len, k) → (id_a < id_b) with the length filter applied
     on the NARROW frame, before strings re-attach. A pair is emitted
     once per shared key; dedup placement is _verify's call."""
+    # Pin the self-join's parallelism: the keyed frame is narrow, so
+    # AQE's byte-based coalescing would run the join (whose OUTPUT
+    # fan-out is the quadratic per-key pair expansion, invisible to
+    # input-size estimates) on 1-2 tasks — the same defect class as
+    # the verify stage, see _verify. User-specified counts are exempt.
+    n_parts = int(
+        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keyed = keyed.repartition(n_parts, "k")
     a = keyed.select(
         "k", F.col("id").alias("id_a"), F.col("len").alias("len_a")
     )
@@ -231,6 +240,20 @@ def _verify(
         na, nb = F.broadcast(na), F.broadcast(nb)
     if dedup_candidates:
         cand_ids = cand_ids.distinct()
+    # Pin verification parallelism: the candidate frame is NARROW
+    # (two longs), so AQE's byte-based post-shuffle coalescing folds
+    # it into 1-2 partitions — and the levenshtein stage, whose cost
+    # is per-ROW compute (banded O(len·d) each), then runs on one
+    # core. Measured r07 at sf0.1 d=2 (4.08M true pairs): 501 s with
+    # the coalesced single-task stages, 107 s with this verify pin
+    # alone, 51.6 s with the _candidates_on pin too (~10x); the d=1
+    # FastSS path drops 5.0 -> 1.4 s from the same two pins. A
+    # user-specified repartition count is exempt from AQE coalescing;
+    # the extra exchange moves only the narrow id pairs.
+    n_parts = int(
+        cand_ids.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cand_ids = cand_ids.repartition(n_parts, "id_a", "id_b")
     cand = cand_ids.join(na, "id_a").join(nb, "id_b")
     return (
         cand.withColumn(
