@@ -101,6 +101,18 @@ def edit_distance_pairs(
     once per shared variant (L+1 times for length-L strings at d=1);
     such callers should pass ``dedup_candidates=True`` (or exact-dedup
     the corpus first, which is strictly better).
+
+    Templated-corpus caveat (measured r07, SCALE_PROBE.md d=2 replica
+    cells): gram blocking quality depends on gram DIVERSITY — on a
+    corpus whose strings share a template (boilerplate web text,
+    generated keys), each string's rarest q·(max_dist)+1 grams collide
+    with every template-mate, so the candidate set grows with corpus
+    self-similarity even though the extra candidates all fail
+    verification (16× replicas: output exactly 16×, runtime ~30×).
+    FastSS (max_dist=1) is immune — deletion variants contain the
+    distinguishing region verbatim. For d ≥ 2 on templated corpora:
+    raise ``q``, strip the shared template before blocking, or
+    pre-partition by the template key.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
     if max_dist == 1:
