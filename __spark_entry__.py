@@ -79,21 +79,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # come first, removing the hand-maintained-dict-order fragility that bit
 # round 2. tests/test_store_and_entry.py cross-pins an independent copy.
 #
-# Round-7 rotation (VERDICT r06 item 1): the FINAL promotion slate —
-# the 41 oracle-backed entries with no driver row across
-# CORRECTNESS_r01–r06 (mechanically recomputed by
-# `python scripts/coverage_report.py --check-window`, which also
-# verified this window contains the entire backlog), PLUS
-# doc_token_heavy_hitters — newly oracle-backed this round (merge-form
-# MG, VERDICT r06 item 5), so it joins the backlog and the window —
-# plus 8 keeps anchoring the core families (serving+Cypher, features,
-# iterative graph, dedup, ANN, streaming, money OLAP). Every promotion
-# was judge-verified locally green at sf0.001 AND sf0.01 (the 41 in
-# round 6; the new MG entry this round) and passes the HUGEINT/DECIMAL
-# result-type preflight. A green r07 makes oracle-backed driver
-# coverage 179/179 complete.
-DRIVER_WINDOW_R07 = [
-    # keeps (8)
+# Round-8 rotation (VERDICT r07 item 1): with the oracle-backed driver
+# union COMPLETE at 179/179 after r07, the window switches to the
+# staleness re-check rotation AT DOUBLE RATE — re-check batches 1 AND 2
+# from `python scripts/coverage_report.py` (the 40 entries whose latest
+# green driver row is oldest: all 11 r02-era + all 12 r03-era + the 17
+# oldest r04-era rows, in schedule order), plus 10 family-anchor keeps.
+# Two of the keeps (customer_fuzzy_matches, doc_decontaminate_fuzzy)
+# are chosen because operators/er.py changes this round (templated-
+# corpus mitigation, VERDICT r07 item 3) — the entries that exercise
+# the changed code belong in the window the round the code changes.
+# g_ktruss (algorithms.py auto-router change) is already in batch 2.
+# A green r08 leaves no entry's latest driver row older than r04.
+DRIVER_WINDOW_R08 = [
+    # keeps (10)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -102,51 +101,50 @@ DRIVER_WINDOW_R07 = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    # newly oracle-backed this round (left rows-only in r07)
-    "doc_token_heavy_hitters",
-    # final slate (41): the never-driver-checked oracle-backed backlog,
-    # exactly as pinned in round 6 and re-derived by coverage_report.py
-    "big_volume_customers_bucketed",
-    "customer_cdc_diff",
-    "customer_fuzzy_matches",
-    "customer_order_quartiles",
-    "doc_bpe_pair_counts",
-    "doc_decontaminate_fuzzy",
-    "doc_dup_spans",
-    "doc_training_shuffle",
-    "emb_ivf_knn",
-    "emb_lloyd_clusters",
-    "emb_quantize_int8",
-    "events_audience_overlap",
-    "events_cm_user_counts",
-    "events_daily_forecast",
-    "events_hourly_anomalies",
-    "events_sliding_distinct_users",
-    "events_zorder_values",
-    "g_betweenness_landmarks",
-    "g_closeness_landmarks",
-    "g_clustering_coefficient",
-    "g_jaccard_similarity",
-    "g_kcore",
-    "g_linkpred_training_set",
-    "g_pagerank_prod",
-    "g_sssp",
-    "lineitem_correlations",
-    "mm_audio_stats_audit",
-    "mm_frame_sample_plan",
-    "mm_image_near_dups_audit",
-    "mm_image_resize_audit",
-    "mm_media_inventory",
-    "nation_share_window",
-    "orders_price_histogram",
-    "orders_profile",
-    "orders_quality_checks",
-    "regional_revenue_sql",
-    "returned_item_losses_bucketed",
-    "stream_enrich",
-    "stream_session_windows",
-    "top_customers_by_spend_prod",
-    "top_unshipped_orders_bucketed",
+    "customer_fuzzy_matches",  # er.py changes this round
+    "doc_decontaminate_fuzzy",  # er.py d>=2 path changes this round
+    # re-check batch 1 (20 oldest driver greens, r02-era first)
+    "g_label_propagation",
+    "g_personalized_pagerank",
+    "g_random_walks",
+    "doc_mixture_sample",
+    "doc_ngram_jaccard",
+    "doc_simhash",
+    "doc_pack_sequences",
+    "emb_pq_adc_knn",
+    "stream_dedup",
+    "part_price_bands",
+    "daily_revenue_rolling",
+    "pricing_summary",
+    "nation_revenue",
+    "top_customers_by_spend",
+    "sales_rollup",
+    "small_qty_part_revenue",
+    "doc_decontaminate",
+    "doc_scrub_pii",
+    "doc_winnow_fingerprints",
+    "emb_semantic_dedup",
+    # re-check batch 2 (next 20 by staleness)
+    "g_degree_centrality",
+    "g_triangle_count",
+    "events_funnel",
+    "g_directory",
+    "g_search",
+    "g_ego_network",
+    "g_bfs_distances",
+    "g_hits",
+    "g_ktruss",
+    "g_link_pred_scores",
+    "cypher_house_counts",
+    "cypher_call_topk",
+    "cypher_search",
+    "brand_association_rules",
+    "stream_hourly_rollup",
+    "doc_exact_dedup",
+    "emb_knn_bruteforce",
+    "nation_market_share",
+    "volume_shipping",
+    "product_profit",
 ]
 
 
@@ -155,25 +153,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lambda spark, sf_dir: fn(load_graph(spark, sf_dir))
 
     # ROTATION SCHEDULE — numbers are GENERATED, never hand-written
-    # (VERDICT r06 items 2+8; the r06 prose drifted to "union 162/187"
-    # when the true union was 137/188). Source of truth:
+    # (VERDICT r06 items 2+8). Source of truth:
     #     python scripts/coverage_report.py [--check-window]
     # which recomputes first-time/union/backlog from CORRECTNESS_r*.json
-    # ∩ queries(). State entering r07: union 137/178 oracle-backed,
-    # backlog 41 = exactly DRIVER_WINDOW_R07's promotion slate (the
-    # --check-window assertion passes). A green r07 completes
-    # oracle-backed driver coverage at 178/178.
-    #
-    # RE-CHECK ROTATION from r08 on (VERDICT r06 item 8): with the
-    # backlog empty, demoted driver-greens re-enter the window ~20 per
-    # round ordered by OLDEST latest-green round first (ties by registry
-    # order), so no entry's driver evidence goes more than ~4 rounds
-    # stale. The batches are printed by coverage_report.py
-    # ("re-check schedule"); r08 takes batch 1 (r02/r03-era greens:
-    # g_label_propagation, doc_mixture_sample, pricing_summary, ...).
+    # ∩ queries(). State entering r08: union 179/179 oracle-backed,
+    # backlog 0 — coverage is COMPLETE, so the window is now purely the
+    # staleness RE-CHECK ROTATION (VERDICT r06 item 8 / r07 item 1):
+    # demoted driver-greens re-enter ordered by OLDEST latest-green
+    # round first (ties by registry order), batches printed by
+    # coverage_report.py. r08 runs batches 1+2 (double rate, per the
+    # r07 verdict) + 10 keeps = DRIVER_WINDOW_R08 above.
     #
     # The dict below is DEFINITION order (grouped by family for
-    # readability); the actual driver window is DRIVER_WINDOW_R07 — the
+    # readability); the actual driver window is DRIVER_WINDOW_R08 — the
     # reorder at the bottom of this function puts those 50 first.
     q = {
         # -- graph serving + ETL + features (reference app.py/get_insert/
@@ -245,7 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    see pipeline/multimodal.py audit docstrings) --
         "mm_image_stats_audit": _mm_image_stats_audit,
         "mm_video_stats_audit": _mm_video_stats_audit,
-        # (The driver window is DRIVER_WINDOW_R07 above, applied by the
+        # (The driver window is DRIVER_WINDOW_R08 above, applied by the
         # reorder at the bottom; tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
@@ -492,12 +484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),  # → g_ktruss stays
         "events_funnel": rel.events_funnel,  # → events_state_transitions stays
     }
-    missing = [n for n in DRIVER_WINDOW_R07 if n not in q]
+    missing = [n for n in DRIVER_WINDOW_R08 if n not in q]
     assert not missing, f"window names absent from registry: {missing}"
     # the driver checks the first 50 entries: window first, then the
     # rest in definition order
-    return {n: q[n] for n in DRIVER_WINDOW_R07} | {
-        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R07
+    return {n: q[n] for n in DRIVER_WINDOW_R08} | {
+        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R08
     }
 
 

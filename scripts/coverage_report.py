@@ -183,6 +183,33 @@ def main() -> int:
             f"inside the 50-entry driver window "
             f"({50 - rep['backlog']} keep slots)"
         )
+        # Re-check-rotation contract (VERDICT r06 item 8): once the
+        # backlog is empty the window must at minimum absorb the entire
+        # MOST-STALE batch (schedule batch 1); report how deep into the
+        # schedule the window reaches so a rotation that silently skips
+        # stale entries fails loudly.
+        if not rep["backlog_names"] and rep["recheck_schedule"]:
+            b1_missing = [
+                n for n in rep["recheck_schedule"][0] if n not in window
+            ]
+            if b1_missing:
+                print(
+                    "WINDOW CHECK FAILED: backlog is empty but the "
+                    f"most-stale re-check batch has {len(b1_missing)} "
+                    f"entries outside the window: {b1_missing}",
+                    file=sys.stderr,
+                )
+                return 1
+            full = 0
+            for batch in rep["recheck_schedule"]:
+                if all(n in window for n in batch):
+                    full += 1
+                else:
+                    break
+            print(
+                f"re-check rotation OK: window fully covers the "
+                f"{full} most-stale schedule batch(es)"
+            )
     return 0
 
 

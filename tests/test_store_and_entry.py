@@ -65,14 +65,15 @@ def test_queries_and_oracles_aligned():
 # hand-counted "window ends here" comment drifted by two, leaving two
 # queries unchecked for two rounds).
 DRIVER_WINDOW = [
-    # round-7 rotation (VERDICT r06 item 1): the FINAL promotion slate —
-    # the 41 never-driver-checked oracle-backed entries (mechanically
-    # recomputed: `python scripts/coverage_report.py --check-window`)
-    # plus 9 family-anchor keeps. Independent copy of
-    # __spark_entry__.DRIVER_WINDOW_R07 — kept separate on purpose so a
+    # round-8 rotation (VERDICT r07 item 1): coverage complete at
+    # 179/179, so the window is the staleness re-check rotation at
+    # DOUBLE rate — coverage_report.py batches 1+2 (40 oldest driver
+    # greens) + 10 family-anchor keeps (two chosen because er.py
+    # changes this round). Independent copy of
+    # __spark_entry__.DRIVER_WINDOW_R08 — kept separate on purpose so a
     # registry edit cannot silently move the window without this test
     # noticing.
-    # keeps (8)
+    # keeps (10)
     "g_winder",
     "cypher_winder",
     "g_feature_matrix",
@@ -81,50 +82,50 @@ DRIVER_WINDOW = [
     "emb_ivf_pq_knn",
     "stream_click_attribution",
     "big_volume_customers",
-    # newly oracle-backed this round (merge-form MG, ex-rows-only)
-    "doc_token_heavy_hitters",
-    # final slate (41): the oracle-backed backlog, alphabetical
-    "big_volume_customers_bucketed",
-    "customer_cdc_diff",
     "customer_fuzzy_matches",
-    "customer_order_quartiles",
-    "doc_bpe_pair_counts",
     "doc_decontaminate_fuzzy",
-    "doc_dup_spans",
-    "doc_training_shuffle",
-    "emb_ivf_knn",
-    "emb_lloyd_clusters",
-    "emb_quantize_int8",
-    "events_audience_overlap",
-    "events_cm_user_counts",
-    "events_daily_forecast",
-    "events_hourly_anomalies",
-    "events_sliding_distinct_users",
-    "events_zorder_values",
-    "g_betweenness_landmarks",
-    "g_closeness_landmarks",
-    "g_clustering_coefficient",
-    "g_jaccard_similarity",
-    "g_kcore",
-    "g_linkpred_training_set",
-    "g_pagerank_prod",
-    "g_sssp",
-    "lineitem_correlations",
-    "mm_audio_stats_audit",
-    "mm_frame_sample_plan",
-    "mm_image_near_dups_audit",
-    "mm_image_resize_audit",
-    "mm_media_inventory",
-    "nation_share_window",
-    "orders_price_histogram",
-    "orders_profile",
-    "orders_quality_checks",
-    "regional_revenue_sql",
-    "returned_item_losses_bucketed",
-    "stream_enrich",
-    "stream_session_windows",
-    "top_customers_by_spend_prod",
-    "top_unshipped_orders_bucketed",
+    # re-check batch 1 (oldest latest-green rows, schedule order)
+    "g_label_propagation",
+    "g_personalized_pagerank",
+    "g_random_walks",
+    "doc_mixture_sample",
+    "doc_ngram_jaccard",
+    "doc_simhash",
+    "doc_pack_sequences",
+    "emb_pq_adc_knn",
+    "stream_dedup",
+    "part_price_bands",
+    "daily_revenue_rolling",
+    "pricing_summary",
+    "nation_revenue",
+    "top_customers_by_spend",
+    "sales_rollup",
+    "small_qty_part_revenue",
+    "doc_decontaminate",
+    "doc_scrub_pii",
+    "doc_winnow_fingerprints",
+    "emb_semantic_dedup",
+    # re-check batch 2
+    "g_degree_centrality",
+    "g_triangle_count",
+    "events_funnel",
+    "g_directory",
+    "g_search",
+    "g_ego_network",
+    "g_bfs_distances",
+    "g_hits",
+    "g_ktruss",
+    "g_link_pred_scores",
+    "cypher_house_counts",
+    "cypher_call_topk",
+    "cypher_search",
+    "brand_association_rules",
+    "stream_hourly_rollup",
+    "doc_exact_dedup",
+    "emb_knn_bruteforce",
+    "nation_market_share",
+    "volume_shipping",
+    "product_profit",
 ]
 
 
