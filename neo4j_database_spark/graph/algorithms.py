@@ -22,6 +22,7 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_database_spark.session import shuffle_partitions
 from neo4j_database_spark.graph.model import GraphModel
 
 
@@ -76,6 +77,20 @@ BROADCAST_ADJ_ENTRY_LIMIT = 20_000_000
 # pass) — see _grid_support's docstring for the trade.
 GRID_CELL_ENTRY_TARGET = 32_000_000
 
+# ktruss strategy="auto" router (VERDICT r07 item 2): route to the
+# degree-ordered oriented kernel when Σ_v deg(v)² (the edge-iterator's
+# per-pass probe cost — each edge ships both endpoints' full-degree
+# arrays) exceeds this multiple of Σ_v outdeg(v)² under the
+# (degree, id) orientation (the oriented kernel's cost: out-arrays are
+# orientation-bounded, and 3·|triangles| ≤ Σ outdeg² bounds its
+# scatter). The ratio separates the measured regimes by three orders
+# of magnitude: ~4 on uniform-degree clique graphs (sf0.1 FRIEND_OF
+# and its 16× replicas — where oriented degenerates to the
+# triangle-sized exchange and edge-iterator/grid wins) vs ~25,000 on
+# the hub probe graphs (scripts/ktruss_hub_probe.py — where oriented
+# wins 3-5×). 10 sits just above the uniform-degree floor.
+ORIENTED_DEG2_RATIO = 10
+
 _AQE_TOGGLE_LOCK = threading.Lock()
 
 
@@ -97,7 +112,7 @@ def _copartition(df: DataFrame, key: str) -> DataFrame:
     import os
 
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = shuffle_partitions(spark, default=200)
     # SPARK_GRAFT_CKPT_STORAGE selects the checkpoint storage level for
     # the big static frames (e.g. DISK_ONLY). Default MEMORY_AND_DISK is
     # right on a real cluster, where the edge table spreads across
@@ -695,9 +710,7 @@ def deterministic_walks(
     # state would inherit ~1 input partition — and every per-step md5
     # HOF would run on one task. Spread the walk key space once; each
     # step's checkpoint preserves the partitioning.
-    n_parts = int(
-        g.persons.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_parts = shuffle_partitions(g.persons.sparkSession)
     state = (
         g.persons.select(F.col("id").alias("start"))
         .withColumn(
@@ -1371,7 +1384,7 @@ def _grid_support(
       source node covers all its edges) — independent of partitioning,
       so the result is byte-identical to the broadcast path and the
       unrolled DuckDB oracle (pinned by
-      tests/test_graph_algorithms.py::test_ktruss_grid_path_parity).
+      tests/test_algorithms.py::test_ktruss_grid_path_parity).
 
     B grows as ceil(2·ENTRIES/target) ≈ |E|/4M: the replication
     exchange 2·B·|adj| therefore scales ~|E|²/target·avg_deg — at
@@ -1580,6 +1593,51 @@ def _oriented_support(edges: DataFrame, small: bool) -> DataFrame:
     )
 
 
+def _degree_skew_probe(
+    e: DataFrame, small: bool
+) -> tuple[int, int, int]:
+    """(n_nodes, Σ deg², Σ outdeg²) of the undirected edge list ``e``
+    — the strategy="auto" router's cost estimates (one linear pass
+    over the checkpointed edges + a node-sized aggregation, dwarfed by
+    a single support round's Σ deg² work at any graph size).
+
+    Σ deg² estimates the edge-iterator/grid kernels' per-pass probe
+    cost; Σ outdeg² under the (degree, id) orientation estimates the
+    oriented kernel's — its out-arrays are orientation-bounded and its
+    triangle scatter is ≤ Σ outdeg² (each oriented wedge closes at
+    most one triangle). Computed exactly rather than from a node
+    sample: sampled degrees misestimate exactly the hubs the probe
+    exists to detect, and the exact pass is one narrow shuffle.
+    """
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("deg") * F.col("deg")).alias("d2"),
+    ).collect()[0]
+    n_nodes, sum_deg2 = int(row["n"] or 0), int(row["d2"] or 0)
+    da = deg.select(F.col("src").alias("_u"), F.col("deg").alias("degu"))
+    db = deg.select(F.col("src").alias("_v"), F.col("deg").alias("degv"))
+    if small:
+        da, db = F.broadcast(da), F.broadcast(db)
+    fwd = F.struct(
+        F.col("degu").alias("d"), F.col("src").alias("n")
+    ) < F.struct(F.col("degv").alias("d"), F.col("dst").alias("n"))
+    outdeg = (
+        sym.join(da, sym.src == F.col("_u"))
+        .join(db, sym.dst == F.col("_v"))
+        .filter(fwd)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+    )
+    od_row = outdeg.agg(
+        F.sum(F.col("od") * F.col("od")).alias("od2")
+    ).collect()[0]
+    return n_nodes, sum_deg2, int(od_row["od2"] or 0)
+
+
 def ktruss_edges(
     g: GraphModel,
     k: int = 5,
@@ -1618,12 +1676,30 @@ def ktruss_edges(
 
     Above the broadcast gate the support kernel switches to 2D grid
     partitioning (_grid_support): per-task memory bounded at
-    2·ENTRIES/B regardless of graph size, byte-identical counts. The
-    r06-era join fallback (attach both neighbor arrays to every edge
-    row) is GONE — measured r07 at 16× sf0.1 it sort-spilled ~700 GB
-    of array-widened edge rows and died on disk; see the r07
-    SCALE_PROBE.md cells.
+    ~2·ENTRIES/B in expectation under hash-balanced blocks (a node's
+    neighbor array is atomic within its block, so a single extreme hub
+    with degree approaching GRID_CELL_ENTRY_TARGET blows the budget in
+    every cell of its block-row/column — the oriented strategy, whose
+    arrays are orientation-bounded, is the escape for such graphs, and
+    the router's skew probe sends them there), byte-identical counts.
+    The r06-era join fallback (attach both neighbor arrays to every
+    edge row) is GONE — measured r07 at 16× sf0.1 it sort-spilled
+    ~700 GB of array-widened edge rows and died on disk; see the r07
+    SCALE_PROBE.md cells. The broadcast-vs-grid gate is re-evaluated
+    each peel round (ADVICE r07): once peeling shrinks the survivor
+    set under the gate, later rounds stop paying the grid replication
+    exchange.
+
+    ``strategy``: "auto" (default — the Σ deg²/Σ outdeg² skew probe
+    routes hub-shaped graphs to the oriented kernel, everything else
+    to the edge-iterator family with the per-round broadcast/grid
+    gate), or an explicit "broadcast" / "grid" / "oriented" override
+    (probes skipped; the caller owns the memory consequences). All
+    strategies are byte-identical (parity-pinned in
+    tests/test_algorithms.py).
     """
+    if strategy not in ("auto", "broadcast", "grid", "oriented"):
+        raise ValueError(f"unknown ktruss strategy: {strategy!r}")
     e = (
         g.edges.filter(F.col("type").isin(list(types)))
         .select(
@@ -1634,32 +1710,54 @@ def ktruss_edges(
         .localCheckpoint()
     )
     min_sup = k - 2
-    n_nodes = e.select(F.explode(F.array("src", "dst"))).distinct().count()
-    # gate the adjacency broadcast on BOTH node count and total
-    # adjacency entries (2·|E| after symmetrization): the payload is
-    # the neighbor arrays, whose size is edge-bound — on quadratic
-    # FRIEND_OF cliques the node gate alone calls a multi-GB adjacency
-    # "small" (ADVICE r06). e is checkpointed, so count() is cheap.
+    # e is checkpointed, so count() is cheap
     n_edges = e.count()
-    small = (
-        n_nodes <= BROADCAST_NODE_LIMIT
-        and 2 * n_edges <= BROADCAST_ADJ_ENTRY_LIMIT
-    )
 
-    if strategy not in ("auto", "oriented"):
-        raise ValueError(f"unknown ktruss strategy: {strategy!r}")
+    def _is_small(nodes: int, m: int) -> bool:
+        # gate the adjacency broadcast on BOTH node count and total
+        # adjacency entries (2·|E| after symmetrization): the payload
+        # is the neighbor arrays, whose size is edge-bound — on
+        # quadratic FRIEND_OF cliques the node gate alone calls a
+        # multi-GB adjacency "small" (ADVICE r06).
+        return (
+            nodes <= BROADCAST_NODE_LIMIT
+            and 2 * m <= BROADCAST_ADJ_ENTRY_LIMIT
+        )
+
+    if strategy == "auto":
+        # Route by measured cost estimates, not caller knowledge
+        # (VERDICT r07 item 2): Σ deg² (edge-iterator/grid per-pass
+        # probe cost) vs Σ outdeg² under the (degree, id) orientation
+        # (oriented kernel cost — see _degree_skew_probe). Hub graphs
+        # (stars + a small truss core) show ratios ~10³-10⁴ and route
+        # oriented; uniform-degree clique graphs sit at ~4 and keep
+        # the edge-iterator family, whose broadcast-vs-grid split is
+        # re-decided per round below.
+        n_nodes, sum_deg2, sum_od2 = _degree_skew_probe(
+            e, _is_small(2 * n_edges, n_edges)
+        )
+        if sum_deg2 > ORIENTED_DEG2_RATIO * max(sum_od2, 1):
+            strategy = "oriented"
+    else:
+        n_nodes = 2 * n_edges  # conservative bound; only the gate uses it
 
     def _support(edges: DataFrame, m: int) -> DataFrame:
-        # Hub-graph opt-in: degree-ordered triangle enumeration
-        # (arrays bounded by orientation, scatter 3·|triangles| narrow
-        # rows) — see _oriented_support for when to pick it.
+        # Re-evaluate the broadcast gate per round (ADVICE r07): heavy
+        # peeling can shrink the survivor set below the gate, and the
+        # later rounds (plus the final re-support pass) should then
+        # stop paying the grid replication exchange. Surviving node
+        # count is bounded by min(initial nodes, 2·m).
+        small = _is_small(min(n_nodes, 2 * m), m)
+        # Hub-graph path: degree-ordered triangle enumeration (arrays
+        # bounded by orientation, scatter 3·|triangles| narrow rows) —
+        # see _oriented_support for the trade.
         if strategy == "oriented":
             return _oriented_support(edges, small)
         # Large graphs: 2D grid partitioning (see _grid_support) — a
         # broadcast would exceed executor memory and the plain join
         # ships (deg(a)+deg(b))-wide rows per edge (~700 GB of sort
         # spill measured at the 16× probe graph, r07).
-        if not small:
+        if strategy == "grid" or (strategy == "auto" and not small):
             return _grid_support(edges, m)
         # symmetric adjacency arrays; intersection SIZE is order-
         # independent, so the unsorted collect_list is deterministic

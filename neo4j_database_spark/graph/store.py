@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import SparkSession
 
+from neo4j_database_spark.session import shuffle_partitions
 from neo4j_database_spark.graph.model import (
     GraphModel,
     build_edges,
@@ -62,7 +63,7 @@ def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     houses_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "houses")
     )
-    n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_files = shuffle_partitions(spark)
     (
         build_edges(persons)
         # Hash-partition on src (NOT repartitionByRange: its sampling pass

@@ -45,8 +45,78 @@ cost is |candidates|, the quantity prefix filtering minimizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import shuffle_partitions
+
+# --- character-bag signature (templated-corpus mitigation, r08) -----------
+#
+# VERDICT r07 item 3 / SCALE_PROBE.md "Ed-Join d=2 replica cells": on a
+# low-gram-diversity (templated) corpus, every string's rarest q·d+1
+# blocking grams are shared with all its template-mates, so the
+# candidate set grows with corpus self-similarity (16× replicas →
+# ~30× runtime) even though none of the extra pairs verifies. The
+# mismatch those pairs DO exhibit is in character CONTENT (the
+# distinguishing region — a salt, an id, a version stamp), which gram
+# prefixes never look at but a character histogram sees immediately.
+#
+# BAG-DISTANCE FILTER (exact, no recall loss): one edit changes a
+# string's character multiset by at most 2 in L1 (substitution: −1 old
+# +1 new; indel: ±1), so ed(a,b) ≤ d  ⇒  L1(hist(a), hist(b)) ≤ 2d
+# (the classic "bag distance" lower bound, Bartolini et al. 2002).
+# The histogram is coarsened two ways, each of which only SHRINKS the
+# L1 (merging or dropping classes can only cancel differences), so the
+# bound — and exactness — survives coarsening:
+#   * 16 classes by codepoint % 16 (collisions = class merging);
+#   * 4-bit saturating counts (|min(a,15)−min(b,15)| ≤ |a−b|).
+# The 16 nibbles pack into ONE BIGINT carried on the narrow candidate
+# frame, and the pair check is 16 unrolled shift/mask/abs terms —
+# whole-stage-codegen arithmetic applied in the SAME stage as the
+# candidate equi-join, so template-mate candidates die before the
+# pre-verification dedup shuffle, the string re-attach joins, and the
+# banded levenshtein ever see them. Measured on the 16× suffix-salted
+# replica cell: see SCALE_PROBE.md r08.
+
+_BAG_CLASSES = 16
+_BAG_SAT = 15  # 4-bit saturating per-class count
+
+
+def _bag_signature(s: Column) -> Column:
+    """Pack a 16-class saturating char histogram of ``s`` into a long.
+
+    Class c counts the occurrences of printable-ASCII chars with
+    codepoint % 16 == c via length-after-translate (JVM codegen, no
+    UDF). Non-ASCII chars fall outside every class — equivalent to
+    merging them into an invisible 17th class, which keeps the bag
+    bound valid (see module comment).
+    """
+    terms = []
+    for c in range(_BAG_CLASSES):
+        chars = "".join(
+            chr(cp) for cp in range(32, 127) if cp % 16 == c
+        )
+        cnt = F.least(
+            F.lit(_BAG_SAT),
+            F.length(s) - F.length(F.translate(s, chars, "")),
+        )
+        terms.append(F.shiftleft(cnt.cast("long"), 4 * c))
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _bag_l1(sig_a: Column, sig_b: Column) -> Column:
+    """L1 distance between two packed bag signatures (16 unrolled
+    shift/mask/abs terms — stays inside whole-stage codegen)."""
+    terms = [
+        F.abs(
+            (F.shiftright(sig_a, 4 * c).bitwiseAND(F.lit(15)))
+            - (F.shiftright(sig_b, 4 * c).bitwiseAND(F.lit(15)))
+        )
+        for c in range(_BAG_CLASSES)
+    ]
+    return reduce(lambda x, y: x + y, terms)
 
 
 def edit_distance_pairs(
@@ -58,6 +128,7 @@ def edit_distance_pairs(
     broadcast_row_limit: int = 5_000_000,
     size_hint_rows: int | None = None,
     dedup_candidates: bool | None = None,
+    bag_filter: bool = True,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
 
@@ -102,17 +173,25 @@ def edit_distance_pairs(
     such callers should pass ``dedup_candidates=True`` (or exact-dedup
     the corpus first, which is strictly better).
 
-    Templated-corpus caveat (measured r07, SCALE_PROBE.md d=2 replica
-    cells): gram blocking quality depends on gram DIVERSITY — on a
-    corpus whose strings share a template (boilerplate web text,
-    generated keys), each string's rarest q·(max_dist)+1 grams collide
-    with every template-mate, so the candidate set grows with corpus
+    Templated-corpus mitigation (``bag_filter``, default ON for
+    max_dist ≥ 2; measured r07→r08, SCALE_PROBE.md d=2 replica cells):
+    gram blocking quality depends on gram DIVERSITY — on a corpus
+    whose strings share a template (boilerplate web text, generated
+    keys), each string's rarest q·(max_dist)+1 grams collide with
+    every template-mate, so the candidate set grows with corpus
     self-similarity even though the extra candidates all fail
-    verification (16× replicas: output exactly 16×, runtime ~30×).
-    FastSS (max_dist=1) is immune — deletion variants contain the
-    distinguishing region verbatim. For d ≥ 2 on templated corpora:
-    raise ``q``, strip the shared template before blocking, or
-    pre-partition by the template key.
+    verification (16× replicas: output exactly 16×, runtime ~30×
+    before the mitigation). The bag-distance filter (see
+    ``_bag_signature``) prunes, EXACTLY and inside the candidate-join
+    codegen stage, every candidate whose character histograms differ
+    by more than 2·max_dist in L1 — which is precisely what
+    template-mates' distinguishing regions (salts, ids, version
+    stamps) do. FastSS (max_dist=1) is immune to the blowup — deletion
+    variants contain the distinguishing region verbatim — so the d=1
+    path skips the signature. Residual d ≥ 2 exposure: template-mates
+    whose distinguishing regions are ANAGRAMS of each other (same char
+    bag) still collide; for those, strip the template before blocking
+    or pre-partition by the template key.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
     if max_dist == 1:
@@ -164,45 +243,56 @@ def edit_distance_pairs(
             Window.partitionBy("id").orderBy("df", "gram")
         ),
     )
-    # the prefix frame carries only (gram, id, len): the length filter
-    # is the sole pre-verification use of the string, so the candidate
-    # join shuffles narrow rows — strings re-attach by id afterwards
+    # the prefix frame carries only (gram, id, len[, sig]): the length
+    # and bag filters are the sole pre-verification uses of the string,
+    # so the candidate join shuffles narrow rows — strings re-attach by
+    # id afterwards. The 8-byte bag signature rides along so template-
+    # mate candidates die inside the join stage (module comment).
+    narrow = ["id", F.length("s").alias("len")]
+    if bag_filter:
+        narrow.append(_bag_signature(F.col("s")).alias("sig"))
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        F.col("gram").alias("k"), "id", F.length("s").alias("len")
+        F.col("gram").alias("k"), *narrow
     )
-    cand_ids = _candidates_on(prefix, max_dist)
+    cand_ids = _candidates_on(prefix, max_dist, bag=bag_filter)
     return _verify(
         base, cand_ids, max_dist, broadcast_row_limit,
         size_hint_rows, dedup_candidates,
     )
 
 
-def _candidates_on(keyed: DataFrame, max_dist: int) -> DataFrame:
+def _candidates_on(
+    keyed: DataFrame, max_dist: int, bag: bool = False
+) -> DataFrame:
     """Ordered candidate id pairs from an equi-join on a blocking key
-    ``k``: (id, len, k) → (id_a < id_b) with the length filter applied
-    on the NARROW frame, before strings re-attach. A pair is emitted
-    once per shared key; dedup placement is _verify's call."""
+    ``k``: (id, len, k[, sig]) → (id_a < id_b) with the length filter —
+    and, when ``bag`` is set, the bag-distance filter — applied on the
+    NARROW frame, in the join's own codegen stage, before strings
+    re-attach. A pair is emitted once per shared key; dedup placement
+    is _verify's call."""
     # Pin the self-join's parallelism: the keyed frame is narrow, so
     # AQE's byte-based coalescing would run the join (whose OUTPUT
     # fan-out is the quadratic per-key pair expansion, invisible to
     # input-size estimates) on 1-2 tasks — the same defect class as
     # the verify stage, see _verify. User-specified counts are exempt.
-    n_parts = int(
-        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    keyed = keyed.repartition(n_parts, "k")
-    a = keyed.select(
-        "k", F.col("id").alias("id_a"), F.col("len").alias("len_a")
-    )
-    b = keyed.select(
-        "k", F.col("id").alias("id_b"), F.col("len").alias("len_b")
-    )
-    return (
+    keyed = keyed.repartition(shuffle_partitions(keyed.sparkSession), "k")
+    cols_a = [F.col("id").alias("id_a"), F.col("len").alias("len_a")]
+    cols_b = [F.col("id").alias("id_b"), F.col("len").alias("len_b")]
+    if bag:
+        cols_a.append(F.col("sig").alias("sig_a"))
+        cols_b.append(F.col("sig").alias("sig_b"))
+    a = keyed.select("k", *cols_a)
+    b = keyed.select("k", *cols_b)
+    cand = (
         a.join(b, "k")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
-        .select("id_a", "id_b")
     )
+    if bag:
+        cand = cand.filter(
+            _bag_l1(F.col("sig_a"), F.col("sig_b")) <= 2 * max_dist
+        )
+    return cand.select("id_a", "id_b")
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -262,10 +352,9 @@ def _verify(
     # FastSS path drops 5.0 -> 1.4 s from the same two pins. A
     # user-specified repartition count is exempt from AQE coalescing;
     # the extra exchange moves only the narrow id pairs.
-    n_parts = int(
-        cand_ids.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    cand_ids = cand_ids.repartition(
+        shuffle_partitions(cand_ids.sparkSession), "id_a", "id_b"
     )
-    cand_ids = cand_ids.repartition(n_parts, "id_a", "id_b")
     cand = cand_ids.join(na, "id_a").join(nb, "id_b")
     return (
         cand.withColumn(

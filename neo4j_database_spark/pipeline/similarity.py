@@ -24,6 +24,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neo4j_database_spark.session import shuffle_partitions
 from neo4j_database_spark.catalog import load_table
 
 # 11 integer digits of headroom + 9 frac digits. Kept well under
@@ -211,7 +212,7 @@ def cosine_dup_pairs(
     # the fold materialized by the checkpoint, the filter above touches
     # only the scalar dot column and the arrays never enter the
     # checkpoint.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(spark)
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -339,7 +340,7 @@ def semantic_dedup(
     # hard barrier, so scoring runs at full cluster width (≈20× at
     # sf0.1). At real scale n_lists is O(√n) and the skew fades; the
     # barrier keeps the small-n_lists regime honest too.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(spark)
     pairs = (
         a.join(b, on="cent_id")
         .filter(F.col("id_a") < F.col("id_b"))

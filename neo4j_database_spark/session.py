@@ -45,3 +45,21 @@ def get_spark(app_name: str = "neo4j_database_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, defensively.
+
+    ADVICE r07: some runtimes set the conf to a non-numeric value
+    (e.g. "auto" under vendor AQE variants), so a bare
+    ``int(conf.get(...))`` raises ValueError. Every repartition pin in
+    the engine (er.py, algorithms.py, similarity.py, store.py) routes
+    through this helper: parse failure falls back to
+    ``sparkContext.defaultParallelism``, the same quantity the
+    scheduler would use for an unhinted shuffle.
+    """
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return int(spark.sparkContext.defaultParallelism)

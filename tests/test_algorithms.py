@@ -583,6 +583,93 @@ def test_ktruss_oriented_strategy_parity(spark, sf_dir):
     assert got == {(f"N{a}", f"N{b}"): 2 for a, b in clique}
 
 
+def _hub_graph(spark, n_hubs=6, spokes=40):
+    """Miniature of scripts/ktruss_hub_probe.py: pure stars (zero
+    triangles) + a 6-clique that survives as the 5-truss."""
+    clique_ids = list(range(1, 7))
+    hub_ids = list(range(100, 100 + n_hubs))
+    spoke_ids = [1000 + h * 100 + s for h in range(n_hubs) for s in range(spokes)]
+    ids = clique_ids + hub_ids + spoke_ids
+    persons = spark.createDataFrame(
+        [(i, f"N{i}", "H", "S", 0.0) for i in ids],
+        "id long, name string, house string, segment string, acctbal double",
+    )
+    edges = [
+        (a, b)
+        for i, a in enumerate(clique_ids)
+        for b in clique_ids[i + 1 :]
+    ] + [
+        (hub_ids[h], 1000 + h * 100 + s)
+        for h in range(n_hubs)
+        for s in range(spokes)
+    ]
+    edf = spark.createDataFrame(
+        [(a, b, "FRIEND_OF") for a, b in edges],
+        "src long, dst long, type string",
+    )
+    return GraphModel(
+        persons=persons,
+        houses=persons.select(F.col("house").alias("name")).distinct(),
+        edges=edf,
+    )
+
+
+def test_ktruss_auto_router(spark, sf_dir):
+    """strategy="auto"'s skew probe (VERDICT r07 item 2) routes each
+    measured regime correctly WITHOUT caller knowledge:
+
+    - hub graph (stars + small clique): Σ deg² / Σ outdeg² in the
+      thousands → oriented;
+    - sf FRIEND_OF cliques (uniform degree): ratio ≈ 4 → stays on the
+      edge-iterator family (ORIENTED_DEG2_RATIO = 10 sits above the
+      uniform-degree floor);
+    and every explicit strategy is byte-identical to auto on the hub
+    graph, so routing can never change the answer.
+    """
+    from neo4j_database_spark.graph.model import build_graph
+
+    hub = _hub_graph(spark)
+    e = (
+        hub.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n, d2, od2 = alg._degree_skew_probe(e, True)
+    assert d2 > alg.ORIENTED_DEG2_RATIO * od2  # routes oriented
+    assert n == e.select(F.explode(F.array("src", "dst"))).distinct().count()
+
+    g = build_graph(spark, sf_dir)
+    ge = (
+        g.edges.filter(F.col("type") == "FRIEND_OF")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    _, gd2, god2 = alg._degree_skew_probe(ge, True)
+    assert gd2 <= alg.ORIENTED_DEG2_RATIO * god2  # stays edge-iterator
+
+    results = {
+        s: sorted(
+            (r.a_name, r.b_name, r.support)
+            for r in alg.ktruss_edges(hub, strategy=s).collect()
+        )
+        for s in ("auto", "broadcast", "grid", "oriented")
+    }
+    assert len(results["auto"]) == 15  # the 6-clique survives as 5-truss
+    assert (
+        results["auto"]
+        == results["broadcast"]
+        == results["grid"]
+        == results["oriented"]
+    )
+
+
 def test_triangle_and_clustering_oriented_parity(spark, sf_dir):
     """triangle_count and clustering_coefficient with the oriented
     (compact-forward) strategy are byte-identical to the default

@@ -204,6 +204,91 @@ def test_edit_distance_pairs_short_string_contract(spark):
     assert got2 == {(2, 3)}
 
 
+def test_edit_distance_pairs_bag_filter_exact(spark):
+    """The templated-corpus bag filter (r08) loses NO pairs.
+
+    The d=2 Ed-Join path with bag_filter on (default) must return the
+    exact brute-force pair set — including substitution, indel, and
+    mixed edits, saturated histograms (len > 15 repeats of a class),
+    and non-ASCII chars (outside every histogram class). Contract
+    pinned both ways: bag on == bag off == brute force.
+    """
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+    from pyspark.sql import functions as F
+
+    rows = [
+        # templated block: shared 12-char template + 3-char salt whose
+        # char bags differ -> cross-salt candidates pruned by the bag
+        # filter, same-salt near-pairs kept
+        (i, f"template{i % 5:04d}" + ["aaa", "bbb", "ccc"][i % 3])
+        for i in range(60)
+    ] + [
+        (100, "abcdefghijkl"), (101, "abXdefghiYkl"),   # 2 subs
+        (102, "abcdefghijklmm"), (103, "abcdefghijkl__"),  # 2 subs tail
+        (104, "acdefghijkl"), (105, "abcdefghijklm"),   # del+ins vs 100
+        (106, "aaaaaaaaaaaaaaaaaaaa"), (107, "aaaaaaaaaaaaaaaaaaba"),
+        # saturated 'a' class (20 > 15) with one substitution
+        (108, "naïve-résumé-x"), (109, "naïve-résumé-y"),  # non-ASCII
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    on = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    off = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=2, bag_filter=False
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert on == off == brute
+    assert {(100, 101), (106, 107), (108, 109)} <= brute
+
+
+def test_bag_signature_prunes_template_mates(spark):
+    """The bag filter's pruning actually fires: suffix-salted template
+    mates (distinct char bags, ed >= 3) produce ZERO candidates under
+    the filter, while the unfiltered candidate set is quadratic in the
+    group. This is the 16x replica cell's mechanism in miniature."""
+    from neo4j_database_spark.operators.er import (
+        _bag_signature,
+        _candidates_on,
+    )
+    from pyspark.sql import functions as F
+
+    # 10 copies of one template, salts with pairwise-disjoint char bags
+    salts = ["aaa", "bbb", "ccc", "ddd", "eee",
+             "fff", "ggg", "hhh", "iii", "jjj"]
+    df = spark.createDataFrame(
+        [(i, "sharedtemplate" + s) for i, s in enumerate(salts)],
+        "id long, s string",
+    )
+    keyed = df.select(
+        "id",
+        F.length("s").alias("len"),
+        _bag_signature(F.col("s")).alias("sig"),
+        F.lit("sharedgram").alias("k"),  # every row in one bucket
+    )
+    pruned = _candidates_on(keyed, max_dist=2, bag=True).count()
+    raw = _candidates_on(
+        keyed.drop("sig"), max_dist=2, bag=False
+    ).count()
+    assert raw == 45  # 10 choose 2 — the quadratic template blowup
+    assert pruned == 0  # bag L1 = 6 > 2*max_dist for every pair
+
+
 def test_duplicated_spans_hand_case(spark, monkeypatch):
     from neo4j_database_spark.pipeline import dedup
 
