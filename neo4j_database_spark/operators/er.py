@@ -70,7 +70,8 @@ from ..session import shuffle_partitions
 # The histogram is coarsened two ways, each of which only SHRINKS the
 # L1 (merging or dropping classes can only cancel differences), so the
 # bound — and exactness — survives coarsening:
-#   * 16 classes by codepoint % 16 (collisions = class merging);
+#   * 16 classes via _bag_class_chars (10 digit, 5 letter, 1 other;
+#     collisions within a class = class merging);
 #   * 4-bit saturating counts (|min(a,15)−min(b,15)| ≤ |a−b|).
 # The 16 nibbles pack into ONE BIGINT carried on the narrow candidate
 # frame, and the pair check is 16 unrolled shift/mask/abs terms —
@@ -84,20 +85,55 @@ _BAG_CLASSES = 16
 _BAG_SAT = 15  # 4-bit saturating per-class count
 
 
+def _bag_class_chars(c: int) -> str:
+    """Characters in histogram class ``c``: each digit gets its OWN
+    class (0-9), letters (case-folded) spread over classes 10-14, all
+    other printable ASCII in 15.
+
+    The map was tuned on x16-replica-cell measurements. (1) codepoint
+    % 16 put 'a' and '1' in one class — digit noise between different
+    records then cancels the letter differences between template
+    salts: 1.10B of 5.59B candidates survived. (2) Letter/digit-
+    DISJOINT classes fix that: the letter channels alone kill the
+    cross-salt mass. (3) Digit RESOLUTION is then the knob that
+    decides the verify bill, and verify is the dominant cost:
+    Spark's threshold-levenshtein measures ~1.9 µs/pair CPU, so every
+    surviving candidate costs ~20× more to verify than to filter
+    (16 unrolled terms ≈ 230 ns/pair wall at 5.6B candidates). A
+    digits-in-one-class variant kept 3.67B survivors (~360 s of
+    verify at 16×); per-digit classes keep ~1.1B — the corpus's
+    inherent bag-close same-template mass — for ~8 extra filter
+    terms. Letters keep 5 classes: enough for the template-salt /
+    boilerplate-diff signal, and class merging is always EXACT (it
+    only shrinks the L1).
+    """
+    out = []
+    for cp in range(32, 127):
+        ch = chr(cp)
+        if ch.isdigit():
+            cls = ord(ch) - ord("0")
+        elif ch.isalpha():
+            cls = 10 + (ord(ch.lower()) - ord("a")) % 5
+        else:
+            cls = 15
+        if cls == c:
+            out.append(ch)
+    return "".join(out)
+
+
 def _bag_signature(s: Column) -> Column:
     """Pack a 16-class saturating char histogram of ``s`` into a long.
 
-    Class c counts the occurrences of printable-ASCII chars with
-    codepoint % 16 == c via length-after-translate (JVM codegen, no
-    UDF). Non-ASCII chars fall outside every class — equivalent to
-    merging them into an invisible 17th class, which keeps the bag
-    bound valid (see module comment).
+    Class c counts its ``_bag_class_chars`` occurrences via
+    length-after-translate (JVM codegen, no UDF). Non-ASCII chars fall
+    outside every class — equivalent to merging them into an invisible
+    17th class, which keeps the bag bound valid (see module comment).
     """
     terms = []
     for c in range(_BAG_CLASSES):
-        chars = "".join(
-            chr(cp) for cp in range(32, 127) if cp % 16 == c
-        )
+        chars = _bag_class_chars(c)
+        if not chars:
+            continue
         cnt = F.least(
             F.lit(_BAG_SAT),
             F.length(s) - F.length(F.translate(s, chars, "")),
@@ -107,8 +143,22 @@ def _bag_signature(s: Column) -> Column:
 
 
 def _bag_l1(sig_a: Column, sig_b: Column) -> Column:
-    """L1 distance between two packed bag signatures (16 unrolled
-    shift/mask/abs terms — stays inside whole-stage codegen)."""
+    """L1 distance between two packed bag signatures: 16 unrolled
+    shift/mask/abs terms, a LINEAR expression tree referencing each
+    signature 16 times (~230 ns/pair wall on the 16× replica cell's
+    5.6B candidates — worth it, because each pruned survivor saves a
+    ~1.9 µs threshold-levenshtein; see _bag_class_chars).
+
+    A SWAR nibble-arithmetic variant (~26 ops) was tried and REVERTED:
+    PySpark Column expressions are trees, not DAGs — every reuse of an
+    intermediate (t, absd, the shift-add accumulator) pastes a copy of
+    its whole subtree, so the "26-op" formula expanded to a
+    many-thousand-node expression that codegen re-evaluated per pair:
+    the x1 replica cell regressed 17.6 s → 258 s. Materializing the
+    intermediates as projected columns doesn't survive Catalyst either
+    (CollapseProject re-inlines aliases). Keep expression trees
+    LINEAR in the hot path.
+    """
     terms = [
         F.abs(
             (F.shiftright(sig_a, 4 * c).bitwiseAND(F.lit(15)))
@@ -119,12 +169,124 @@ def _bag_l1(sig_a: Column, sig_b: Column) -> Column:
     return reduce(lambda x, y: x + y, terms)
 
 
+# q="auto" (see _auto_q): probe alternative q values only when the
+# corpus looks templated — average gram document frequency above this
+# ceiling at q=3. Diverse corpora (sf0.01 customer: avg df 24) skip
+# the probe entirely and keep q=3; the 16× templated replica cell
+# (avg df 4730) and even its 1× cell (avg df 308) probe.
+AUTO_Q_DF_CEILING = 64
+AUTO_Q_MAX = 8
+# deterministic 1-in-AUTO_Q_SAMPLE_MOD string sample for the probe;
+# estimates scale by the sampling fraction squared, which cancels in
+# the across-q comparison
+AUTO_Q_SAMPLE_MOD = 4
+
+
+def _candidate_estimate(base: DataFrame, q: int, max_dist: int) -> int:
+    """Σ C(bucket, 2) over the prefix-gram buckets ``base`` would
+    produce at this q — the exact candidate count of the Ed-Join plan
+    on ``base`` (here: a sample), used by _auto_q to compare q values.
+    Same gram/df/rank pipeline as the main path."""
+    prefix_len = q * max_dist + 1
+    grams = base.filter(F.length("s") >= q).select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(s) - {q - 1}),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(F.broadcast(gram_df), "gram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "gram")),
+    )
+    row = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("est"))
+        .first()
+    )
+    return int(row["est"] or 0)
+
+
+def _auto_q(base: DataFrame, max_dist: int) -> int:
+    """Pick q for the Ed-Join path by MEASURED candidate volume.
+
+    Templated / low-gram-diversity corpora (the r07 SCALE_PROBE
+    finding: replicas sharing one gram vocabulary made 16× rows cost
+    ~30× runtime) are detectable as a high average gram document
+    frequency — distinct grams stop growing with the corpus while
+    occurrences keep growing. When that trigger fires, the probe
+    computes the plan's EXACT candidate count per admissible q on a
+    deterministic 25% string sample and keeps the smallest q within
+    25% of the minimum (an avg-df heuristic tried first escalated
+    whenever df was high, which REGRESSED the 1× replica cell 2.6× —
+    q=4 there generates 203M candidates vs q=3's 92M, because a longer
+    prefix outweighs slightly-rarer grams; only the measured volume
+    ordering is trustworthy).
+
+    Output-neutrality: a candidate q is admissible only while min
+    string length ≥ q·(max_dist+1), so the q·max_dist+1-gram
+    completeness guarantee holds for EVERY row at every probed q — any
+    admissible q yields the identical exact pair set (pinned by
+    test_edit_distance_pairs_auto_q).
+
+    Cost: one min-length aggregate, one (count, approx distinct)
+    trigger aggregate, and — only on templated corpora — one sampled
+    prefix build per admissible q. All linear narrow passes, dwarfed
+    by the candidate join they tune.
+    """
+    min_len = base.agg(F.min(F.length("s")).alias("m")).first()["m"]
+    if min_len is None:
+        return 3
+    q_cap = min(AUTO_Q_MAX, min_len // (max_dist + 1))
+    if q_cap <= 3:
+        return 3
+    row = (
+        base.filter(F.length("s") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("gram")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.approx_count_distinct("gram").alias("distinct"),
+        )
+        .first()
+    )
+    if not row["total"] or not row["distinct"]:
+        return 3
+    if row["total"] / row["distinct"] <= AUTO_Q_DF_CEILING:
+        return 3
+    sample = base.filter(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(AUTO_Q_SAMPLE_MOD)) == 0
+    ).localCheckpoint()
+    if sample.count() < 100:  # too small to rank q values reliably
+        return 3
+    ests = {
+        q: _candidate_estimate(sample, q, max_dist)
+        for q in range(3, q_cap + 1)
+    }
+    best = min(ests.values())
+    for q in sorted(ests):  # smallest q within 25% of the minimum
+        if ests[q] <= best * 1.25:
+            return q
+    return 3
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
     s_col: str,
     max_dist: int = 1,
-    q: int = 3,
+    q: int | str = 3,
     broadcast_row_limit: int = 5_000_000,
     size_hint_rows: int | None = None,
     dedup_candidates: bool | None = None,
@@ -181,19 +343,33 @@ def edit_distance_pairs(
     every template-mate, so the candidate set grows with corpus
     self-similarity even though the extra candidates all fail
     verification (16× replicas: output exactly 16×, runtime ~30×
-    before the mitigation). The bag-distance filter (see
-    ``_bag_signature``) prunes, EXACTLY and inside the candidate-join
-    codegen stage, every candidate whose character histograms differ
-    by more than 2·max_dist in L1 — which is precisely what
-    template-mates' distinguishing regions (salts, ids, version
-    stamps) do. FastSS (max_dist=1) is immune to the blowup — deletion
-    variants contain the distinguishing region verbatim — so the d=1
-    path skips the signature. Residual d ≥ 2 exposure: template-mates
-    whose distinguishing regions are ANAGRAMS of each other (same char
-    bag) still collide; for those, strip the template before blocking
-    or pre-partition by the template key.
+    before the mitigation). Two composable defenses, both exact:
+
+    * the bag-distance filter (``bag_filter``; see ``_bag_signature``)
+      prunes, inside the candidate-join codegen stage, every candidate
+      whose character histograms differ by more than 2·max_dist in L1
+      — which is precisely what template-mates' distinguishing regions
+      (salts, ids, version stamps) do;
+    * ``q="auto"`` (see ``_auto_q``) detects low gram diversity (avg
+      gram df stops falling as the corpus grows) and raises q while
+      the per-row completeness guarantee provably holds for EVERY
+      string — shrinking the gram buckets candidates are generated
+      FROM, which a pair filter alone cannot do.
+
+    FastSS (max_dist=1) is immune to the blowup — deletion variants
+    contain the distinguishing region verbatim — so the d=1 path skips
+    both. Residual d ≥ 2 exposure: template-mates whose distinguishing
+    regions are ANAGRAMS of each other (same char bag) still collide;
+    for those, strip the template before blocking or pre-partition by
+    the template key. Measured on the 16× suffix-salted replica cell
+    (SCALE_PROBE.md r08): r07's ~30× runtime growth falls to
+    near-linear with both defenses on.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
+    if q == "auto":
+        # output-neutral by construction (see _auto_q); the FastSS
+        # path below never uses q, so probe only where it matters
+        q = _auto_q(base, max_dist) if max_dist >= 2 else 3
     if max_dist == 1:
         # identity + all single-deletion variants; the CASE guards the
         # Spark sequence(1, 0) descending-not-empty trap for empty
@@ -254,28 +430,61 @@ def edit_distance_pairs(
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
         F.col("gram").alias("k"), *narrow
     )
-    cand_ids = _candidates_on(prefix, max_dist, bag=bag_filter)
+    cand_ids = _candidates_on(
+        prefix, max_dist, bag=bag_filter, salt=CANDIDATE_SALT
+    )
     return _verify(
         base, cand_ids, max_dist, broadcast_row_limit,
         size_hint_rows, dedup_candidates,
     )
 
 
+# sub-split factor for hot blocking-key buckets in the d>=2 candidate
+# self-join (see _candidates_on): splits a hot bucket's quadratic
+# pair fan-out over CANDIDATE_SALT sub-keys for a CANDIDATE_SALT-fold
+# replication of the (narrow) build side — measured on the 16x
+# templated replica cell, where the zero-heavy names share prefix
+# grams with df in the tens of thousands and the unsalted join ran 2
+# straggler tasks for minutes while 30 cores idled. Tuned together
+# with CANDIDATE_PARTS_MULT on the x1 cell (grid over salt 8/16/32 ×
+# parts 1/4/8: 19.9 / 15.0 / 16.6 s): the (16, 8) pair matches the
+# balance the removed verify-stage repartition used to provide,
+# without that pin's candidate-stream-sized exchange.
+CANDIDATE_SALT = 16
+# partition-count multiplier for the salted candidate join: finer
+# tasks smooth the residual per-(gram, salt) imbalance that remains
+# after salting, because the expensive per-pair work (bag filter +
+# levenshtein on the broadcast path) pipelines INSIDE this stage
+CANDIDATE_PARTS_MULT = 8
+
+
 def _candidates_on(
-    keyed: DataFrame, max_dist: int, bag: bool = False
+    keyed: DataFrame, max_dist: int, bag: bool = False, salt: int = 1
 ) -> DataFrame:
     """Ordered candidate id pairs from an equi-join on a blocking key
     ``k``: (id, len, k[, sig]) → (id_a < id_b) with the length filter —
     and, when ``bag`` is set, the bag-distance filter — applied on the
     NARROW frame, in the join's own codegen stage, before strings
     re-attach. A pair is emitted once per shared key; dedup placement
-    is _verify's call."""
+    is _verify's call.
+
+    ``salt`` > 1 enables deterministic skew salting: side a splits by
+    hash(id_a) % salt, side b replicates once per salt value, and the
+    join key becomes (k, salt) — every (a, b) row pair still meets
+    exactly once (at a's salt), so the pair multiset is unchanged,
+    while a hot bucket's quadratic fan-out spreads over ``salt``
+    tasks. The d=1 FastSS caller keeps salt=1: its deletion-variant
+    buckets are near-duplicate-group-sized (no hot keys), and
+    replicating its much larger variant frame would cost more than
+    the skew it cannot have."""
     # Pin the self-join's parallelism: the keyed frame is narrow, so
     # AQE's byte-based coalescing would run the join (whose OUTPUT
     # fan-out is the quadratic per-key pair expansion, invisible to
     # input-size estimates) on 1-2 tasks — the same defect class as
     # the verify stage, see _verify. User-specified counts are exempt.
-    keyed = keyed.repartition(shuffle_partitions(keyed.sparkSession), "k")
+    n_parts = shuffle_partitions(keyed.sparkSession) * (
+        CANDIDATE_PARTS_MULT if salt > 1 else 1
+    )
     cols_a = [F.col("id").alias("id_a"), F.col("len").alias("len_a")]
     cols_b = [F.col("id").alias("id_b"), F.col("len").alias("len_b")]
     if bag:
@@ -283,8 +492,21 @@ def _candidates_on(
         cols_b.append(F.col("sig").alias("sig_b"))
     a = keyed.select("k", *cols_a)
     b = keyed.select("k", *cols_b)
+    if salt > 1:
+        a = a.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salt))
+        )
+        b = b.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+        )
+        keys = ["k", "_salt"]
+    else:
+        keys = ["k"]
+    a = a.repartition(n_parts, *keys)
+    b = b.repartition(n_parts, *keys)
     cand = (
-        a.join(b, "k")
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
     )
@@ -342,19 +564,21 @@ def _verify(
         na, nb = F.broadcast(na), F.broadcast(nb)
     if dedup_candidates:
         cand_ids = cand_ids.distinct()
-    # Pin verification parallelism: the candidate frame is NARROW
-    # (two longs), so AQE's byte-based post-shuffle coalescing folds
-    # it into 1-2 partitions — and the levenshtein stage, whose cost
-    # is per-ROW compute (banded O(len·d) each), then runs on one
-    # core. Measured r07 at sf0.1 d=2 (4.08M true pairs): 501 s with
-    # the coalesced single-task stages, 107 s with this verify pin
-    # alone, 51.6 s with the _candidates_on pin too (~10x); the d=1
-    # FastSS path drops 5.0 -> 1.4 s from the same two pins. A
-    # user-specified repartition count is exempt from AQE coalescing;
-    # the extra exchange moves only the narrow id pairs.
-    cand_ids = cand_ids.repartition(
-        shuffle_partitions(cand_ids.sparkSession), "id_a", "id_b"
-    )
+    # Verification parallelism comes from _candidates_on's repartition
+    # pin: the candidate join reads a user-specified (exempt from AQE
+    # byte-coalescing) exchange, and on the broadcast path everything
+    # downstream — length/bag filters, string re-attach, banded
+    # levenshtein — PIPELINES in that same whole-stage-codegen stage
+    # at pinned width. r07 shipped an ADDITIONAL repartition pin here
+    # (the candidate frame is narrow, and without any pin AQE folded
+    # the verify stage onto 1-2 cores: 501 s at sf0.1 d=2); r08
+    # REMOVED it: once _candidates_on pins the width, this pin is
+    # redundant on every path (the shuffle path's pre-verification
+    # distinct also re-hashes at full width), and on the 16× templated
+    # replica cell it materialized the multi-BILLION-row candidate
+    # stream into a ~47 GB exchange that broke the generate→filter→
+    # verify pipeline — the exchange cost more than the verification
+    # it was parallelizing.
     cand = cand_ids.join(na, "id_a").join(nb, "id_b")
     return (
         cand.withColumn(

@@ -13,8 +13,11 @@ the nano-unit quantization contract and the Python-side scalar
 recurrences, so the comparison is exactly as strict as the driver's.
 
 Usage: python scripts/check_iterative_bigsf.py [sf_dir] [name ...]
-Defaults: sf_dir=/root/testdata/sf0.1, all five algorithms
-(g_pagerank g_connected_components g_hits g_ktruss g_sssp).
+Defaults: sf_dir=/root/testdata/sf0.1, all eight algorithms
+(g_pagerank g_pagerank_prod g_connected_components g_hits g_ktruss
+g_sssp g_kcore g_label_propagation — the last two added r08 per
+VERDICT r07 item 7: the same scale-graze risk class the pagerank
+margin lint covers).
 """
 
 from __future__ import annotations
@@ -321,6 +324,57 @@ LEFT JOIN (
     )
 
 
+def oracle_kcore(con, k: int = 70, rounds: int = 10):
+    """Per-round materialized twin of _kcore_rounds_sql (pure integer
+    peel: recompute degrees on the surviving subgraph, drop nodes
+    under k)."""
+    con.execute(
+        "CREATE TEMP TABLE kc_a AS SELECT id FROM t_persons"
+    )
+    for _ in range(rounds):
+        con.execute(
+            f"CREATE TEMP TABLE kc_a_next AS "
+            f"SELECT src AS id FROM ("
+            f"SELECT e.src, COUNT(*) AS n FROM t_sym e "
+            f"JOIN kc_a s ON e.src = s.id "
+            f"JOIN kc_a t ON e.dst = t.id GROUP BY e.src"
+            f") WHERE n >= {k}"
+        )
+        _swap_in(con, "kc_a", "kc_a_next")
+    return con.execute(
+        "SELECT p.name FROM t_persons p JOIN kc_a USING (id) "
+        "ORDER BY p.name"
+    )
+
+
+def oracle_label_propagation(con, rounds: int = 5):
+    """Per-round materialized twin of _lpa_rounds_sql: each node adopts
+    its neighbors' most frequent label, ties to the smallest label
+    ((n DESC, label ASC) is a total order per node, so every round is
+    engine-exact); isolated nodes keep theirs."""
+    con.execute(
+        "CREATE TEMP TABLE lp_l AS SELECT id, id AS label FROM t_persons"
+    )
+    for _ in range(rounds):
+        con.execute(
+            "CREATE TEMP TABLE lp_l_next AS "
+            "SELECT a.id, COALESCE(b.label, a.label) AS label "
+            "FROM lp_l a LEFT JOIN ("
+            "SELECT src AS id, label FROM ("
+            "SELECT src, label, row_number() OVER "
+            "(PARTITION BY src ORDER BY n DESC, label ASC) AS rn "
+            "FROM (SELECT e.src, l.label, COUNT(*) AS n "
+            "FROM t_sym e JOIN lp_l l ON e.dst = l.id "
+            "GROUP BY e.src, l.label)) WHERE rn = 1"
+            ") b ON a.id = b.id"
+        )
+        _swap_in(con, "lp_l", "lp_l_next")
+    return con.execute(
+        "SELECT p.name, CAST(l.label AS BIGINT) AS community "
+        "FROM lp_l l JOIN t_persons p USING (id) ORDER BY p.name"
+    )
+
+
 ORACLES = {
     "g_pagerank": oracle_pagerank,
     "g_pagerank_prod": oracle_pagerank_prod,
@@ -328,6 +382,8 @@ ORACLES = {
     "g_hits": oracle_hits,
     "g_ktruss": oracle_ktruss,
     "g_sssp": oracle_sssp,
+    "g_kcore": oracle_kcore,
+    "g_label_propagation": oracle_label_propagation,
 }
 
 

@@ -286,7 +286,71 @@ def test_bag_signature_prunes_template_mates(spark):
         keyed.drop("sig"), max_dist=2, bag=False
     ).count()
     assert raw == 45  # 10 choose 2 — the quadratic template blowup
-    assert pruned == 0  # bag L1 = 6 > 2*max_dist for every pair
+    # the 5-way letter-class merge (a..z % 5) collides exactly the
+    # salt pairs 5 apart — (a,f), (b,g), (c,h), (d,i), (e,j) — the
+    # documented residual exposure; every bag-distinct pair dies in
+    # the join stage
+    assert pruned == 5
+
+
+def test_edit_distance_pairs_auto_q(spark):
+    """q="auto" (r08 templated-corpus mitigation) is output-neutral:
+    the escalation only proceeds while EVERY string keeps the
+    q·(max_dist)+1-gram completeness guarantee, so any chosen q yields
+    the identical exact pair set. Pinned: a low-gram-diversity corpus
+    (one shared template, high avg df) escalates q above 3 yet returns
+    exactly the q=3 / brute-force pairs; a corpus with one short
+    string refuses to escalate (the guard, not the ceiling, binds).
+    """
+    from neo4j_database_spark.operators.er import (
+        _auto_q,
+        edit_distance_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # 600 30-char binary strings sharing a 20-char leading-zero
+    # template: 3-grams saturate (8 distinct, avg df >> 64 -> the
+    # probe triggers) while longer grams diversify, so the sampled
+    # candidate estimates fall monotonically with q (measured:
+    # 100k at q=3 -> 20k at q=8) and the probe escalates
+    rows = [(i, f"{i:020b}{i * i % 1024:010b}") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    base = df.select(F.col("id"), F.col("s"))
+    q = _auto_q(
+        base.select("id", F.col("s").alias("s")), 2
+    )
+    assert q > 3  # low diversity detected, larger q measured cheaper
+    assert q * 3 <= 30  # and the guarantee still holds for every row
+
+    auto = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=2, q="auto"
+        ).collect()
+    }
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert auto == fixed == brute and len(brute) > 0
+
+    # one short row pins min_len: (q+1)*(d+1) = 12 > 9 -> stays at 3
+    short = df.unionByName(
+        spark.createDataFrame([(999, "ninechars")], "id long, s string")
+    ).select(F.col("id"), F.col("s").alias("s"))
+    assert _auto_q(short, 2) == 3
 
 
 def test_duplicated_spans_hand_case(spark, monkeypatch):
