@@ -288,8 +288,13 @@ def main() -> None:
         }
         print(f"spine_q18_x16: {cells['spine_q18_x16']}", flush=True)
 
-    out = {"round": round_no, "sf_dir": sf_dir, "cells": cells}
+    # merge into an existing round file so cells can run in batches
     out_path = os.path.join(REPO, f"BENCH_SCALE_r{round_no:02d}.json")
+    out = {"round": round_no, "sf_dir": sf_dir, "cells": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
+    out["cells"].update(cells)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
