@@ -79,19 +79,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # come first, removing the hand-maintained-dict-order fragility that bit
 # round 2. tests/test_store_and_entry.py cross-pins an independent copy.
 #
-# Round-8 rotation (VERDICT r07 item 1): with the oracle-backed driver
-# union COMPLETE at 179/179 after r07, the window switches to the
-# staleness re-check rotation AT DOUBLE RATE — re-check batches 1 AND 2
-# from `python scripts/coverage_report.py` (the 40 entries whose latest
-# green driver row is oldest: all 11 r02-era + all 12 r03-era + the 17
-# oldest r04-era rows, in schedule order), plus 10 family-anchor keeps.
-# Two of the keeps (customer_fuzzy_matches, doc_decontaminate_fuzzy)
-# are chosen because operators/er.py changes this round (templated-
-# corpus mitigation, VERDICT r07 item 3) — the entries that exercise
-# the changed code belong in the window the round the code changes.
-# g_ktruss (algorithms.py auto-router change) is already in batch 2.
-# A green r08 leaves no entry's latest driver row older than r04.
-DRIVER_WINDOW_R08 = [
+# Round-9 rotation (VERDICT r08 item 1): coverage complete (179/179),
+# so the window stays on the staleness re-check rotation at DOUBLE
+# rate — coverage_report.py batches 1 AND 2 on the post-r08 registry
+# (the 40 entries whose latest green driver row is oldest: the five
+# r04-era rows named by the verdict first, then the r05-era tail), plus
+# 10 family-anchor keeps. Three keeps are chosen because their code
+# changes this round: customer_fuzzy_matches / doc_decontaminate_fuzzy
+# (operators/er.py gains the PassJoin-style d>=2 segment candidate
+# generator, VERDICT r08 item 3, plus the ADVICE r08 dedup_candidates
+# repartition fix) and g_ktruss (graph/algorithms.py oriented-override
+# node-count fix, ADVICE r08). A green r09 leaves no entry's latest
+# driver row older than r06.
+DRIVER_WINDOW_R09 = [
     # keeps (10)
     "g_winder",
     "cypher_winder",
@@ -100,51 +100,51 @@ DRIVER_WINDOW_R08 = [
     "doc_minhash_lsh",
     "emb_ivf_pq_knn",
     "stream_click_attribution",
-    "big_volume_customers",
-    "customer_fuzzy_matches",  # er.py changes this round
+    "customer_fuzzy_matches",  # er.py d>=2 generator changes this round
     "doc_decontaminate_fuzzy",  # er.py d>=2 path changes this round
-    # re-check batch 1 (20 oldest driver greens, r02-era first)
-    "g_label_propagation",
-    "g_personalized_pagerank",
-    "g_random_walks",
-    "doc_mixture_sample",
-    "doc_ngram_jaccard",
-    "doc_simhash",
-    "doc_pack_sequences",
-    "emb_pq_adc_knn",
-    "stream_dedup",
-    "part_price_bands",
-    "daily_revenue_rolling",
-    "pricing_summary",
-    "nation_revenue",
-    "top_customers_by_spend",
-    "sales_rollup",
-    "small_qty_part_revenue",
-    "doc_decontaminate",
-    "doc_scrub_pii",
-    "doc_winnow_fingerprints",
-    "emb_semantic_dedup",
+    "g_ktruss",  # algorithms.py oriented-override fix this round
+    # re-check batch 1 (20 oldest driver greens: r04-era five first)
+    "idle_rich_customers",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "important_parts",
+    "forecast_revenue_change",
+    "g_rule_edge_counts",
+    "g_connected_components",
+    "doc_bm25",
+    "cypher_write_roundtrip",
+    "doc_lang_id",
+    "top_unshipped_orders",
+    "urgent_lineitem_bloom",
+    "events_state_transitions",
+    "events_session_windows",
+    "asof_order_events",
+    "sales_marginals",
+    "part_skyline",
+    "user_error_window_overlap",
+    "pricing_summary_prod",
+    "nation_revenue_prod",
     # re-check batch 2 (next 20 by staleness)
-    "g_degree_centrality",
-    "g_triangle_count",
-    "events_funnel",
-    "g_directory",
-    "g_search",
-    "g_ego_network",
-    "g_bfs_distances",
-    "g_hits",
-    "g_ktruss",
-    "g_link_pred_scores",
-    "cypher_house_counts",
-    "cypher_call_topk",
-    "cypher_search",
-    "brand_association_rules",
-    "stream_hourly_rollup",
-    "doc_exact_dedup",
-    "emb_knn_bruteforce",
-    "nation_market_share",
-    "volume_shipping",
-    "product_profit",
+    "returned_item_losses",
+    "part_supplier_counts",
+    "disjunctive_part_revenue",
+    "cheapest_supplier_per_part",
+    "promo_part_suppliers",
+    "doc_token_heavy_hitters_audit",
+    "events_approx_users_audit",
+    "events_value_quantiles_audit",
+    "doc_len_quantiles_audit",
+    "customer_merge",
+    "user_state_scd2",
+    "events_ohlc_daily",
+    "customer_hierarchy_rollup",
+    "monthly_revenue_growth",
+    "customer_order_distribution",
+    "late_sole_suppliers",
+    "doc_lm_coverage",
+    "orders_incremental_rollup",
+    "events_twap_daily",
+    "doc_top_docs_per_lang",
 ]
 
 
@@ -161,11 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness RE-CHECK ROTATION (VERDICT r06 item 8 / r07 item 1):
     # demoted driver-greens re-enter ordered by OLDEST latest-green
     # round first (ties by registry order), batches printed by
-    # coverage_report.py. r08 runs batches 1+2 (double rate, per the
-    # r07 verdict) + 10 keeps = DRIVER_WINDOW_R08 above.
+    # coverage_report.py. r09 runs batches 1+2 (double rate, continuing the
+    # r08 schedule) + 10 keeps = DRIVER_WINDOW_R09 above.
     #
     # The dict below is DEFINITION order (grouped by family for
-    # readability); the actual driver window is DRIVER_WINDOW_R08 — the
+    # readability); the actual driver window is DRIVER_WINDOW_R09 — the
     # reorder at the bottom of this function puts those 50 first.
     q = {
         # -- graph serving + ETL + features (reference app.py/get_insert/
@@ -237,7 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    see pipeline/multimodal.py audit docstrings) --
         "mm_image_stats_audit": _mm_image_stats_audit,
         "mm_video_stats_audit": _mm_video_stats_audit,
-        # (The driver window is DRIVER_WINDOW_R08 above, applied by the
+        # (The driver window is DRIVER_WINDOW_R09 above, applied by the
         # reorder at the bottom; tests/test_store_and_entry.py asserts
         # the intended 50-set == list(queries())[:50] and that every
         # in-window entry has an oracle_sql() twin — no no_oracle slots.)
@@ -484,12 +484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_count": on_graph(lambda g: galg.triangle_count(g)),  # → g_ktruss stays
         "events_funnel": rel.events_funnel,  # → events_state_transitions stays
     }
-    missing = [n for n in DRIVER_WINDOW_R08 if n not in q]
+    missing = [n for n in DRIVER_WINDOW_R09 if n not in q]
     assert not missing, f"window names absent from registry: {missing}"
     # the driver checks the first 50 entries: window first, then the
     # rest in definition order
-    return {n: q[n] for n in DRIVER_WINDOW_R08} | {
-        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R08
+    return {n: q[n] for n in DRIVER_WINDOW_R09} | {
+        n: f for n, f in q.items() if n not in DRIVER_WINDOW_R09
     }
 
 

@@ -65,14 +65,15 @@ def test_queries_and_oracles_aligned():
 # hand-counted "window ends here" comment drifted by two, leaving two
 # queries unchecked for two rounds).
 DRIVER_WINDOW = [
-    # round-8 rotation (VERDICT r07 item 1): coverage complete at
+    # round-9 rotation (VERDICT r08 item 1): coverage complete at
     # 179/179, so the window is the staleness re-check rotation at
-    # DOUBLE rate — coverage_report.py batches 1+2 (40 oldest driver
-    # greens) + 10 family-anchor keeps (two chosen because er.py
-    # changes this round). Independent copy of
-    # __spark_entry__.DRIVER_WINDOW_R08 — kept separate on purpose so a
-    # registry edit cannot silently move the window without this test
-    # noticing.
+    # DOUBLE rate — coverage_report.py batches 1+2 on the post-r08
+    # registry (40 oldest driver greens, the five r04-era rows first)
+    # + 10 family-anchor keeps (three chosen because their code changes
+    # this round: er.py d>=2 generator, algorithms.py oriented fix).
+    # Independent copy of __spark_entry__.DRIVER_WINDOW_R09 — kept
+    # separate on purpose so a registry edit cannot silently move the
+    # window without this test noticing.
     # keeps (10)
     "g_winder",
     "cypher_winder",
@@ -81,51 +82,51 @@ DRIVER_WINDOW = [
     "doc_minhash_lsh",
     "emb_ivf_pq_knn",
     "stream_click_attribution",
-    "big_volume_customers",
     "customer_fuzzy_matches",
     "doc_decontaminate_fuzzy",
-    # re-check batch 1 (oldest latest-green rows, schedule order)
-    "g_label_propagation",
-    "g_personalized_pagerank",
-    "g_random_walks",
-    "doc_mixture_sample",
-    "doc_ngram_jaccard",
-    "doc_simhash",
-    "doc_pack_sequences",
-    "emb_pq_adc_knn",
-    "stream_dedup",
-    "part_price_bands",
-    "daily_revenue_rolling",
-    "pricing_summary",
-    "nation_revenue",
-    "top_customers_by_spend",
-    "sales_rollup",
-    "small_qty_part_revenue",
-    "doc_decontaminate",
-    "doc_scrub_pii",
-    "doc_winnow_fingerprints",
-    "emb_semantic_dedup",
-    # re-check batch 2
-    "g_degree_centrality",
-    "g_triangle_count",
-    "events_funnel",
-    "g_directory",
-    "g_search",
-    "g_ego_network",
-    "g_bfs_distances",
-    "g_hits",
     "g_ktruss",
-    "g_link_pred_scores",
-    "cypher_house_counts",
-    "cypher_call_topk",
-    "cypher_search",
-    "brand_association_rules",
-    "stream_hourly_rollup",
-    "doc_exact_dedup",
-    "emb_knn_bruteforce",
-    "nation_market_share",
-    "volume_shipping",
-    "product_profit",
+    # re-check batch 1 (oldest latest-green rows, schedule order)
+    "idle_rich_customers",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "important_parts",
+    "forecast_revenue_change",
+    "g_rule_edge_counts",
+    "g_connected_components",
+    "doc_bm25",
+    "cypher_write_roundtrip",
+    "doc_lang_id",
+    "top_unshipped_orders",
+    "urgent_lineitem_bloom",
+    "events_state_transitions",
+    "events_session_windows",
+    "asof_order_events",
+    "sales_marginals",
+    "part_skyline",
+    "user_error_window_overlap",
+    "pricing_summary_prod",
+    "nation_revenue_prod",
+    # re-check batch 2
+    "returned_item_losses",
+    "part_supplier_counts",
+    "disjunctive_part_revenue",
+    "cheapest_supplier_per_part",
+    "promo_part_suppliers",
+    "doc_token_heavy_hitters_audit",
+    "events_approx_users_audit",
+    "events_value_quantiles_audit",
+    "doc_len_quantiles_audit",
+    "customer_merge",
+    "user_state_scd2",
+    "events_ohlc_daily",
+    "customer_hierarchy_rollup",
+    "monthly_revenue_growth",
+    "customer_order_distribution",
+    "late_sole_suppliers",
+    "doc_lm_coverage",
+    "orders_incremental_rollup",
+    "events_twap_daily",
+    "doc_top_docs_per_lang",
 ]
 
 
