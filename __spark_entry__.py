@@ -103,6 +103,7 @@ DRIVER_WINDOW_R09 = [
     "customer_fuzzy_matches",  # er.py d>=2 generator changes this round
     "doc_decontaminate_fuzzy",  # er.py d>=2 path changes this round
     "g_ktruss",  # algorithms.py oriented-override fix this round
+    "customer_fuzzy_matches_d2",  # NEW r09 entry (deletion-d2 path)
     # re-check batch 1 (20 oldest driver greens: r04-era five first)
     "idle_rich_customers",
     "promo_revenue_share",
@@ -144,7 +145,6 @@ DRIVER_WINDOW_R09 = [
     "doc_lm_coverage",
     "orders_incremental_rollup",
     "events_twap_daily",
-    "doc_top_docs_per_lang",
 ]
 
 
@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct_users": rel.events_sliding_distinct_users,
         "orders_profile": _orders_profile,
         "customer_fuzzy_matches": _customer_fuzzy,
+        "customer_fuzzy_matches_d2": _customer_fuzzy_d2,  # r09 deletion-d2
         "events_zorder_values": _zorder_values,
         "doc_dup_spans": dedup.duplicated_spans,
         "g_sssp": on_graph(lambda g: galg.sssp_distances(g, EGO_NAME)),
@@ -962,6 +963,19 @@ def _customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, "customer", sf_dir)
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1, q=3)
+
+
+def _customer_fuzzy_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d=2 ER over customer names — exercises the r09 deletion-
+    neighborhood candidate generator (operators/er.py::
+    _deletion_d2_pairs; strategy="auto" routes here because the keys
+    are far under DELETION_LEN_CEILING). Complete for all lengths, so
+    the oracle mirrors only the blocking, not a boundary contract."""
+    from neo4j_database_spark.catalog import load_table
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+
+    cust = load_table(spark, "customer", sf_dir)
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3697,6 +3711,47 @@ SELECT id_a, id_b, s_a, s_b,
   CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
 FROM cand
 WHERE levenshtein(s_a, s_b) <= 1
+""",
+        # d=2 deletion-neighborhood ER (r09) — mirrors operators/er.py
+        # ::_deletion_d2_pairs: identity + 1-deletion + 2-deletion
+        # variants, equi-join, exact levenshtein verify. The generator
+        # is COMPLETE for all lengths (ed(a,b)=k implies a common
+        # subsequence reachable by <= k deletions each side), so the
+        # semantics are exactly "all pairs with levenshtein <= 2"; the
+        # oracle mirrors the blocking only to keep DuckDB off the
+        # quadratic all-pairs scan (1.2 s vs minutes at sf0.1).
+        "customer_fuzzy_matches_d2": """
+WITH names AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+d0 AS (SELECT id, s, s AS v FROM names),
+d1 AS (
+  SELECT id, s,
+    substr(s, 1, CAST(i AS INT) - 1)
+      || substr(s, CAST(i AS INT) + 1, length(s)) AS v
+  FROM names, UNNEST(generate_series(1, length(s))) AS t(i)
+),
+d2 AS (
+  SELECT n.id, n.s,
+    substr(n.s, 1, CAST(t.i AS INT) - 1)
+      || substr(n.s, CAST(t.i AS INT) + 1,
+                CAST(u.j AS INT) - CAST(t.i AS INT) - 1)
+      || substr(n.s, CAST(u.j AS INT) + 1, length(n.s)) AS v
+  FROM names n,
+       UNNEST(generate_series(1, length(n.s))) AS t(i),
+       UNNEST(generate_series(1, length(n.s))) AS u(j)
+  WHERE u.j > t.i
+),
+variants AS (
+  SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM variants a JOIN variants b USING (v)
+  WHERE a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+)
+SELECT id_a, id_b, s_a, s_b,
+  CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s_a, s_b) <= 2
 """,
         # Z-order (Morton) key of (user_id, epoch-sec mod 2^16) — the
         # bit interleave behind write_zordered, integer-exact in both

@@ -60,6 +60,8 @@ HEADLINE = (
     "doc_minhash_lsh_prod",  # xxhash64 production path vs the md5 oracle path
     "customer_fuzzy_matches",  # deletion-neighborhood ER join (r06:
     # 25.8 -> 5.4 s via FastSS blocking; was the heaviest registry line)
+    "customer_fuzzy_matches_d2",  # d=2 deletion-neighborhood route
+    # (r09) — the generator that replaced gram blocking for short keys
     "emb_knn_bruteforce",
     "order_fill_profile",  # raw-parquet spine join (both facts shuffle)
     "order_fill_profile_bucketed",  # same query over the bucketed
@@ -99,6 +101,15 @@ def _calibration(spark, sf_dir: str) -> float:
     return round(best, 4)
 
 
+def _load_avgs() -> list[float]:
+    """1/5/15-min load averages — recorded pre and post so a co-tenant-
+    loaded box is MECHANICALLY visible in the artifact (VERDICT r08
+    item 5: the r07/r08 judge-vs-driver epochs moved oppositely purely
+    from box load, and diagnosing that from calibration lines alone
+    burned interpretation time two rounds running)."""
+    return [round(x, 2) for x in os.getloadavg()]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -107,6 +118,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    load_pre = _load_avgs()
     calibration_pre = _calibration(spark, sf_dir)
 
     # ETL phase: always rebuild the graph store so the build cost (the
@@ -144,6 +156,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     calibration_post = _calibration(spark, sf_dir)
+    load_post = _load_avgs()
+    # Mechanical busy tag (VERDICT r08 item 5): a run is flagged when
+    # the calibration floor or the pre-run 1-min load average says the
+    # box is contended — readers must treat per-line numbers from a
+    # busy=true epoch as upper bounds, not regressions. Thresholds:
+    # calibration 0.5 s is ~2.5x the quiet-box floor (0.18-0.20 s at
+    # sf0.1); load 4.0 is ~12% of the 32 hardware threads, i.e. any
+    # real co-tenant shows up while our own JVM startup does not.
+    busy = max(calibration_pre, calibration_post) > 0.5 or load_pre[0] > 4.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -164,6 +185,9 @@ def main() -> None:
                 "calibration_pre_sec": calibration_pre,
                 "calibration_post_sec": calibration_post,
                 "calibration_sec": max(calibration_pre, calibration_post),
+                "load_avg_pre": load_pre,
+                "load_avg_post": load_post,
+                "busy": busy,
             }
         )
     )

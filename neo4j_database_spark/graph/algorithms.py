@@ -1738,6 +1738,20 @@ def ktruss_edges(
         )
         if sum_deg2 > ORIENTED_DEG2_RATIO * max(sum_od2, 1):
             strategy = "oriented"
+    elif strategy == "oriented":
+        # ADVICE r08: the 2|E| bound made _is_small false for mid-size
+        # graphs (e.g. 6M edges / 1M nodes) that qualify under the
+        # exact count, silently dropping _oriented_support's broadcast
+        # degree joins on the explicit-oriented path. The exact count
+        # is one cheap distinct on the checkpointed edge frame, and
+        # only the explicit-oriented path needs it (auto's probe
+        # already computes it; broadcast/grid overrides never read a
+        # node-count gate that the per-round 2·m bound doesn't cover).
+        n_nodes = (
+            e.select(F.explode(F.array("src", "dst")).alias("n"))
+            .agg(F.countDistinct("n"))
+            .first()[0]
+        )
     else:
         n_nodes = 2 * n_edges  # conservative bound; only the gate uses it
 

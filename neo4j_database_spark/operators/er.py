@@ -4,7 +4,8 @@ The fuzzy-matching primitive behind dedupe/record-linkage pipelines:
 find all pairs of strings within Levenshtein distance ``max_dist``
 WITHOUT the quadratic all-pairs scan.
 
-Two candidate-generation strategies, picked by ``max_dist``:
+Three candidate-generation strategies, routed by ``max_dist`` and
+(for d = 2) key length:
 
 - ``max_dist == 1`` (the overwhelmingly common ER setting): the
   DELETION-NEIGHBORHOOD join (FastSS, Bocek et al. 2007; the SymSpell
@@ -20,9 +21,29 @@ Two candidate-generation strategies, picked by ``max_dist``:
   banded-levenshtein VERIFICATION (2.6 us/pair) was ~90% of the old
   25.8 s runtime — cutting candidates 7.6x cut the query to 2.4 s.
 
-- ``max_dist >= 2``: Ed-Join / prefix filtering (Xiao et al., VLDB'08;
-  same family as PPJoin) — deletion neighborhoods grow O(len^d) keys
-  per string at distance d, so gram prefixes win there:
+- ``max_dist == 2`` on SHORT keys (max length <= DELETION_LEN_CEILING,
+  the r09 route; VERDICT r08 item 3): the d = 2 deletion-neighborhood
+  join. ed(a, b) = k implies a common subsequence reachable by <= k
+  deletions from EACH side (an alignment's untouched characters: a
+  loses its substituted + deleted positions, b its substituted +
+  inserted ones, each <= k), so an equi-join on the <= 2-deletion
+  variant sets is complete — again with NO length boundary. Each
+  string emits 1 + L + C(L, 2) variants (hashed to 8-byte keys; hash
+  collisions only ADD candidates, verification removes them), which is
+  O(L^2) per string — hence the length ceiling — but bucket sizes are
+  near-duplicate-group-sized, NOT gram-bucket-sized: this is the
+  generator that beats the templated-corpus verification floor the r08
+  bag filter could only approach (the gram path's measured ~1.1B
+  inherently bag-close candidates on the 16x suffix-salted replica
+  cell). Template mates whose distinguishing regions differ in >= 3
+  positions share NO variant — including ANAGRAM salts (same char
+  bag, the bag filter's documented residual exposure): "aaabbb" vs
+  "bbbaaa" have no common 4-char subsequence in order, so the
+  candidate set is output-shaped, not template-group-shaped.
+
+- ``max_dist >= 2`` otherwise (long keys, or d >= 3 where deletion
+  neighborhoods grow O(len^d)): Ed-Join / prefix filtering (Xiao et
+  al., VLDB'08; same family as PPJoin):
 
 1. q-gram multiset per string (an edit destroys ≤ q grams; an indel
    shifts positions but not gram *contents*, so the multiset changes by
@@ -176,6 +197,20 @@ def _bag_l1(sig_a: Column, sig_b: Column) -> Column:
 # (avg df 4730) and even its 1× cell (avg df 308) probe.
 AUTO_Q_DF_CEILING = 64
 AUTO_Q_MAX = 8
+
+# strategy="auto" routes max_dist=2 to the deletion-neighborhood
+# generator when the longest key is at or under this ceiling, else to
+# gram prefixes. The deletion side emits 1 + L + C(L, 2) variant keys
+# per string (L=24: 301; L=64: 2,146; L=128: 8,385) while the gram
+# side emits q·d+1 (7-17), so the variant frame grows quadratically
+# with L and the crossover is length-driven. Measured r09 on DIVERSE
+# 2k-string corpora (SCALE_PROBE.md r09 routing cells, warm best-of-3,
+# deletion vs gram+bag): L=24 0.6 s vs 1.4 s, L=48 1.3 s vs 2.2 s,
+# L=64 2.2 s vs 2.7 s, L=96 5.1 s vs 3.6 s — deletion wins up to ~L=64
+# and loses from ~L=96; on TEMPLATED corpora deletion wins by >> that
+# margin at any admissible length (it is immune to the gram path's
+# candidate blowup), so the ceiling is set at the DIVERSE crossover.
+DELETION_LEN_CEILING = 64
 # deterministic 1-in-AUTO_Q_SAMPLE_MOD string sample for the probe;
 # estimates scale by the sampling fraction squared, which cancels in
 # the across-q comparison
@@ -212,7 +247,40 @@ def _candidate_estimate(base: DataFrame, q: int, max_dist: int) -> int:
     return int(row["est"] or 0)
 
 
-def _auto_q(base: DataFrame, max_dist: int) -> int:
+def _templated_trigger(base: DataFrame) -> bool:
+    """True when the corpus looks templated / low-gram-diversity: the
+    average 3-gram document frequency exceeds AUTO_Q_DF_CEILING (on a
+    diverse corpus distinct grams grow with the corpus and avg df stays
+    small; on a templated one the gram vocabulary saturates while
+    occurrences keep growing). One narrow (count, approx distinct)
+    aggregate over the gram stream. Drives BOTH gram-path mitigations:
+    the q escalation probe (_auto_q) and the candidate-join salt gate
+    (ADVICE r08: unconditional salting taxed diverse corpora with a
+    16x build-side replication they never need)."""
+    row = (
+        base.filter(F.length("s") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("gram")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.approx_count_distinct("gram").alias("distinct"),
+        )
+        .first()
+    )
+    if not row["total"] or not row["distinct"]:
+        return False
+    return row["total"] / row["distinct"] > AUTO_Q_DF_CEILING
+
+
+def _auto_q(
+    base: DataFrame, max_dist: int, min_len: int | None
+) -> tuple[int, bool | None]:
     """Pick q for the Ed-Join path by MEASURED candidate volume.
 
     Templated / low-gram-diversity corpora (the r07 SCALE_PROBE
@@ -234,42 +302,32 @@ def _auto_q(base: DataFrame, max_dist: int) -> int:
     admissible q yields the identical exact pair set (pinned by
     test_edit_distance_pairs_auto_q).
 
-    Cost: one min-length aggregate, one (count, approx distinct)
-    trigger aggregate, and — only on templated corpora — one sampled
-    prefix build per admissible q. All linear narrow passes, dwarfed
-    by the candidate join they tune.
+    Cost: one min-length aggregate (skipped when the caller already
+    computed it for routing), one (count, approx distinct) trigger
+    aggregate, and — only on templated corpora — one sampled prefix
+    build per admissible q. All linear narrow passes, dwarfed by the
+    candidate join they tune.
+
+    Returns ``(q, templated)`` where ``templated`` is the
+    _templated_trigger outcome (None when the probe exited before
+    computing it) — reused by the candidate-join salt gate so the
+    trigger aggregate never runs twice.
     """
-    min_len = base.agg(F.min(F.length("s")).alias("m")).first()["m"]
     if min_len is None:
-        return 3
+        min_len = base.agg(F.min(F.length("s")).alias("m")).first()["m"]
+    if min_len is None:
+        return 3, None
     q_cap = min(AUTO_Q_MAX, min_len // (max_dist + 1))
     if q_cap <= 3:
-        return 3
-    row = (
-        base.filter(F.length("s") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(s) - 2),"
-                    " i -> substring(s, i, 3))"
-                )
-            ).alias("gram")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.approx_count_distinct("gram").alias("distinct"),
-        )
-        .first()
-    )
-    if not row["total"] or not row["distinct"]:
-        return 3
-    if row["total"] / row["distinct"] <= AUTO_Q_DF_CEILING:
-        return 3
+        return 3, None
+    templated = _templated_trigger(base)
+    if not templated:
+        return 3, False
     sample = base.filter(
         F.pmod(F.xxhash64(F.col("id")), F.lit(AUTO_Q_SAMPLE_MOD)) == 0
     ).localCheckpoint()
     if sample.count() < 100:  # too small to rank q values reliably
-        return 3
+        return 3, True
     ests = {
         q: _candidate_estimate(sample, q, max_dist)
         for q in range(3, q_cap + 1)
@@ -277,8 +335,8 @@ def _auto_q(base: DataFrame, max_dist: int) -> int:
     best = min(ests.values())
     for q in sorted(ests):  # smallest q within 25% of the minimum
         if ests[q] <= best * 1.25:
-            return q
-    return 3
+            return q, True
+    return 3, True
 
 
 def edit_distance_pairs(
@@ -291,19 +349,29 @@ def edit_distance_pairs(
     size_hint_rows: int | None = None,
     dedup_candidates: bool | None = None,
     bag_filter: bool = True,
+    strategy: str = "auto",
+    salt: int | str = "auto",
 ) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(s_a, s_b) <= max_dist.
 
-    max_dist == 1 routes to the deletion-neighborhood join (exact for
-    ALL string lengths — no completeness boundary; see module
-    docstring). max_dist >= 2 uses Ed-Join prefix filtering, whose
-    completeness boundary is standard: a pair is guaranteed found only
-    when both strings have ≥ q·(max_dist+1) characters — below that,
-    all n−q+1 grams can be destroyed by max_dist edits and no shared
-    prefix gram is forced (strings shorter than ``q`` produce no grams
-    at all). Ed-Join callers with very short keys should pad, lower
-    ``q``, or brute-force the short stratum separately; both contracts
-    are pinned by test_edit_distance_pairs_short_string_contract.
+    ``strategy`` (r09, VERDICT r08 item 3) picks the d >= 2 candidate
+    generator: ``"deletion"`` forces the d = 2 deletion-neighborhood
+    join, ``"gram"`` forces Ed-Join prefix filtering, ``"auto"``
+    (default) routes max_dist == 2 to deletion when the longest key is
+    <= DELETION_LEN_CEILING (one narrow min/max-length aggregate; the
+    min feeds _auto_q so the gram fallback pays no extra pass) and to
+    gram otherwise. max_dist == 1 always uses the d = 1 deletion join.
+
+    Completeness: BOTH deletion routes are exact for ALL string
+    lengths — no boundary (see module docstring; pinned by
+    test_edit_distance_pairs_short_string_contract). Only the gram
+    route has the standard Ed-Join boundary: a pair is guaranteed
+    found only when both strings have ≥ q·(max_dist+1) characters —
+    below that, all n−q+1 grams can be destroyed by max_dist edits and
+    no shared prefix gram is forced (strings shorter than ``q``
+    produce no grams at all). Gram-route callers with very short keys
+    should pad, lower ``q``, or brute-force the short stratum
+    separately — or at d = 2 simply use the deletion route.
 
     Shared plan shape (r06 rewrite): the candidate stream is never
     shuffled between generation and verification. Profiling showed the
@@ -356,20 +424,71 @@ def edit_distance_pairs(
       string — shrinking the gram buckets candidates are generated
       FROM, which a pair filter alone cannot do.
 
-    FastSS (max_dist=1) is immune to the blowup — deletion variants
-    contain the distinguishing region verbatim — so the d=1 path skips
-    both. Residual d ≥ 2 exposure: template-mates whose distinguishing
-    regions are ANAGRAMS of each other (same char bag) still collide;
-    for those, strip the template before blocking or pre-partition by
-    the template key. Measured on the 16× suffix-salted replica cell
-    (SCALE_PROBE.md r08): r07's ~30× runtime growth falls to
-    near-linear with both defenses on.
+    Deletion routes (max_dist = 1 always; max_dist = 2 short keys) are
+    immune to the blowup — variants contain the distinguishing region
+    verbatim, and even ANAGRAM salts (the bag filter's residual
+    exposure: same char bag, >= 3 positions changed) share no variant
+    — so they skip both gram mitigations AND the candidate-join salt
+    (their bucket sizes are near-duplicate-group-sized by
+    construction). The gram route's residual d >= 2 exposure is now
+    only LONG templated keys whose distinguishing regions are
+    anagrams; for those, strip the template before blocking or
+    pre-partition by the template key. Measured on the 16× suffix-
+    salted replica cell (SCALE_PROBE.md r08/r09): r07's ~30× runtime
+    growth fell to ~14× with the r08 gram mitigations and to
+    near-linear with the r09 deletion route.
+
+    ``salt`` gates the gram candidate-join's skew salting (ADVICE
+    r08: the r08 code salted unconditionally, taxing diverse corpora
+    with a CANDIDATE_SALT-fold build-side replication they never
+    need). ``"auto"`` (default) salts only when the templated-corpus
+    trigger fires (avg 3-gram df > AUTO_Q_DF_CEILING — computed at
+    most once, shared with _auto_q); an int forces that salt value.
     """
+    if isinstance(q, str) and q != "auto":
+        raise ValueError(f"q must be an int or 'auto', got {q!r}")
+    if not isinstance(q, str) and (not isinstance(q, int) or q < 1):
+        raise ValueError(f"q must be a positive int or 'auto', got {q!r}")
+    if strategy not in ("auto", "deletion", "gram"):
+        raise ValueError(
+            f"strategy must be 'auto', 'deletion' or 'gram', got {strategy!r}"
+        )
+    if isinstance(salt, str) and salt != "auto":
+        raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
+    if strategy == "deletion" and max_dist > 2:
+        raise ValueError(
+            "strategy='deletion' supports max_dist <= 2 (variant sets "
+            "grow O(len^d)); use strategy='gram' for larger distances"
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
-    if q == "auto":
+    if max_dist == 2 and strategy != "gram":
+        min_len = max_len = None
+        if strategy == "auto":
+            row = base.agg(
+                F.min(F.length("s")).alias("lo"),
+                F.max(F.length("s")).alias("hi"),
+            ).first()
+            min_len, max_len = row["lo"], row["hi"]
+        if strategy == "deletion" or (
+            max_len is not None and max_len <= DELETION_LEN_CEILING
+        ):
+            return _deletion_d2_pairs(
+                base, broadcast_row_limit, size_hint_rows,
+                dedup_candidates, bag_filter,
+            )
+        # gram fallback below reuses the min length computed here
+        templated = None
+        if q == "auto":
+            q, templated = _auto_q(base, max_dist, min_len)
+    elif q == "auto":
         # output-neutral by construction (see _auto_q); the FastSS
         # path below never uses q, so probe only where it matters
-        q = _auto_q(base, max_dist) if max_dist >= 2 else 3
+        if max_dist >= 2:
+            q, templated = _auto_q(base, max_dist, None)
+        else:
+            q, templated = 3, None
+    else:
+        templated = None
     if max_dist == 1:
         # identity + all single-deletion variants; the CASE guards the
         # Spark sequence(1, 0) descending-not-empty trap for empty
@@ -430,11 +549,90 @@ def edit_distance_pairs(
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
         F.col("gram").alias("k"), *narrow
     )
+    if salt == "auto":
+        # ADVICE r08: salt only when the corpus is actually templated
+        # (hot prefix-gram buckets come from a saturated gram
+        # vocabulary); diverse corpora keep salt=1 and skip the
+        # CANDIDATE_SALT-fold build-side replication. Reuses _auto_q's
+        # trigger outcome when q="auto" already computed it.
+        if templated is None:
+            templated = _templated_trigger(base)
+        salt = CANDIDATE_SALT if templated else 1
     cand_ids = _candidates_on(
-        prefix, max_dist, bag=bag_filter, salt=CANDIDATE_SALT
+        prefix, max_dist, bag=bag_filter, salt=salt
     )
     return _verify(
         base, cand_ids, max_dist, broadcast_row_limit,
+        size_hint_rows, dedup_candidates,
+    )
+
+
+def _deletion_d2_pairs(
+    base: DataFrame,
+    broadcast_row_limit: int,
+    size_hint_rows: int | None,
+    dedup_candidates: bool | None,
+    bag_filter: bool,
+) -> DataFrame:
+    """d = 2 deletion-neighborhood candidate join (r09; VERDICT r08
+    item 3 — the "generate fewer candidates" escape from the gram
+    path's measured templated-corpus verification floor).
+
+    Each string emits its identity, all L single-deletion variants,
+    and all C(L, 2) double-deletion variants. ed(a, b) <= 2 implies a
+    common subsequence reachable by <= 2 deletions from each side (see
+    module docstring), so the variant equi-join is a complete
+    generator with no length boundary. Variants are hashed to 8-byte
+    xxhash64 keys before the join — candidate buckets only ever GAIN
+    rows from hash collisions (lost pairs are impossible), and
+    verification removes them; the shuffle then moves (key, id, len[,
+    sig]) rows instead of up-to-L-char variant strings.
+
+    The false-candidate bound is ed <= 4 (each side 2 deletions from
+    the shared variant), so the bag filter (L1 <= 2·max_dist = 4)
+    still prunes usefully — it rides the same narrow frame as on the
+    gram path. No salt: bucket sizes are near-duplicate-group-sized
+    (a variant is shared only by strings within deletion distance 2 of
+    it), the same reason the d = 1 FastSS path never salts.
+
+    Candidate multiplicity is the one cost the d = 1 path doesn't
+    have: a distance-1 pair shares ~L variants and an identical pair
+    ~C(L, 2), so the pre-verification dedup defaults ON here on BOTH
+    verify paths (``dedup_candidates=None`` → True) — unlike the gram
+    path, where dedup removes ~10% and defaults off on the broadcast
+    side.
+    """
+    variants = F.concat(
+        F.array(F.col("s")),
+        F.expr(
+            "CASE WHEN length(s) = 0 THEN array() ELSE"
+            " transform(sequence(1, length(s)),"
+            " i -> concat(left(s, i-1), substr(s, i+1)))"
+            " END"
+        ),
+        F.expr(
+            "CASE WHEN length(s) < 2 THEN array() ELSE"
+            " flatten(transform(sequence(1, length(s) - 1),"
+            " i -> transform(sequence(i + 1, length(s)),"
+            " j -> concat(left(s, i-1), substring(s, i+1, j-i-1),"
+            " substr(s, j+1)))))"
+            " END"
+        ),
+    )
+    narrow = ["id", F.length("s").alias("len")]
+    if bag_filter:
+        narrow.append(_bag_signature(F.col("s")).alias("sig"))
+    keyed = base.select(*narrow, F.explode(variants).alias("v")).select(
+        F.xxhash64("v").alias("k"),
+        "id",
+        "len",
+        *(["sig"] if bag_filter else []),
+    )
+    cand_ids = _candidates_on(keyed, 2, bag=bag_filter, salt=1)
+    if dedup_candidates is None:
+        dedup_candidates = True
+    return _verify(
+        base, cand_ids, 2, broadcast_row_limit,
         size_hint_rows, dedup_candidates,
     )
 
@@ -563,7 +761,20 @@ def _verify(
     if small:
         na, nb = F.broadcast(na), F.broadcast(nb)
     if dedup_candidates:
-        cand_ids = cand_ids.distinct()
+        # Pin the dedup exchange's width (ADVICE r08): a bare
+        # distinct() on this narrow two-long frame is AQE
+        # byte-coalescible — on the broadcast path (where the
+        # downstream joins add no further exchange) a coalesce to 1-2
+        # partitions would pipeline the banded levenshtein on those
+        # few tasks, the same defect class as the 501 s verify-stage
+        # collapse r07 fixed. The user-specified repartition is exempt
+        # from coalescing, and the aggregate reuses its partitioning
+        # (same keys), so this pins width without adding an exchange
+        # the distinct wouldn't have had.
+        n_parts = shuffle_partitions(cand_ids.sparkSession)
+        cand_ids = cand_ids.repartition(
+            n_parts, "id_a", "id_b"
+        ).dropDuplicates(["id_a", "id_b"])
     # Verification parallelism comes from _candidates_on's repartition
     # pin: the candidate join reads a user-specified (exempt from AQE
     # byte-coalescing) exchange, and on the broadcast path everything

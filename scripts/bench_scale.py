@@ -24,6 +24,18 @@ er_ktruss_probe.py / scale_probe.py):
                        those candidates inside the join stage; target
                        x16 <= 8× of x1 with an IDENTICAL pair set
                        (x16 true pairs must stay exactly 16× of x1).
+                       Since r09 this cell pins strategy="gram" — it
+                       measures the gram mitigations' floor, which the
+                       verdict's measured-floor analysis showed cannot
+                       reach the <= 8× target on this corpus.
+  er_deletion_d2_x1/x16  The SAME corpus through the r09 auto route
+                       (deletion-neighborhood d=2 generator): template
+                       mates share no <= 2-deletion variant — including
+                       the anagram code pair the bag filter cannot
+                       prune — so the candidate set is output-shaped
+                       and the 16× cell is the VERDICT r08 item 3
+                       target (<= 8× of x1, identical 65,337,136
+                       pairs).
   ktruss_grid_x16      2D-grid k-truss support kernel on the 16×
                        replicated FRIEND_OF graph (the cell whose r06
                        join fallback died in a ~700 GB spill).
@@ -108,6 +120,10 @@ def time_noop(df) -> float:
     return time.perf_counter() - t0
 
 
+def load_avgs() -> list[float]:
+    return [round(x, 2) for x in os.getloadavg()]
+
+
 def main() -> None:
     round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -119,6 +135,22 @@ def main() -> None:
     from neo4j_database_spark.operators.er import edit_distance_pairs
 
     cells: dict[str, dict] = {}
+    # Mechanical noise protocol (VERDICT r08 item 5): record 1/5/15-min
+    # load averages at script start (BEFORE our own Spark work pollutes
+    # the 1-min average) and at script end, and tag the artifact busy
+    # when the start load shows a co-tenant (> 4.0 of 32 threads — the
+    # r08 ktruss cell ran at load 20-30 and its 438-593 s readings were
+    # uninterpretable). Per-cell pre-loads are recorded too, but they
+    # include OUR OWN previous cell's decaying load — only the start
+    # load gates.
+    load_start = load_avgs()
+    busy = load_start[0] > 4.0
+    if busy:
+        print(
+            f"WARNING: box busy at start (load {load_start}); cells "
+            "will be tagged busy=true — treat readings as upper bounds",
+            flush=True,
+        )
 
     def want(name: str) -> bool:
         return not only or name in only
@@ -150,9 +182,16 @@ def main() -> None:
         def edjoin():
             # q="auto" + the bag filter ARE the r08 templated-corpus
             # mitigation under test; r07's 631-656 s baseline ran the
-            # same cell with fixed q=3 and no filter
+            # same cell with fixed q=3 and no filter. strategy="gram"
+            # pinned since r09 (auto now routes these 25-char keys to
+            # the deletion generator — measured by er_deletion_d2).
             return edit_distance_pairs(
-                cust, "c_custkey", "c_name", max_dist=2, q="auto"
+                cust,
+                "c_custkey",
+                "c_name",
+                max_dist=2,
+                q="auto",
+                strategy="gram",
             )
 
         runs = [time_noop(edjoin()) for _ in range(2)]
@@ -160,6 +199,28 @@ def main() -> None:
             "cold_s": round(runs[0], 2),
             "warm_s": round(min(runs[1:]), 2),
             "rows": edjoin().count(),
+        }
+        print(f"{name}: {cells[name]}", flush=True)
+
+    for mult in (1, 16):
+        name = f"er_deletion_d2_x{mult}"
+        if not want(name):
+            continue
+        path = build_er_d2_input(spark, sf_dir, mult)
+        cust = spark.read.parquet(path)
+
+        def deljoin():
+            # the r09 auto route: 25-char keys -> deletion-neighborhood
+            # d=2 generator (VERDICT r08 item 3)
+            return edit_distance_pairs(
+                cust, "c_custkey", "c_name", max_dist=2
+            )
+
+        runs = [time_noop(deljoin()) for _ in range(2)]
+        cells[name] = {
+            "cold_s": round(runs[0], 2),
+            "warm_s": round(min(runs[1:]), 2),
+            "rows": deljoin().count(),
         }
         print(f"{name}: {cells[name]}", flush=True)
 
@@ -289,12 +350,18 @@ def main() -> None:
         print(f"spine_q18_x16: {cells['spine_q18_x16']}", flush=True)
 
     # merge into an existing round file so cells can run in batches
+    load_end = load_avgs()
+    for c in cells.values():
+        c["busy"] = busy
     out_path = os.path.join(REPO, f"BENCH_SCALE_r{round_no:02d}.json")
     out = {"round": round_no, "sf_dir": sf_dir, "cells": {}}
     if os.path.exists(out_path):
         with open(out_path) as f:
             out = json.load(f)
     out["cells"].update(cells)
+    out["load_avg_start"] = load_start
+    out["load_avg_end"] = load_end
+    out["busy"] = bool(out.get("busy", False) or busy)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")

@@ -199,9 +199,38 @@ def test_edit_distance_pairs_short_string_contract(spark):
     df2 = spark.createDataFrame(rows2, "id long, s string")
     got2 = {
         (r.id_a, r.id_b)
-        for r in edit_distance_pairs(df2, "id", "s", max_dist=2, q=2).collect()
+        for r in edit_distance_pairs(
+            df2, "id", "s", max_dist=2, q=2, strategy="gram"
+        ).collect()
     }
     assert got2 == {(2, 3)}
+
+    # d=2 deletion route (r09, the auto default for short keys): NO
+    # boundary — the same corpus's short ed-2 pair is found, plus the
+    # ed-0 empty/short pairs the gram path can never see
+    rows3 = rows2 + [(4, ""), (5, ""), (6, "xy"), (7, "yx")]
+    df3 = spark.createDataFrame(rows3, "id long, s string")
+    got3 = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df3, "id", "s", max_dist=2).collect()
+    }
+    from pyspark.sql import functions as F
+
+    a3, b3 = df3.alias("a"), df3.alias("b")
+    brute3 = {
+        (r.id_a, r.id_b)
+        for r in a3.join(b3, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got3 == brute3
+    # the gram-boundary misses are found, incl. empty-string pairs
+    assert {(0, 1), (4, 5), (4, 6)} <= got3
 
 
 def test_edit_distance_pairs_bag_filter_exact(spark):
@@ -233,12 +262,14 @@ def test_edit_distance_pairs_bag_filter_exact(spark):
     df = spark.createDataFrame(rows, "id long, s string")
     on = {
         (r.id_a, r.id_b)
-        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=2, strategy="gram"
+        ).collect()
     }
     off = {
         (r.id_a, r.id_b)
         for r in edit_distance_pairs(
-            df, "id", "s", max_dist=2, bag_filter=False
+            df, "id", "s", max_dist=2, bag_filter=False, strategy="gram"
         ).collect()
     }
     a, b = df.alias("a"), df.alias("b")
@@ -316,21 +347,24 @@ def test_edit_distance_pairs_auto_q(spark):
     rows = [(i, f"{i:020b}{i * i % 1024:010b}") for i in range(600)]
     df = spark.createDataFrame(rows, "id long, s string")
     base = df.select(F.col("id"), F.col("s"))
-    q = _auto_q(
-        base.select("id", F.col("s").alias("s")), 2
+    q, templated = _auto_q(
+        base.select("id", F.col("s").alias("s")), 2, None
     )
     assert q > 3  # low diversity detected, larger q measured cheaper
+    assert templated is True
     assert q * 3 <= 30  # and the guarantee still holds for every row
 
     auto = {
         (r.id_a, r.id_b)
         for r in edit_distance_pairs(
-            df, "id", "s", max_dist=2, q="auto"
+            df, "id", "s", max_dist=2, q="auto", strategy="gram"
         ).collect()
     }
     fixed = {
         (r.id_a, r.id_b)
-        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=2, strategy="gram"
+        ).collect()
     }
     a, b = df.alias("a"), df.alias("b")
     brute = {
@@ -350,7 +384,123 @@ def test_edit_distance_pairs_auto_q(spark):
     short = df.unionByName(
         spark.createDataFrame([(999, "ninechars")], "id long, s string")
     ).select(F.col("id"), F.col("s").alias("s"))
-    assert _auto_q(short, 2) == 3
+    assert _auto_q(short, 2, None) == (3, None)
+
+
+def test_edit_distance_pairs_d2_deletion_complete(spark):
+    """The r09 d=2 deletion-neighborhood generator is COMPLETE: on a
+    varied corpus (substitutions, 1- and 2-char indels, mixed edits,
+    duplicate strings, short strings) the auto route (deletion for
+    these short keys) returns exactly the brute-force pair set, and
+    forcing either strategy on gram-complete-length keys agrees."""
+    from neo4j_database_spark.operators.er import edit_distance_pairs
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"{(i * 37) % 1009:04d}ab{i % 11}x") for i in range(150)]
+    rows += [
+        (200, "hogwarts-express"),
+        (201, "hogwarts-xpress"),     # 1 del
+        (202, "hogwarts-expres"),     # 1 del (tail)
+        (203, "hogwarts-exprss"),     # 1 del
+        (204, "hogwrts-xpress"),      # 2 dels vs 200
+        (205, "hogwarts-express!!"),  # 2 ins vs 200
+        (206, "hAgwarts-exprEss"),    # 2 subs vs 200
+        (207, "hogwartsexpress+"),    # del + ins vs 200
+        (208, "completely-other"),
+        (209, "completely-other"),    # exact duplicate
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b): r.d
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute and len(brute) > 50
+    assert got[(208, 209)] == 0 and got[(200, 204)] == 2
+    # forced-strategy parity where the gram guarantee holds for every
+    # string (all >= q*(d+1) = 9 chars)
+    long_df = df.filter(F.length("s") >= 9)
+    dele = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(
+            long_df, "id", "s", max_dist=2, strategy="deletion"
+        ).collect()
+    }
+    gram = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(
+            long_df, "id", "s", max_dist=2, strategy="gram"
+        ).collect()
+    }
+    assert dele == gram > set()
+
+
+def test_edit_distance_pairs_d2_routing_and_validation(spark):
+    """strategy="auto" routes d=2 by key length (deletion at or under
+    DELETION_LEN_CEILING, gram above), the deletion route skips the
+    candidate salt, the gram route salts ONLY templated corpora
+    (ADVICE r08), and bad q/strategy/salt values raise up front
+    (ADVICE r08: q='4' used to flow into string arithmetic)."""
+    import pytest
+
+    from neo4j_database_spark.operators.er import (
+        DELETION_LEN_CEILING,
+        edit_distance_pairs,
+    )
+
+    def optimized_plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    short = spark.createDataFrame(
+        [(i, f"key-{i:04d}") for i in range(300)], "id long, s string"
+    )
+    plan_short = optimized_plan(
+        edit_distance_pairs(short, "id", "s", max_dist=2)
+    )
+    assert "xxhash64" in plan_short  # deletion route (hashed variants)
+    assert "_salt" not in plan_short  # deletion never salts
+
+    long_rows = [
+        (i, f"{i:06d}-" + "".join(chr(97 + (i * j) % 26) for j in range(80)))
+        for i in range(300)
+    ]
+    long_df = spark.createDataFrame(long_rows, "id long, s string")
+    assert len(long_rows[0][1]) > DELETION_LEN_CEILING
+    plan_long = optimized_plan(
+        edit_distance_pairs(long_df, "id", "s", max_dist=2)
+    )
+    assert "row_number" in plan_long  # gram route (df-ranked prefixes)
+    # diverse corpus -> the templated trigger holds salt at 1
+    assert "_salt" not in plan_long
+    # ... and an explicit salt override forces the salted join
+    plan_salted = optimized_plan(
+        edit_distance_pairs(long_df, "id", "s", max_dist=2, salt=4)
+    )
+    assert "_salt" in plan_salted
+
+    with pytest.raises(ValueError, match="q must be"):
+        edit_distance_pairs(short, "id", "s", max_dist=2, q="4")
+    with pytest.raises(ValueError, match="q must be"):
+        edit_distance_pairs(short, "id", "s", max_dist=2, q=0)
+    with pytest.raises(ValueError, match="strategy"):
+        edit_distance_pairs(short, "id", "s", max_dist=2, strategy="seg")
+    with pytest.raises(ValueError, match="salt"):
+        edit_distance_pairs(short, "id", "s", max_dist=2, salt="yes")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(
+            short, "id", "s", max_dist=3, strategy="deletion"
+        )
 
 
 def test_duplicated_spans_hand_case(spark, monkeypatch):

@@ -85,6 +85,7 @@ DRIVER_WINDOW = [
     "customer_fuzzy_matches",
     "doc_decontaminate_fuzzy",
     "g_ktruss",
+    "customer_fuzzy_matches_d2",
     # re-check batch 1 (oldest latest-green rows, schedule order)
     "idle_rich_customers",
     "promo_revenue_share",
@@ -126,7 +127,6 @@ DRIVER_WINDOW = [
     "doc_lm_coverage",
     "orders_incremental_rollup",
     "events_twap_daily",
-    "doc_top_docs_per_lang",
 ]
 
 
