@@ -198,19 +198,28 @@ def _bag_l1(sig_a: Column, sig_b: Column) -> Column:
 AUTO_Q_DF_CEILING = 64
 AUTO_Q_MAX = 8
 
-# strategy="auto" routes max_dist=2 to the deletion-neighborhood
-# generator when the longest key is at or under this ceiling, else to
-# gram prefixes. The deletion side emits 1 + L + C(L, 2) variant keys
-# per string (L=24: 301; L=64: 2,146; L=128: 8,385) while the gram
-# side emits q·d+1 (7-17), so the variant frame grows quadratically
-# with L and the crossover is length-driven. Measured r09 on DIVERSE
-# 2k-string corpora (SCALE_PROBE.md r09 routing cells, warm best-of-3,
-# deletion vs gram+bag): L=24 0.6 s vs 1.4 s, L=48 1.3 s vs 2.2 s,
-# L=64 2.2 s vs 2.7 s, L=96 5.1 s vs 3.6 s — deletion wins up to ~L=64
-# and loses from ~L=96; on TEMPLATED corpora deletion wins by >> that
-# margin at any admissible length (it is immune to the gram path's
-# candidate blowup), so the ceiling is set at the DIVERSE crossover.
-DELETION_LEN_CEILING = 64
+# strategy="auto" routes max_dist=2 by key length in two tiers. The
+# deletion side emits 1 + L + C(L, 2) variant keys per string (L=24:
+# 301; L=64: 2,146) while the gram side emits q·d+1 (7-17), so the
+# variant frame grows quadratically with L — but the two corpus
+# classes cross at different lengths (measured r09,
+# scripts/er_route_probe.py: 20k strings + 5% near-dups, deletion vs
+# gram warm best-of-3; full table in SCALE_PROBE.md r09):
+#   * DIVERSE corpora (gram blocking at its best — 1,000 true pairs,
+#     small gram buckets): L=16 2.5 vs 5.9 s, L=24 5.9 vs 6.8 s,
+#     L=32 11.1 vs 6.6 s, L=48 34.0 vs 4.5 s — deletion's last win is
+#     L=24; the plain ceiling sits there.
+#   * TEMPLATED corpora (the _templated_trigger class — 6.5M true
+#     pairs behind one shared template): deletion wins at EVERY
+#     probed length, L=16 8.8 vs 27.7 s through L=64 81.1 vs 204.8 s
+#     (2.5-3.8x), because gram candidates grow with corpus
+#     self-similarity while deletion buckets stay output-shaped. When
+#     the trigger fires the route tolerates the larger variant frame
+#     up to the templated ceiling (the margin is still 2.5x there;
+#     past it the O(L^2) variant frame eventually loses even on
+#     templated corpora) before falling back to gram + bag + salt.
+DELETION_LEN_CEILING = 24
+DELETION_TEMPLATED_LEN_CEILING = 64
 # deterministic 1-in-AUTO_Q_SAMPLE_MOD string sample for the probe;
 # estimates scale by the sampling fraction squared, which cancels in
 # the across-q comparison
@@ -279,7 +288,10 @@ def _templated_trigger(base: DataFrame) -> bool:
 
 
 def _auto_q(
-    base: DataFrame, max_dist: int, min_len: int | None
+    base: DataFrame,
+    max_dist: int,
+    min_len: int | None,
+    templated: bool | None = None,
 ) -> tuple[int, bool | None]:
     """Pick q for the Ed-Join path by MEASURED candidate volume.
 
@@ -319,8 +331,9 @@ def _auto_q(
         return 3, None
     q_cap = min(AUTO_Q_MAX, min_len // (max_dist + 1))
     if q_cap <= 3:
-        return 3, None
-    templated = _templated_trigger(base)
+        return 3, templated
+    if templated is None:
+        templated = _templated_trigger(base)
     if not templated:
         return 3, False
     sample = base.filter(
@@ -357,9 +370,13 @@ def edit_distance_pairs(
     ``strategy`` (r09, VERDICT r08 item 3) picks the d >= 2 candidate
     generator: ``"deletion"`` forces the d = 2 deletion-neighborhood
     join, ``"gram"`` forces Ed-Join prefix filtering, ``"auto"``
-    (default) routes max_dist == 2 to deletion when the longest key is
-    <= DELETION_LEN_CEILING (one narrow min/max-length aggregate; the
-    min feeds _auto_q so the gram fallback pays no extra pass) and to
+    (default) routes max_dist == 2 in two measured tiers (one narrow
+    min/max-length aggregate; the min feeds _auto_q so the gram
+    fallback pays no extra pass): deletion when the longest key is
+    <= DELETION_LEN_CEILING (the diverse-corpus crossover), deletion
+    up to DELETION_TEMPLATED_LEN_CEILING when the templated-corpus
+    trigger additionally fires (gram candidates grow with corpus
+    self-similarity there, so the larger variant frame still wins),
     gram otherwise. max_dist == 1 always uses the d = 1 deletion join.
 
     Completeness: BOTH deletion routes are exact for ALL string
@@ -462,24 +479,35 @@ def edit_distance_pairs(
         )
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
     if max_dist == 2 and strategy != "gram":
-        min_len = max_len = None
+        min_len = max_len = templated = None
         if strategy == "auto":
             row = base.agg(
                 F.min(F.length("s")).alias("lo"),
                 F.max(F.length("s")).alias("hi"),
             ).first()
             min_len, max_len = row["lo"], row["hi"]
-        if strategy == "deletion" or (
+        use_deletion = strategy == "deletion" or (
             max_len is not None and max_len <= DELETION_LEN_CEILING
+        )
+        if (
+            not use_deletion
+            and max_len is not None
+            and max_len <= DELETION_TEMPLATED_LEN_CEILING
         ):
+            # mid-length tier: deletion only when the corpus is
+            # templated (where gram candidates grow with corpus
+            # self-similarity); the trigger outcome feeds the gram
+            # fallback's _auto_q / salt gate so it never runs twice
+            templated = _templated_trigger(base)
+            use_deletion = templated
+        if use_deletion:
             return _deletion_d2_pairs(
                 base, broadcast_row_limit, size_hint_rows,
                 dedup_candidates, bag_filter,
             )
         # gram fallback below reuses the min length computed here
-        templated = None
         if q == "auto":
-            q, templated = _auto_q(base, max_dist, min_len)
+            q, templated = _auto_q(base, max_dist, min_len, templated)
     elif q == "auto":
         # output-neutral by construction (see _auto_q); the FastSS
         # path below never uses q, so probe only where it matters

