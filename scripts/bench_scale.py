@@ -124,10 +124,50 @@ def load_avgs() -> list[float]:
     return [round(x, 2) for x in os.getloadavg()]
 
 
+def _flush(
+    round_no: int, sf_dir: str, cells: dict, load_start: list, busy: bool
+) -> str:
+    """Merge the cells measured SO FAR into the round file. Called
+    after every cell (r09: a global OOM during the ktruss cell killed
+    the whole run and lost five finished er readings that only lived
+    in process memory — the artifact must survive a crashed cell)."""
+    load_end = load_avgs()
+    for c in cells.values():
+        c.setdefault("busy", busy)
+        c.setdefault(
+            "driver_mem", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+    out_path = os.path.join(REPO, f"BENCH_SCALE_r{round_no:02d}.json")
+    out = {"round": round_no, "sf_dir": sf_dir, "cells": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
+    out["cells"].update(cells)
+    out["load_avg_start"] = load_start
+    out["load_avg_end"] = load_end
+    out["busy"] = bool(out.get("busy", False) or busy)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    return out_path
+
+
 def main() -> None:
     round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     only = set(sys.argv[3:])
+    # 110g is the measured config of every r07/r08 cell — keep it for
+    # cross-round comparability. It is a global-OOM trap when a heavy
+    # cell follows heap-filling cells in the same JVM (the r09 first
+    # run: er cells grew old-gen to ~100 GB RSS, then the ktruss grid
+    # cell's Python workers pushed the box over — kernel OOM-killed
+    # java and the artifact lost five finished readings). Mitigations:
+    # _flush persists after every cell, and heavy cells (ktruss_grid,
+    # er_*_x16) should run as separate batch invocations (fresh JVM).
+    # Heap sensitivity is real and recorded per cell via driver_mem:
+    # r09 measured ktruss_grid_x16 823 s and er_deletion_d2_x16
+    # 328-387 s at 72g vs 262 s (r07) / ~170 s at 110g — the grid
+    # cells and the candidate dedup spill hard below ~100g.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "110g")
     spark = get_spark("bench-scale")
     from er_ktruss_probe import build_er_input, build_graph_input
@@ -171,6 +211,7 @@ def main() -> None:
             "rows": fastss().count(),
         }
         print(f"er_fastss_d1_x16: {cells['er_fastss_d1_x16']}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
     for mult in (1, 16):
         name = f"er_edjoin_d2_x{mult}"
@@ -201,6 +242,7 @@ def main() -> None:
             "rows": edjoin().count(),
         }
         print(f"{name}: {cells[name]}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
     for mult in (1, 16):
         name = f"er_deletion_d2_x{mult}"
@@ -223,6 +265,7 @@ def main() -> None:
             "rows": deljoin().count(),
         }
         print(f"{name}: {cells[name]}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
     if want("ktruss_grid_x16"):
         from neo4j_database_spark.graph.algorithms import ktruss_edges
@@ -248,6 +291,7 @@ def main() -> None:
             "rows": n_edges,
         }
         print(f"ktruss_grid_x16: {cells['ktruss_grid_x16']}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
     if want("minhash_lsh_x16"):
         from neo4j_database_spark.pipeline.dedup import band_keys
@@ -294,6 +338,7 @@ def main() -> None:
             "warm_s": round(min(runs[1:]), 2),
         }
         print(f"minhash_lsh_x16: {cells['minhash_lsh_x16']}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
     if want("spine_q18_x16"):
         from scale_probe import replicate
@@ -348,24 +393,11 @@ def main() -> None:
             "spine_build_s": build_s,
         }
         print(f"spine_q18_x16: {cells['spine_q18_x16']}", flush=True)
+        _flush(round_no, sf_dir, cells, load_start, busy)
 
-    # merge into an existing round file so cells can run in batches
-    load_end = load_avgs()
-    for c in cells.values():
-        c["busy"] = busy
-    out_path = os.path.join(REPO, f"BENCH_SCALE_r{round_no:02d}.json")
-    out = {"round": round_no, "sf_dir": sf_dir, "cells": {}}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            out = json.load(f)
-    out["cells"].update(cells)
-    out["load_avg_start"] = load_start
-    out["load_avg_end"] = load_end
-    out["busy"] = bool(out.get("busy", False) or busy)
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=2)
-        f.write("\n")
-    print(json.dumps(out), flush=True)
+    out_path = _flush(round_no, sf_dir, cells, load_start, busy)
+    with open(out_path) as f:
+        print(f.read().strip(), flush=True)
 
 
 if __name__ == "__main__":
