@@ -503,7 +503,7 @@ def edit_distance_pairs(
         if use_deletion:
             return _deletion_d2_pairs(
                 base, broadcast_row_limit, size_hint_rows,
-                dedup_candidates, bag_filter,
+                dedup_candidates,
             )
         # gram fallback below reuses the min length computed here
         if q == "auto":
@@ -520,9 +520,14 @@ def edit_distance_pairs(
     if max_dist == 1:
         # identity + all single-deletion variants; the CASE guards the
         # Spark sequence(1, 0) descending-not-empty trap for empty
-        # strings (same trap as the gram path below)
+        # strings (same trap as the gram path below). Repartition the
+        # narrow base BEFORE the explode (r09): variant generation
+        # otherwise runs at file-read parallelism — measured as a
+        # single-core bottleneck on 1-file inputs — and exchanging
+        # (id, s) rows costs ~L²/2 less than the variant frame the
+        # explode produces.
         cand_ids = _candidates_on(
-            base.select(
+            base.repartition(shuffle_partitions(df.sparkSession)).select(
                 "id",
                 F.length("s").alias("len"),
                 F.explode(
@@ -600,7 +605,6 @@ def _deletion_d2_pairs(
     broadcast_row_limit: int,
     size_hint_rows: int | None,
     dedup_candidates: bool | None,
-    bag_filter: bool,
 ) -> DataFrame:
     """d = 2 deletion-neighborhood candidate join (r09; VERDICT r08
     item 3 — the "generate fewer candidates" escape from the gram
@@ -613,55 +617,113 @@ def _deletion_d2_pairs(
     generator with no length boundary. Variants are hashed to 8-byte
     xxhash64 keys before the join — candidate buckets only ever GAIN
     rows from hash collisions (lost pairs are impossible), and
-    verification removes them; the shuffle then moves (key, id, len[,
-    sig]) rows instead of up-to-L-char variant strings.
+    verification removes them; the shuffle then moves (key, id, len,
+    meta) rows instead of up-to-L-char variant strings. No salt:
+    bucket sizes are near-duplicate-group-sized (a variant is shared
+    only by strings within deletion distance 2 of it), the same
+    reason the d = 1 FastSS path never salts. No bag filter either —
+    see _deletion_d2_candidates for the measured r09 rationale.
 
-    The false-candidate bound is ed <= 4 (each side 2 deletions from
-    the shared variant), so the bag filter (L1 <= 2·max_dist = 4)
-    still prunes usefully — it rides the same narrow frame as on the
-    gram path. No salt: bucket sizes are near-duplicate-group-sized
-    (a variant is shared only by strings within deletion distance 2 of
-    it), the same reason the d = 1 FastSS path never salts.
+    Candidate MULTIPLICITY is the one cost the d = 1 path doesn't
+    have: naively, a substitution pair shares ~L variants (delete the
+    mismatch plus any j) and an identical pair ~C(L, 2) — measured at
+    the x16 replica cell, the raw candidate stream was 1.99B rows for
+    278M unique pairs (~30×), and deduping it cost a 155 s / ~48 GB
+    exchange. The fix is WITNESS CANONICALIZATION: each variant
+    carries its deletion metadata (count, positions, deleted chars —
+    packed into one long, see ``_DEL1_META``/``_DEL2_META``), and for EQUAL-LENGTH
+    candidate rows the join keeps only the canonical witness arm:
 
-    Candidate multiplicity is the one cost the d = 1 path doesn't
-    have: a distance-1 pair shares ~L variants and an identical pair
-    ~C(L, 2), so the pre-verification dedup defaults ON here on BOTH
-    verify paths (``dedup_candidates=None`` → True) — unlike the gram
-    path, where dedup removes ~10% and defaults off on the broadcast
-    side.
+    * (0,0): identical strings — always kept;
+    * (1,1): kept unless same position AND equal deleted chars (that
+      pair of variants reconstructs to identical strings, found via
+      the (0,0) arm);
+    * (2,2): kept only when both positions match pairwise AND both
+      deleted chars differ — i.e. the deletions are exactly the two
+      mismatches of a Hamming-2 pair. A Hamming-1 pair's L−1
+      redundant {p, j} witnesses all have EQUAL chars at j and die
+      here; its canonical witness is the (1,1) arm at p.
+
+    Completeness for equal-length ed <= 2 is an exhaustive case
+    split: ed=0 → (0,0); one substitution → (1,1) at the mismatch
+    (chars differ there, so the filter keeps it); two substitutions →
+    (2,2) with D = the mismatch set (chars differ at both); one
+    insert + one delete (a shift; the only remaining length-
+    preserving ed=2 script) → a (1,1) witness deleting the shifted
+    char from each side — if its positions coincide AND chars were
+    equal, the two strings would be identical, contradiction, so the
+    filter keeps it. Mixed arms ((1,0), (2,1), …) cannot match
+    equal-length rows at all (variant lengths differ). UNEQUAL-length
+    pairs keep every arm, exactly the pre-r09 behavior; pairs longer
+    than _META_MAX_LEN (position field width) also keep every arm.
+    Measured effect (SCALE_PROBE.md): multiplicity ~30× → ~1-2×.
+
+    With multiplicity ~1 the pre-verification dedup no longer pays
+    for itself (the trailing output ``distinct`` already
+    canonicalizes), so ``dedup_candidates=None`` → False here; pass
+    True explicitly for duplicate-heavy corpora (where the (0,0)/
+    shift-coincidence arms still fan out) — or exact-dedup first,
+    which is strictly better.
     """
+    cand_ids = _deletion_d2_candidates(base)
+    if dedup_candidates is None:
+        dedup_candidates = False
+    return _verify(
+        base, cand_ids, 2, broadcast_row_limit,
+        size_hint_rows, dedup_candidates,
+        dedup_parts_mult=DELETION_PARTS_MULT,
+    )
+
+
+def _deletion_d2_candidates(base: DataFrame) -> DataFrame:
+    """The d=2 deletion route's candidate pair stream (pre-dedup,
+    pre-verification) — split out so tests can pin the canonical-
+    witness multiplicity bound directly.
+
+    Unlike the gram route, NO bag filter rides this join (r09,
+    measured): computing the 16-class signature per variant row cost
+    ~13 µs/row-core — 5× the entire hash/join pipeline — while
+    pruning zero candidates once witnesses are canonical (a true
+    variant match already bounds ed ≤ n_a + n_b ≤ 4, and the exact
+    banded levenshtein culls the ed-3/4 tail for ~2 µs a pair). The
+    leading round-robin repartition runs the L²/2-fold variant
+    explode at cluster width instead of file-read parallelism (a
+    1-file corpus otherwise generates on ONE core), for the price of
+    exchanging the narrow pre-explode (id, s) rows."""
+    base = base.repartition(shuffle_partitions(base.sparkSession))
     variants = F.concat(
-        F.array(F.col("s")),
+        F.array(
+            F.struct(
+                F.col("s").alias("v"), F.lit(0).cast("long").alias("m")
+            )
+        ),
         F.expr(
             "CASE WHEN length(s) = 0 THEN array() ELSE"
             " transform(sequence(1, length(s)),"
-            " i -> concat(left(s, i-1), substr(s, i+1)))"
+            " i -> struct(concat(left(s, i-1), substr(s, i+1)) AS v,"
+            f" {_DEL1_META} AS m))"
             " END"
         ),
         F.expr(
             "CASE WHEN length(s) < 2 THEN array() ELSE"
             " flatten(transform(sequence(1, length(s) - 1),"
             " i -> transform(sequence(i + 1, length(s)),"
-            " j -> concat(left(s, i-1), substring(s, i+1, j-i-1),"
-            " substr(s, j+1)))))"
+            " j -> struct(concat(left(s, i-1), substring(s, i+1, j-i-1),"
+            f" substr(s, j+1)) AS v, {_DEL2_META} AS m))))"
             " END"
         ),
     )
-    narrow = ["id", F.length("s").alias("len")]
-    if bag_filter:
-        narrow.append(_bag_signature(F.col("s")).alias("sig"))
-    keyed = base.select(*narrow, F.explode(variants).alias("v")).select(
-        F.xxhash64("v").alias("k"),
+    keyed = base.select(
+        "id", F.length("s").alias("len"), F.explode(variants).alias("x")
+    ).select(
+        F.xxhash64(F.col("x.v")).alias("k"),
         "id",
         "len",
-        *(["sig"] if bag_filter else []),
+        F.col("x.m").alias("meta"),
     )
-    cand_ids = _candidates_on(keyed, 2, bag=bag_filter, salt=1)
-    if dedup_candidates is None:
-        dedup_candidates = True
-    return _verify(
-        base, cand_ids, 2, broadcast_row_limit,
-        size_hint_rows, dedup_candidates,
+    return _candidates_on(
+        keyed, 2, bag=False, salt=1, parts_mult=DELETION_PARTS_MULT,
+        canonical_witness=True,
     )
 
 
@@ -682,10 +744,61 @@ CANDIDATE_SALT = 16
 # after salting, because the expensive per-pair work (bag filter +
 # levenshtein on the broadcast path) pipelines INSIDE this stage
 CANDIDATE_PARTS_MULT = 8
+# partition-count multiplier for the d=2 deletion route's candidate
+# join AND its pre-verification dedup (see _deletion_d2_pairs): the
+# r09 heap-sensitivity finding showed both stages' per-task working
+# sets (SMJ sorts of the ~L²/2-per-string variant frame; dedup hash
+# tables over the multiplicity-inflated candidate stream) spill below
+# ~100g at the default 32-partition width on the x16 replica cell —
+# finer tasks shrink the concurrent working set instead of demanding
+# a bigger heap. Value measured by scripts/er_deletion_width_probe.py.
+DELETION_PARTS_MULT = 8
+
+# Witness-canonicalization metadata packing for the d=2 deletion route
+# (see _deletion_d2_pairs): one BIGINT per variant, LSB→MSB layout
+#   c2  bits 0-20   codepoint of the 2nd deleted char (0 if none)
+#   c1  bits 21-41  codepoint of the 1st deleted char (0 if none)
+#   d2  bits 42-49  1-based position of the 2nd deletion (0 if none)
+#   d1  bits 50-57  1-based position of the 1st deletion (0 if none)
+#   n   bits 58-59  number of deletions (0, 1, 2)
+# Positions fit 8 bits, so the canonical-witness filter only engages
+# for strings up to _META_MAX_LEN — longer equal-length pairs keep
+# every arm (the pre-canonicalization behavior, still exact). The
+# auto router caps the deletion route at 64 chars anyway; the gate
+# only matters for explicit strategy="deletion" calls.
+_META_MAX_LEN = 255
+_DEL1_META = (
+    "(shiftleft(CAST(1 AS BIGINT), 58)"
+    " + shiftleft(CAST(least(i, 255) AS BIGINT), 50)"
+    " + shiftleft(CAST(ascii(substr(s, i, 1)) AS BIGINT), 21))"
+)
+_DEL2_META = (
+    "(shiftleft(CAST(2 AS BIGINT), 58)"
+    " + shiftleft(CAST(least(i, 255) AS BIGINT), 50)"
+    " + shiftleft(CAST(least(j, 255) AS BIGINT), 42)"
+    " + shiftleft(CAST(ascii(substr(s, i, 1)) AS BIGINT), 21)"
+    " + CAST(ascii(substr(s, j, 1)) AS BIGINT))"
+)
+
+
+def _meta_fields(meta: Column) -> tuple[Column, ...]:
+    """Unpack (n_del, d1, d2, c1, c2) from a packed witness-meta long."""
+    return (
+        F.shiftright(meta, 58).bitwiseAND(F.lit(3)),
+        F.shiftright(meta, 50).bitwiseAND(F.lit(255)),
+        F.shiftright(meta, 42).bitwiseAND(F.lit(255)),
+        F.shiftright(meta, 21).bitwiseAND(F.lit(0x1FFFFF)),
+        meta.bitwiseAND(F.lit(0x1FFFFF)),
+    )
 
 
 def _candidates_on(
-    keyed: DataFrame, max_dist: int, bag: bool = False, salt: int = 1
+    keyed: DataFrame,
+    max_dist: int,
+    bag: bool = False,
+    salt: int = 1,
+    parts_mult: int | None = None,
+    canonical_witness: bool = False,
 ) -> DataFrame:
     """Ordered candidate id pairs from an equi-join on a blocking key
     ``k``: (id, len, k[, sig]) → (id_a < id_b) with the length filter —
@@ -708,14 +821,17 @@ def _candidates_on(
     # fan-out is the quadratic per-key pair expansion, invisible to
     # input-size estimates) on 1-2 tasks — the same defect class as
     # the verify stage, see _verify. User-specified counts are exempt.
-    n_parts = shuffle_partitions(keyed.sparkSession) * (
-        CANDIDATE_PARTS_MULT if salt > 1 else 1
-    )
+    if parts_mult is None:
+        parts_mult = CANDIDATE_PARTS_MULT if salt > 1 else 1
+    n_parts = shuffle_partitions(keyed.sparkSession) * parts_mult
     cols_a = [F.col("id").alias("id_a"), F.col("len").alias("len_a")]
     cols_b = [F.col("id").alias("id_b"), F.col("len").alias("len_b")]
     if bag:
         cols_a.append(F.col("sig").alias("sig_a"))
         cols_b.append(F.col("sig").alias("sig_b"))
+    if canonical_witness:
+        cols_a.append(F.col("meta").alias("meta_a"))
+        cols_b.append(F.col("meta").alias("meta_b"))
     a = keyed.select("k", *cols_a)
     b = keyed.select("k", *cols_b)
     if salt > 1:
@@ -731,14 +847,50 @@ def _candidates_on(
         keys = ["k"]
     a = a.repartition(n_parts, *keys)
     b = b.repartition(n_parts, *keys)
+    # Force a SHUFFLED hash join (r09): Catalyst's size estimate for
+    # an exploded variant/gram frame is the PRE-explode size, so the
+    # planner broadcast the entire frame — measured as a ~68 s
+    # scale-independent floor on the deletion cells (driver-side
+    # single-threaded build of a multi-million-entry hash map) and a
+    # driver OOM waiting to happen at real scale. The hint keeps the
+    # user-pinned n_parts exchange and builds a per-task table of
+    # rows/n_parts entries, which parts_mult already bounds.
     cand = (
-        a.join(b, keys)
+        a.hint("shuffle_hash")
+        .join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
     )
     if bag:
         cand = cand.filter(
             _bag_l1(F.col("sig_a"), F.col("sig_b")) <= 2 * max_dist
+        )
+    if canonical_witness:
+        # equal-length arms keep only the canonical witness (see
+        # _deletion_d2_pairs for the completeness case split);
+        # unequal-length or >_META_MAX_LEN rows keep every arm
+        n_a, d1_a, d2_a, c1_a, c2_a = _meta_fields(F.col("meta_a"))
+        n_b, d1_b, d2_b, c1_b, c2_b = _meta_fields(F.col("meta_b"))
+        canonical = (
+            ((n_a == 0) & (n_b == 0))
+            | (
+                (n_a == 1)
+                & (n_b == 1)
+                & ~((d1_a == d1_b) & (c1_a == c1_b))
+            )
+            | (
+                (n_a == 2)
+                & (n_b == 2)
+                & (d1_a == d1_b)
+                & (d2_a == d2_b)
+                & (c1_a != c1_b)
+                & (c2_a != c2_b)
+            )
+        )
+        cand = cand.filter(
+            (F.col("len_a") != F.col("len_b"))
+            | (F.col("len_a") > _META_MAX_LEN)
+            | canonical
         )
     return cand.select("id_a", "id_b")
 
@@ -763,6 +915,7 @@ def _verify(
     broadcast_row_limit: int,
     size_hint_rows: int | None = None,
     dedup_candidates: bool | None = None,
+    dedup_parts_mult: int = 1,
 ) -> DataFrame:
     """Re-attach strings and run the exact verification.
 
@@ -798,8 +951,11 @@ def _verify(
         # collapse r07 fixed. The user-specified repartition is exempt
         # from coalescing, and the aggregate reuses its partitioning
         # (same keys), so this pins width without adding an exchange
-        # the distinct wouldn't have had.
-        n_parts = shuffle_partitions(cand_ids.sparkSession)
+        # the distinct wouldn't have had. ``dedup_parts_mult`` > 1
+        # (deletion route) widens the dedup so its per-task hash
+        # tables fit in memory on multiplicity-inflated candidate
+        # streams (r09 heap-sensitivity finding).
+        n_parts = shuffle_partitions(cand_ids.sparkSession) * dedup_parts_mult
         cand_ids = cand_ids.repartition(
             n_parts, "id_a", "id_b"
         ).dropDuplicates(["id_a", "id_b"])

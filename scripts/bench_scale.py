@@ -281,13 +281,21 @@ def main() -> None:
             .distinct()
             .withColumn("id", F.lit(0))
         )
-        g = GraphModel(
-            persons=persons, houses=houses, edges=friend_edges(persons)
-        )
-        t0 = time.perf_counter()
-        n_edges = ktruss_edges(g, strategy="grid").count()
+        # cold + warm (r09: r07's 262 s reading was WARM via
+        # er_ktruss_probe.py's 3-run protocol while r08's 438-593 s
+        # were cold-only — the two are not comparable; record both so
+        # the busy-box-vs-regression question never recurs)
+        runs = []
+        for _ in range(2):
+            g = GraphModel(
+                persons=persons, houses=houses, edges=friend_edges(persons)
+            )
+            t0 = time.perf_counter()
+            n_edges = ktruss_edges(g, strategy="grid").count()
+            runs.append(round(time.perf_counter() - t0, 2))
         cells["ktruss_grid_x16"] = {
-            "cold_s": round(time.perf_counter() - t0, 2),
+            "cold_s": runs[0],
+            "warm_s": runs[1],
             "rows": n_edges,
         }
         print(f"ktruss_grid_x16: {cells['ktruss_grid_x16']}", flush=True)

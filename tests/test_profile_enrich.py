@@ -446,6 +446,94 @@ def test_edit_distance_pairs_d2_deletion_complete(spark):
     assert dele == gram > set()
 
 
+def test_edit_distance_pairs_d2_canonical_witness(spark):
+    """The r09 witness-canonicalization filter (equal-length arms keep
+    only the canonical (0,0)/(1,1)/(2,2) witness — see
+    _deletion_d2_pairs) stays COMPLETE on every equal-length ed<=2
+    script type it reasons about: Hamming-1/2 (incl. repeated chars
+    at the mismatch), insert+delete shifts (incl. equal shifted
+    chars), transpositions, exact duplicates, runs, astral-plane
+    unicode — plus the >_META_MAX_LEN disengage gate — and actually
+    delivers the multiplicity cut (pre-dedup candidate rows ~= unique
+    pairs on a substitution corpus, not the ~30x raw stream)."""
+    from neo4j_database_spark.operators import er
+    from pyspark.sql import functions as F
+
+    rows = [
+        # shifts: delete front + insert back (equal length, ed=2)
+        (1, "abcdefgh"), (2, "bcdefgha"),
+        # shift where the moved chars are EQUAL (filter must keep the
+        # unequal-position (1,1) witness)
+        (3, "xabcx"), (4, "abcxx"),
+        # transposition (= 2 subs for levenshtein)
+        (5, "harry-potter"), (6, "harry-pottre"),
+        # Hamming-2 with the same char written at both mismatches
+        (7, "aaabaaab"), (8, "aaacaaac"),
+        # Hamming-1 inside a run (many equivalent deletion witnesses)
+        (9, "zzzzzzzz"), (10, "zzzyzzzz"),
+        # exact duplicates (the (0,0) arm)
+        (11, "same-same"), (12, "same-same"),
+        # astral-plane unicode substitution (codepoint > 0xFFFF)
+        (13, "ab\U0001D11Ecd"), (14, "ab\U0001D122cd"),
+        # anagram pair (ed=4: must NOT appear; bag filter can't prune)
+        (15, "aaabbb"), (16, "bbbaaa"),
+        # unequal lengths still route through the unrestricted arms
+        (17, "pqrstuv"), (18, "pqstuv"), (19, "pqrstuvwx"),
+    ]
+    # dense substitution corpus: 0-2 digit substitutions apart
+    rows += [(100 + i, f"key-{i % 7}{(i * 3) % 5}{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in er.edit_distance_pairs(
+            df, "id", "s", max_dist=2, strategy="deletion"
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b): r.d
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 2 and got[(3, 4)] == 2 and got[(5, 6)] == 2
+    assert got[(7, 8)] == 2 and got[(9, 10)] == 1 and got[(11, 12)] == 0
+    assert got[(13, 14)] == 1 and (15, 16) not in got
+    assert got[(17, 18)] == 1 and got[(17, 19)] == 2
+
+    # >_META_MAX_LEN equal-length pairs disengage the filter (old
+    # unrestricted-arm behavior) and stay exact
+    pad = "p" * (er._META_MAX_LEN + 10)
+    big = spark.createDataFrame(
+        [(1, pad + "abc"), (2, pad + "axc"), (3, pad + "ayz")],
+        "id long, s string",
+    )
+    big_got = {
+        (r.id_a, r.id_b): r.dist
+        for r in er.edit_distance_pairs(
+            big, "id", "s", max_dist=2, strategy="deletion"
+        ).collect()
+    }
+    assert big_got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
+
+    # multiplicity pin: on the substitution corpus the canonicalized
+    # candidate stream is output-shaped (< 3 rows per unique pair),
+    # the property the 16x replica cell's dedup-free plan relies on
+    sub = df.filter(F.col("id") >= 100)
+    base = sub.select(F.col("id"), F.col("s"))
+    uniq = er.edit_distance_pairs(
+        sub, "id", "s", max_dist=2, strategy="deletion"
+    ).count()
+    raw = er._deletion_d2_candidates(base).count()
+    assert raw <= 3 * max(uniq, 1)
+
+
 def test_edit_distance_pairs_d2_routing_and_validation(spark):
     """strategy="auto" routes d=2 by key length (deletion at or under
     DELETION_LEN_CEILING, gram above), the deletion route skips the
