@@ -175,6 +175,12 @@ def connected_components(
         # the post-aggregate merge are exchange-free.
         labels = _copartition(labels, "id")
     edges = g.sym_edges(types).select("src", "dst")
+    # NOTE (r09, measured): unlike pagerank's edges_deg, the static
+    # edge frame here is NOT width-pinned in small mode. CC converges
+    # in ~3 supersteps on clique-shaped graphs, so the one-time
+    # edge-frame exchange a width pin costs never amortizes (A/B via
+    # pagerank_ab_probe: pinned 4.24 s min vs unpinned 3.48 s min at
+    # sf0.1) — pagerank's 10 fixed supersteps are what pay it back.
     edges = (
         edges.localCheckpoint() if small else _copartition(edges, "src")
     )
@@ -183,26 +189,30 @@ def connected_components(
         label_side = (
             F.broadcast(labels) if small else labels.hint("shuffle_hash")
         )  # sort-free superstep join (see pagerank)
-        nbr_min = (
-            edges.join(label_side, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        # ONE aggregate per superstep (r09 optimization round): the
+        # neighbor-min and the merge with the node's own label fuse
+        # into a single min over (self-label ∪ neighbor-label) rows —
+        # the node's previous comp rides the union as a second column
+        # (null on contribution rows, so max() recovers the unique
+        # self value) and `changed` falls out of the same aggregate.
+        # Replaces the old agg + left-join: per superstep that's one
+        # broadcast build instead of two (small mode) / two node-sized
+        # exchanges instead of three (large mode), with the map-side
+        # partial aggregation keeping the union exchange node-sized.
+        contrib = edges.join(label_side, edges.src == labels.id).select(
+            F.col("dst").alias("id"),
+            F.col("comp").alias("cand"),
+            F.lit(None).cast(dict(labels.dtypes)["comp"]).alias("own"),
         )
-        # nbr_min is node-sized; broadcasting it in small mode spares
-        # labels a shuffle every superstep (same trick as pagerank)
-        nbr_min = (
-            F.broadcast(nbr_min) if small else nbr_min.hint("shuffle_hash")
+        selfr = labels.select(
+            "id", F.col("comp").alias("cand"), F.col("comp").alias("own")
         )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            selfr.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("cand").alias("comp"), F.max("own").alias("own"))
             .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
-                    "changed"
-                ),
+                "id", "comp", (F.col("comp") < F.col("own")).alias("changed")
             )
         ).localCheckpoint()  # truncate lineage every superstep
         changed = new_labels.filter(F.col("changed")).count()
@@ -273,14 +283,42 @@ def pagerank(
         nodes = _copartition(nodes, "id")
     edges = g.sym_edges(types).select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(out_deg, "src")
+    # Materialize the node-sized degree frame ONCE (r09 optimization
+    # round, guide §1.2 "don't compute things you throw away"): the
+    # edges_deg join, the dangling count and the active frame each
+    # re-ran the edge scan + degree aggregate — the phase probe
+    # (scripts/pagerank_phase_probe.py) measured those three
+    # re-executions as ~2/3 of the pre-loop jobs. Checkpointing out_deg
+    # makes the later count() a materialized-RDD count and the active
+    # frame a zero-job projection; in small mode the edges_deg join
+    # becomes a broadcast (no degree-side exchange or SMJ sort), in
+    # large mode the checkpoint pins HashPartitioning(src) so the join
+    # and the aliased active/isolated frames reuse it exchange-free.
+    out_deg = (
+        out_deg.localCheckpoint() if small else _copartition(out_deg, "src")
+    )
+    deg_side = F.broadcast(out_deg) if small else out_deg
+    edges_deg = edges.join(deg_side, "src")
     # Small graphs: broadcast ranks each superstep (zero per-iteration
     # shuffle of anything node-sized; the edge table never moves). Large
     # graphs: broadcasting an O(nodes) frame per superstep OOMs — hash
     # partition the static edge table on the join key once and let each
     # superstep shuffle only the ranks frame into that partitioning.
+    #
+    # Small mode still hash-repartitions the checkpointed frame ONCE:
+    # with the degree join now a broadcast, the naive checkpoint would
+    # inherit the SCAN partitioning (file-split count — 8 splits at
+    # sf0.1), and every superstep's join+aggregate then runs at that
+    # width for the whole loop. Measured (pagerank_ab_probe, first r09
+    # attempt): dropping this exchange made the 10-superstep loop
+    # 2.6× SLOWER — the r08 shuffle join was implicitly buying
+    # cluster-width layout for all supersteps. One sort-free exchange
+    # of the edge frame (vs r08's SMJ sort + second degree aggregate)
+    # is the cheapest way to keep it.
     edges_deg = (
-        edges_deg.localCheckpoint()
+        edges_deg.repartition(
+            shuffle_partitions(edges.sparkSession), "src"
+        ).localCheckpoint()
         if small
         else _copartition(edges_deg, "src")
     )
@@ -296,12 +334,14 @@ def pagerank(
     # and isolated nodes join back once at the end with the closed-form
     # scalar rank. Halves the joins per superstep vs the naive
     # refresh-against-all-nodes formulation.
-    n_dang = n - out_deg.count()
+    n_dang = n - out_deg.count()  # materialized count — no recompute
     dangling_mass = n_dang / n  # each node starts at rank 1/n
+    # Zero-job projection of the checkpointed degree frame: small mode
+    # is already materialized; large mode keeps HashPartitioning(src)
+    # through the alias (projection partitioning is alias-aware), so
+    # the final isolated anti-join on id stays exchange-free without
+    # the third checkpoint the pre-r09 code paid here.
     active = out_deg.select(F.col("src").alias("id"))
-    active = (
-        active.localCheckpoint() if small else _copartition(active, "id")
-    )
     ranks = active.select("id", F.lit(1.0 / n).alias("rank"))
     iso_rank = 1.0 / n  # rank every isolated node carries right now
     prev_checkpoint = None  # last checkpointed ranks, for tol early exit
