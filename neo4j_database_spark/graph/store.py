@@ -47,6 +47,57 @@ def _store_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, f"{key}__v{STORE_VERSION}")
 
 
+# Target parquet bytes per edge file at scale (guide §6: 128 MB - 1 GB
+# output files) and the estimated serialized row width used to convert
+# the rule-join row estimate into bytes. Only consulted on the LARGE
+# path below — small inputs keep n_files = cluster width.
+_EDGE_FILE_TARGET_BYTES = 256 * 1024 * 1024
+_EDGE_ROW_BYTES = 24
+
+# Persons-frame plan-size gate for the large path: below this the edge
+# set cannot approach file-count territory and the estimate job is
+# skipped entirely (zero extra jobs at bench scale).
+_SMALL_PERSONS_BYTES = 1 << 30
+
+
+def _edge_file_count(spark: SparkSession, persons) -> int:
+    """Edge-write file count: cluster width, PLUS a data-driven floor at
+    scale (r09 optimization round, guide §6).
+
+    ``n_files = shuffle_partitions`` alone is a constant tuned to the
+    cluster: at 100 TB each of the (quadratic) FRIEND_OF rule-join's
+    files would grow unboundedly with data volume — the inverse of the
+    small-files problem. The large path estimates the rule-join output
+    from per-house member counts (friend edges = Σ C(s_h, 2); the other
+    three rule families are ≤ ~2·|persons| combined) and floors the file
+    count so files stay near _EDGE_FILE_TARGET_BYTES.
+
+    The estimate costs one tiny aggregate over the (already cached)
+    persons frame, so it is gated on the persons plan-size estimate —
+    metadata only, no job — and bench-scale builds skip it: local
+    behavior (n_files = 32) is byte-identical to r08.
+    """
+    width = shuffle_partitions(spark)
+    est_bytes = int(
+        persons._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est_bytes < _SMALL_PERSONS_BYTES:
+        return width
+    sizes = (
+        persons.filter(persons.house.isNotNull())
+        .groupBy("house")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in sizes)
+    friend_rows = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    est_rows = friend_rows + 2 * n  # family/enemy/romance upper bound
+    by_size = (est_rows * _EDGE_ROW_BYTES + _EDGE_FILE_TARGET_BYTES - 1) // (
+        _EDGE_FILE_TARGET_BYTES
+    )
+    return max(width, by_size)
+
+
 def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """One-shot ETL: derive the graph and persist it (SURVEY.md §3.2).
 
@@ -63,7 +114,7 @@ def build_store(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     houses_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "houses")
     )
-    n_files = shuffle_partitions(spark)
+    n_files = _edge_file_count(spark, persons)
     (
         build_edges(persons)
         # Hash-partition on src (NOT repartitionByRange: its sampling pass

@@ -503,7 +503,7 @@ def edit_distance_pairs(
         if use_deletion:
             return _deletion_d2_pairs(
                 base, broadcast_row_limit, size_hint_rows,
-                dedup_candidates,
+                dedup_candidates, max_len=max_len,
             )
         # gram fallback below reuses the min length computed here
         if q == "auto":
@@ -605,6 +605,7 @@ def _deletion_d2_pairs(
     broadcast_row_limit: int,
     size_hint_rows: int | None,
     dedup_candidates: bool | None,
+    max_len: int | None = None,
 ) -> DataFrame:
     """d = 2 deletion-neighborhood candidate join (r09; VERDICT r08
     item 3 — the "generate fewer candidates" escape from the gram
@@ -665,17 +666,61 @@ def _deletion_d2_pairs(
     shift-coincidence arms still fan out) — or exact-dedup first,
     which is strictly better.
     """
-    cand_ids = _deletion_d2_candidates(base)
+    parts_mult = _deletion_parts_mult(base, size_hint_rows, max_len)
+    cand_ids = _deletion_d2_candidates(base, parts_mult=parts_mult)
     if dedup_candidates is None:
         dedup_candidates = False
     return _verify(
         base, cand_ids, 2, broadcast_row_limit,
         size_hint_rows, dedup_candidates,
-        dedup_parts_mult=DELETION_PARTS_MULT,
+        dedup_parts_mult=parts_mult,
     )
 
 
-def _deletion_d2_candidates(base: DataFrame) -> DataFrame:
+# Variant rows one deletion-route task should own: measured on the x16
+# templated replica cell (er_deletion_width_probe — ~408M variant rows
+# spilled below a 100g heap at the default 32-partition width; the
+# chosen 256 tasks put ~1.6M variant rows in each task's SHJ build /
+# dedup working set). Used to derive the partition multiplier from the
+# INPUT instead of pinning the cell-tuned constant (r09 optimization
+# round, guide §2: scale-adaptive partitioning, not a constant tuned
+# for either local mode or the cluster) — at bench scale (15K customer
+# names → ~2.6M variants) the derived multiplier is 1, so the
+# candidate join stops paying 256 task launches for 10K-row tasks.
+_DELETION_TASK_VARIANT_ROWS = 1_500_000
+# conservative serialized width of a (id, short-string) base row, for
+# converting the metadata-only plan-size estimate into a row count
+_DELETION_BASE_ROW_BYTES = 32
+
+
+def _deletion_parts_mult(
+    base: DataFrame, size_hint_rows: int | None, max_len: int | None
+) -> int:
+    """Partition-count multiplier for the d=2 deletion candidate join,
+    derived from the estimated VARIANT volume (rows × (1 + L + C(L,2)))
+    against the measured per-task budget. Falls back to the
+    cell-measured DELETION_PARTS_MULT ceiling when the row count or
+    length bound is unknown (explicit strategy="deletion" callers) —
+    over-parallelizing is the safe direction (the r09 heap finding),
+    under-parallelizing re-creates it."""
+    if max_len is None or max_len <= 0:
+        return DELETION_PARTS_MULT
+    if size_hint_rows is not None:
+        est_rows = size_hint_rows
+    else:
+        est_bytes = _plan_size_bytes(base.select("id", "s"))
+        if est_bytes <= 0:
+            return DELETION_PARTS_MULT
+        est_rows = est_bytes // _DELETION_BASE_ROW_BYTES
+    variants = est_rows * (1 + max_len + max_len * (max_len - 1) // 2)
+    width = shuffle_partitions(base.sparkSession)
+    mult = -(-variants // (_DELETION_TASK_VARIANT_ROWS * width))
+    return int(min(max(mult, 1), DELETION_PARTS_MULT))
+
+
+def _deletion_d2_candidates(
+    base: DataFrame, parts_mult: int | None = None
+) -> DataFrame:
     """The d=2 deletion route's candidate pair stream (pre-dedup,
     pre-verification) — split out so tests can pin the canonical-
     witness multiplicity bound directly.
@@ -689,7 +734,12 @@ def _deletion_d2_candidates(base: DataFrame) -> DataFrame:
     leading round-robin repartition runs the L²/2-fold variant
     explode at cluster width instead of file-read parallelism (a
     1-file corpus otherwise generates on ONE core), for the price of
-    exchanging the narrow pre-explode (id, s) rows."""
+    exchanging the narrow pre-explode (id, s) rows. ``parts_mult``
+    defaults to the cell-measured DELETION_PARTS_MULT ceiling; the
+    production path passes the input-derived value from
+    _deletion_parts_mult instead."""
+    if parts_mult is None:
+        parts_mult = DELETION_PARTS_MULT
     base = base.repartition(shuffle_partitions(base.sparkSession))
     variants = F.concat(
         F.array(
@@ -722,7 +772,7 @@ def _deletion_d2_candidates(base: DataFrame) -> DataFrame:
         F.col("x.m").alias("meta"),
     )
     return _candidates_on(
-        keyed, 2, bag=False, salt=1, parts_mult=DELETION_PARTS_MULT,
+        keyed, 2, bag=False, salt=1, parts_mult=parts_mult,
         canonical_witness=True,
     )
 
