@@ -832,11 +832,23 @@ def personalized_pagerank(
         nodes = _copartition(nodes, "id")  # see pagerank
     edges = g.sym_edges(types).select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize the degree frame once (r09; same finding as pagerank:
+    # the seed-isolation probe and the edges_deg join each re-ran the
+    # edge scan + aggregate), make the degree join a broadcast in small
+    # mode, and keep the edge frame at cluster width for the
+    # 10-superstep loop (the width pin pagerank measured 2.6× — see
+    # pagerank's edges_deg comment).
+    out_deg = (
+        out_deg.localCheckpoint() if small else _copartition(out_deg, "src")
+    )
     if out_deg.filter(F.col("src") == seed_id).count() == 0:
         raise ValueError(f"seed {seed_name!r} is isolated — PPR is e_seed")
-    edges_deg = edges.join(out_deg, "src")
+    deg_side = F.broadcast(out_deg) if small else out_deg
+    edges_deg = edges.join(deg_side, "src")
     edges_deg = (
-        edges_deg.localCheckpoint()
+        edges_deg.repartition(
+            shuffle_partitions(edges.sparkSession), "src"
+        ).localCheckpoint()
         if small
         else _copartition(edges_deg, "src")
     )

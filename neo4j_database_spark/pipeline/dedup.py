@@ -222,6 +222,19 @@ def minhash_signatures(
             for d in range(n_digests)
         ]
         proj = sh.select("doc_id", *digest_cols)
+        # NOTE (r09, measured negative result): min(string) buffers are
+        # not hash-aggregable, so this plans as Sort+SortAggregate — a
+        # sort of the shingle frame. Rewriting the windows as
+        # conv(hex, 16, 10) longs (min commutes with the fixed-width
+        # hex↔long bijection, pairs byte-identical) DID produce a
+        # sort-free HashAggregate but measured ~0.35 s SLOWER at sf0.1
+        # in a 4-variant single-session A/B (conv's per-shingle parse
+        # outweighs the avoided sort at this corpus size), so it was
+        # reverted. At 100 TB the sort, not conv, dominates — but that
+        # regime already belongs to hash_fn='xxhash64' below (long
+        # mins, HashAggregate, ~5× cheaper hashing), which is the
+        # production path; this md5 form exists for oracle
+        # comparability and stays locally optimal.
         aggs = [
             F.min(
                 F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8)
@@ -292,7 +305,15 @@ def minhash_lsh_pairs(
     pathology.
     """
     docs = load_table(spark, "documents", sf_dir)
-    exploded = band_keys(docs, num_hashes, band_size, hash_fn)
+    # Materialize the band index ONCE before the self-join (r09
+    # optimization round): without the checkpoint both join sides
+    # carry the full shingle→hash→aggregate pipeline and the corpus is
+    # scanned and fingerprinted TWICE per query (two Scan parquet
+    # leaves in plans/r09/doc_minhash_lsh_before.txt — exchange reuse
+    # cannot fire across re-aliased subtrees). The band frame is the
+    # small per-doc index (n_bands rows/doc — the docstring's "stored
+    # index" form), so the checkpoint is node-sized at any scale.
+    exploded = band_keys(docs, num_hashes, band_size, hash_fn).localCheckpoint()
     a = exploded.select(
         F.col("doc_id").alias("id_a"), "band_idx", "band_key"
     )
