@@ -479,13 +479,19 @@ def edit_distance_pairs(
         )
     base = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s"))
     if max_dist == 2 and strategy != "gram":
-        min_len = max_len = templated = None
+        min_len = max_len = n_rows = templated = None
         if strategy == "auto":
+            # count() rides the same aggregate job (r09): the deletion
+            # route's partition multiplier needs the corpus row count,
+            # and the plan-size estimate is compression-skewed (3.2×
+            # under on the snappy 25-char replica corpus — it mis-sized
+            # the x16 cell's candidate join 8× down, 52→123 s warm)
             row = base.agg(
                 F.min(F.length("s")).alias("lo"),
                 F.max(F.length("s")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             ).first()
-            min_len, max_len = row["lo"], row["hi"]
+            min_len, max_len, n_rows = row["lo"], row["hi"], row["n"]
         use_deletion = strategy == "deletion" or (
             max_len is not None and max_len <= DELETION_LEN_CEILING
         )
@@ -503,7 +509,7 @@ def edit_distance_pairs(
         if use_deletion:
             return _deletion_d2_pairs(
                 base, broadcast_row_limit, size_hint_rows,
-                dedup_candidates, max_len=max_len,
+                dedup_candidates, max_len=max_len, n_rows=n_rows,
             )
         # gram fallback below reuses the min length computed here
         if q == "auto":
@@ -606,6 +612,7 @@ def _deletion_d2_pairs(
     size_hint_rows: int | None,
     dedup_candidates: bool | None,
     max_len: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """d = 2 deletion-neighborhood candidate join (r09; VERDICT r08
     item 3 — the "generate fewer candidates" escape from the gram
@@ -666,7 +673,9 @@ def _deletion_d2_pairs(
     shift-coincidence arms still fan out) — or exact-dedup first,
     which is strictly better.
     """
-    parts_mult = _deletion_parts_mult(base, size_hint_rows, max_len)
+    parts_mult = _deletion_parts_mult(
+        base, n_rows if n_rows is not None else size_hint_rows, max_len
+    )
     cand_ids = _deletion_d2_candidates(base, parts_mult=parts_mult)
     if dedup_candidates is None:
         dedup_candidates = False
@@ -677,45 +686,44 @@ def _deletion_d2_pairs(
     )
 
 
-# Variant rows one deletion-route task should own: measured on the x16
-# templated replica cell (er_deletion_width_probe — ~408M variant rows
-# spilled below a 100g heap at the default 32-partition width; the
-# chosen 256 tasks put ~1.6M variant rows in each task's SHJ build /
-# dedup working set). Used to derive the partition multiplier from the
-# INPUT instead of pinning the cell-tuned constant (r09 optimization
-# round, guide §2: scale-adaptive partitioning, not a constant tuned
-# for either local mode or the cluster) — at bench scale (15K customer
-# names → ~2.6M variants) the derived multiplier is 1, so the
-# candidate join stops paying 256 task launches for 10K-row tasks.
-_DELETION_TASK_VARIANT_ROWS = 1_500_000
-# conservative serialized width of a (id, short-string) base row, for
-# converting the metadata-only plan-size estimate into a row count
-_DELETION_BASE_ROW_BYTES = 32
+# Per-width variant-volume ceiling under which the d=2 deletion
+# candidate join runs at plain cluster width (parts_mult=1). Measured
+# three-point r09 evidence (single-session interleaved A/Bs):
+#   sf0.1 customer, L=18, 2.6M variants  → mult 1 wins (3.62 vs 4.24 s)
+#   x1 replica cell, L=25, 4.9M variants → mult 8 wins (5.05 vs 5.95 s;
+#       the suffix region inflates shared-variant hot buckets)
+#   x16 replica cell, 78M variants       → mult 8 necessary (52 vs
+#       123 s warm — under-splitting re-creates the r09 heap finding)
+# The effect is NOT smooth in volume (it is hot-bucket straggler
+# smoothing), so this is a two-regime gate, not a proportional dial:
+# at or below the ceiling → width tasks; above → the cell-measured
+# DELETION_PARTS_MULT. 100K/width-unit puts the 2.6M corpus below and
+# the 4.9M corpus above the 3.2M boundary at width 32.
+_DELETION_MULT1_VARIANT_CEILING = 100_000
 
 
 def _deletion_parts_mult(
-    base: DataFrame, size_hint_rows: int | None, max_len: int | None
+    base: DataFrame, n_rows: int | None, max_len: int | None
 ) -> int:
-    """Partition-count multiplier for the d=2 deletion candidate join,
-    derived from the estimated VARIANT volume (rows × (1 + L + C(L,2)))
-    against the measured per-task budget. Falls back to the
-    cell-measured DELETION_PARTS_MULT ceiling when the row count or
-    length bound is unknown (explicit strategy="deletion" callers) —
-    over-parallelizing is the safe direction (the r09 heap finding),
-    under-parallelizing re-creates it."""
-    if max_len is None or max_len <= 0:
+    """Partition-count multiplier for the d=2 deletion candidate join:
+    exact variant volume (rows × (1 + L + C(L,2))) against the measured
+    per-width ceiling above. ``n_rows`` must be an exact or
+    caller-supplied count — the auto route piggybacks count() on its
+    min/max-length aggregate for free. A metadata plan-size row
+    estimate was tried here and REVERTED: parquet compression skewed
+    it 3.2× low on the snappy replica corpus, silently
+    under-parallelizing the x16 cell (52 → 123 s warm). Unknown rows
+    or length (explicit strategy="deletion" callers) fall back to the
+    DELETION_PARTS_MULT ceiling — over-parallelizing is the safe
+    direction (the r09 heap finding), under-parallelizing re-creates
+    it."""
+    if max_len is None or max_len <= 0 or n_rows is None or n_rows <= 0:
         return DELETION_PARTS_MULT
-    if size_hint_rows is not None:
-        est_rows = size_hint_rows
-    else:
-        est_bytes = _plan_size_bytes(base.select("id", "s"))
-        if est_bytes <= 0:
-            return DELETION_PARTS_MULT
-        est_rows = est_bytes // _DELETION_BASE_ROW_BYTES
-    variants = est_rows * (1 + max_len + max_len * (max_len - 1) // 2)
+    variants = n_rows * (1 + max_len + max_len * (max_len - 1) // 2)
     width = shuffle_partitions(base.sparkSession)
-    mult = -(-variants // (_DELETION_TASK_VARIANT_ROWS * width))
-    return int(min(max(mult, 1), DELETION_PARTS_MULT))
+    if variants <= _DELETION_MULT1_VARIANT_CEILING * width:
+        return 1
+    return DELETION_PARTS_MULT
 
 
 def _deletion_d2_candidates(
