@@ -270,8 +270,8 @@ def pagerank(
     graphs pass e.g. tol=1e-7/n to skip the tail iterations (the
     dominant bench cost once the graph has stabilized).
     """
-    # Static structures materialize once: edges pre-joined with out-degree
-    # (so the per-iteration join touches one table), dangling ids fixed.
+    # Static structures materialize once: the narrow (src, dst) edge
+    # frame and the out-degree frame; dangling ids fixed.
     nodes = g.persons.select("id").localCheckpoint()
     n = nodes.count()
     small = n <= broadcast_node_limit
@@ -282,45 +282,41 @@ def pagerank(
         # re-shuffles the node frame from its scan layout every superstep.
         nodes = _copartition(nodes, "id")
     edges = g.sym_edges(types).select("src", "dst")
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Materialize the node-sized degree frame ONCE (r09 optimization
-    # round, guide §1.2 "don't compute things you throw away"): the
-    # edges_deg join, the dangling count and the active frame each
-    # re-ran the edge scan + degree aggregate — the phase probe
-    # (scripts/pagerank_phase_probe.py) measured those three
-    # re-executions as ~2/3 of the pre-loop jobs. Checkpointing out_deg
-    # makes the later count() a materialized-RDD count and the active
-    # frame a zero-job projection; in small mode the edges_deg join
-    # becomes a broadcast (no degree-side exchange or SMJ sort), in
-    # large mode the checkpoint pins HashPartitioning(src) so the join
-    # and the aliased active/isolated frames reuse it exchange-free.
-    out_deg = (
-        out_deg.localCheckpoint() if small else _copartition(out_deg, "src")
-    )
-    deg_side = F.broadcast(out_deg) if small else out_deg
-    edges_deg = edges.join(deg_side, "src")
-    # Small graphs: broadcast ranks each superstep (zero per-iteration
-    # shuffle of anything node-sized; the edge table never moves). Large
-    # graphs: broadcasting an O(nodes) frame per superstep OOMs — hash
-    # partition the static edge table on the join key once and let each
-    # superstep shuffle only the ranks frame into that partitioning.
+    # Materialize the NARROW edge frame once — (src, dst) only, two
+    # longs per row (r10 optimization round, guide §2.3 "shuffle fewer
+    # bytes"). The r09 shape materialized (src, dst, deg) and divided
+    # rank/deg per EDGE row; the division and its quantization depend
+    # only on src, so they belong node-side (O(nodes) work, see the
+    # contrib frame in the loop) and the loop's static frame drops a
+    # third of its bytes. Store-backed interleaved A/B at sf0.1
+    # (scripts/pagerank_variants_r10.py): 15.39 s → 7.76 s min, and
+    # the narrow frame is far more stable under memory pressure
+    # (worst run 12.6 s vs 52.9 s).
     #
     # Small mode still hash-repartitions the checkpointed frame ONCE:
-    # with the degree join now a broadcast, the naive checkpoint would
-    # inherit the SCAN partitioning (file-split count — 8 splits at
-    # sf0.1), and every superstep's join+aggregate then runs at that
-    # width for the whole loop. Measured (pagerank_ab_probe, first r09
-    # attempt): dropping this exchange made the 10-superstep loop
-    # 2.6× SLOWER — the r08 shuffle join was implicitly buying
-    # cluster-width layout for all supersteps. One sort-free exchange
-    # of the edge frame (vs r08's SMJ sort + second degree aggregate)
-    # is the cheapest way to keep it.
-    edges_deg = (
-        edges_deg.repartition(
+    # a naive checkpoint would inherit the SCAN partitioning
+    # (file-split count — 8 splits at sf0.1), and every superstep's
+    # join+aggregate then runs at that width for the whole loop.
+    # Measured (pagerank_ab_probe, first r09 attempt): dropping this
+    # exchange made the 10-superstep loop 2.6× SLOWER. One sort-free
+    # exchange of the edge frame is the cheapest way to keep
+    # cluster-width layout for all supersteps.
+    edges_n = (
+        edges.repartition(
             shuffle_partitions(edges.sparkSession), "src"
         ).localCheckpoint()
         if small
-        else _copartition(edges_deg, "src")
+        else _copartition(edges, "src")
+    )
+    # Degree from the MATERIALIZED frame (r10): the parquet store is
+    # scanned once per query — the r09 code scanned it a second time
+    # for the degree aggregate — and the src-partitioned input keeps
+    # the aggregate exchange node-sized. Checkpointing out_deg keeps
+    # the r09 wins: the dangling count is a materialized-RDD count and
+    # the active frame a zero-job projection (guide §1.2).
+    out_deg = edges_n.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        out_deg.localCheckpoint() if small else _copartition(out_deg, "src")
     )
     # Dangling (degree-0) nodes receive no inflow, so every dangling node
     # carries the SAME rank each iteration and the leaked dangling mass
@@ -347,24 +343,31 @@ def pagerank(
     prev_checkpoint = None  # last checkpointed ranks, for tol early exit
 
     for it in range(max_iter):
+        teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
+        # Per-src quantized contribution computed NODE-side (r10): the
+        # value round(rank/deg·SCALE) is constant across a node's
+        # out-edges, so the division + rounding run O(nodes) times per
+        # superstep instead of O(edges), and the edge join ships one
+        # long. Bit-identical to the per-edge formulation by
+        # construction (same double division, same round, per src).
+        contrib = ranks.join(out_deg, ranks.id == out_deg.src).select(
+            F.col("id"),
+            F.round((F.col("rank") / F.col("deg")) * CONTRIB_SCALE)
+            .cast("long")
+            .alias("c"),
+        )
         # Large mode: hint shuffle_hash on the node-sized side. Without
         # it Catalyst picks sort-merge and re-SORTS the static edge
         # table every superstep (the dominant superstep cost — sorting
-        # E rows ×10 iterations); hash-building the rank side and
+        # E rows ×10 iterations); hash-building the contrib side and
         # streaming edges is sort-free and the build fits per-partition
         # (n/P rows) at any scale.
-        rank_side = (
-            F.broadcast(ranks) if small else ranks.hint("shuffle_hash")
+        contrib_side = (
+            F.broadcast(contrib) if small else contrib.hint("shuffle_hash")
         )
-        teleport_plus_dangling = (1.0 - damping) / n + damping * dangling_mass / n
         ranks = (
-            edges_deg.join(rank_side, edges_deg.src == ranks.id)
-            .select(
-                F.col("dst").alias("id"),
-                F.round((F.col("rank") / F.col("deg")) * CONTRIB_SCALE)
-                .cast("long")
-                .alias("c"),
-            )
+            edges_n.join(contrib_side, edges_n.src == contrib["id"])
+            .select(F.col("dst").alias("id"), "c")
             .groupBy("id")
             .agg(
                 (
@@ -831,46 +834,46 @@ def personalized_pagerank(
     if not small:
         nodes = _copartition(nodes, "id")  # see pagerank
     edges = g.sym_edges(types).select("src", "dst")
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Materialize the degree frame once (r09; same finding as pagerank:
-    # the seed-isolation probe and the edges_deg join each re-ran the
-    # edge scan + aggregate), make the degree join a broadcast in small
-    # mode, and keep the edge frame at cluster width for the
-    # 10-superstep loop (the width pin pagerank measured 2.6× — see
-    # pagerank's edges_deg comment).
+    # Narrow (src, dst) edge frame materialized once, degree derived
+    # from it (r10; same rewrite as pagerank — see its edges_n/out_deg
+    # comments: one parquet scan, node-sized degree exchange, a third
+    # fewer bytes in the loop's static frame, division hoisted
+    # node-side). Width pin unchanged (10-superstep loop).
+    edges_n = (
+        edges.repartition(
+            shuffle_partitions(edges.sparkSession), "src"
+        ).localCheckpoint()
+        if small
+        else _copartition(edges, "src")
+    )
+    out_deg = edges_n.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     out_deg = (
         out_deg.localCheckpoint() if small else _copartition(out_deg, "src")
     )
     if out_deg.filter(F.col("src") == seed_id).count() == 0:
         raise ValueError(f"seed {seed_name!r} is isolated — PPR is e_seed")
-    deg_side = F.broadcast(out_deg) if small else out_deg
-    edges_deg = edges.join(deg_side, "src")
-    edges_deg = (
-        edges_deg.repartition(
-            shuffle_partitions(edges.sparkSession), "src"
-        ).localCheckpoint()
-        if small
-        else _copartition(edges_deg, "src")
-    )
     seed_term = F.when(F.col("id") == seed_id, 1.0 - damping).otherwise(0.0)
     ranks = nodes.select(
         "id", F.when(F.col("id") == seed_id, 1.0).otherwise(0.0).alias("rank")
     )
 
     for it in range(max_iter):
-        # zero ranks contribute zero inflow — drop them before the join
+        # zero ranks contribute zero inflow — drop them before the join;
+        # per-src quantized contribution computed node-side (r10, see
+        # pagerank's contrib comment — bit-identical by construction)
         live = ranks.filter(F.col("rank") != 0.0)
-        rank_side = (
-            F.broadcast(live) if small else live.hint("shuffle_hash")
+        contrib = live.join(out_deg, live.id == out_deg.src).select(
+            F.col("id"),
+            F.round((F.col("rank") / F.col("deg")) * CONTRIB_SCALE)
+            .cast("long")
+            .alias("c"),
+        )
+        contrib_side = (
+            F.broadcast(contrib) if small else contrib.hint("shuffle_hash")
         )
         contribs = (
-            edges_deg.join(rank_side, edges_deg.src == live.id)
-            .select(
-                F.col("dst").alias("id"),
-                F.round((F.col("rank") / F.col("deg")) * CONTRIB_SCALE)
-                .cast("long")
-                .alias("c"),
-            )
+            edges_n.join(contrib_side, edges_n.src == contrib["id"])
+            .select(F.col("dst").alias("id"), "c")
             .groupBy("id")
             .agg(
                 (F.sum("c").cast("double") / F.lit(CONTRIB_SCALE)).alias(
