@@ -72,6 +72,38 @@ class CypherWriteError(ValueError):
     pass
 
 
+def _commit(g: GraphModel, old: GraphModel) -> GraphModel:
+    """Materialize the frames a write statement MUTATED (r10
+    optimization round; guide §3.3 "materialising an intermediate
+    truncates the plan").
+
+    Neo4j commits per statement; the previous fully-lazy formulation
+    stacked every write's whole upsert plan (anti-joins, unions,
+    dropDuplicates) under every subsequent read, so a session with W
+    writes re-analyzed and re-executed O(W) chained upserts on each
+    query — the cypher write-path tests spent minutes re-deriving
+    150-row graphs, and at scale the plan tree grows without bound.
+    Frames the statement did not touch pass through untouched (no
+    re-materialization of a parquet scan or a prior commit)."""
+    return GraphModel(
+        persons=(
+            g.persons.localCheckpoint()
+            if g.persons is not old.persons
+            else g.persons
+        ),
+        houses=(
+            g.houses.localCheckpoint()
+            if g.houses is not old.houses
+            else g.houses
+        ),
+        edges=(
+            g.edges.localCheckpoint()
+            if g.edges is not old.edges
+            else g.edges
+        ),
+    )
+
+
 def apply_cypher_write(
     g: GraphModel, query: str, params: dict | None = None
 ) -> GraphModel:
@@ -103,10 +135,13 @@ def apply_cypher_write(
                 "only the full truncate `MATCH (n) DETACH DELETE n` is "
                 "supported; targeted deletes are not implemented"
             )
-        return GraphModel(
-            persons=g.persons.limit(0),
-            houses=g.houses.limit(0),
-            edges=g.edges.limit(0),
+        return _commit(
+            GraphModel(
+                persons=g.persons.limit(0),
+                houses=g.houses.limit(0),
+                edges=g.edges.limit(0),
+            ),
+            g,
         )
 
     # 2. uniqueness constraint → immediate assertion on the target set
@@ -173,7 +208,9 @@ def apply_cypher_write(
                     )
                     .drop("__rid")
                 )
-        return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
+        return _commit(
+            GraphModel(persons=persons, houses=g.houses, edges=g.edges), g
+        )
 
     # 2c. MATCH ... FOREACH (x IN list | SET x.prop = v ...) — batch
     # property updates over a bound list. Set-at-a-time lowering: the
@@ -251,7 +288,9 @@ def apply_cypher_write(
                     upd = F.when(hit, F.lit(value))
                 joined = joined.withColumn(field, upd)
             persons = joined.drop("__fid")
-        return GraphModel(persons=persons, houses=g.houses, edges=g.edges)
+        return _commit(
+            GraphModel(persons=persons, houses=g.houses, edges=g.edges), g
+        )
 
     creates = [c for c in clauses if isinstance(c, P.CreateClause)]
     if creates and not merges:
@@ -275,9 +314,15 @@ def apply_cypher_write(
                     f"uniqueness constraint violated: {node.label or 'Person'} "
                     f"name {nm!r} already exists"
                 )
-            return _merge_node(g, P.MergeClause(creates[0].path), sets, params)
-        return _merge_edges(
-            g, matches, [P.MergeClause(c.path) for c in creates], params
+            return _commit(
+                _merge_node(g, P.MergeClause(creates[0].path), sets, params),
+                g,
+            )
+        return _commit(
+            _merge_edges(
+                g, matches, [P.MergeClause(c.path) for c in creates], params
+            ),
+            g,
         )
 
     if not merges:
@@ -285,7 +330,7 @@ def apply_cypher_write(
 
     # 3/4. node MERGE (single-node path, no MATCH prefix)
     if not matches and len(merges) == 1 and not merges[0].path.rels:
-        return _merge_node(g, merges[0], sets, params)
+        return _commit(_merge_node(g, merges[0], sets, params), g)
 
     # 5/6. MATCH ... MERGE edges (relationships carry no properties in
     # this model, so conditional SET on an edge MERGE is meaningless)
@@ -295,7 +340,7 @@ def apply_cypher_write(
                 "ON CREATE/ON MATCH SET is only supported on node MERGE "
                 "(relationships carry no properties)"
             )
-    return _merge_edges(g, matches, merges, params)
+    return _commit(_merge_edges(g, matches, merges, params), g)
 
 
 def _collect_assigns(set_clauses, params) -> dict[str, object]:

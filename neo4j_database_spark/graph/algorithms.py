@@ -199,6 +199,12 @@ def connected_components(
         # broadcast build instead of two (small mode) / two node-sized
         # exchanges instead of three (large mode), with the map-side
         # partial aggregation keeping the union exchange node-sized.
+        # INVARIANT (ADVICE r09): every edge endpoint must appear in
+        # `labels` — an edge dst outside it would be injected with
+        # own=null and silently dropped from the changed count. Holds
+        # here because labels = ALL persons and edges come from the
+        # store's person↔person rules; guard with an inner join back
+        # to labels' ids if edges can ever leave that set.
         contrib = edges.join(label_side, edges.src == labels.id).select(
             F.col("dst").alias("id"),
             F.col("comp").alias("cand"),

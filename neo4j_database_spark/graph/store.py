@@ -54,10 +54,14 @@ def _store_dir(sf_dir: str) -> str:
 _EDGE_FILE_TARGET_BYTES = 256 * 1024 * 1024
 _EDGE_ROW_BYTES = 24
 
-# Persons-frame plan-size gate for the large path: below this the edge
-# set cannot approach file-count territory and the estimate job is
-# skipped entirely (zero extra jobs at bench scale).
-_SMALL_PERSONS_BYTES = 1 << 30
+# Persons-count gate for the large path: below this many persons the
+# floor cannot bind even in the WORST case (all persons in one house:
+# C(30K, 2) ≈ 4.5e8 friend rows × 24 B ≈ 10.8 GB ≈ 42 files — just
+# above a 32-wide cluster's width, so 30K is where the per-house
+# aggregate starts being able to matter). Below it, skip the aggregate;
+# bench-scale builds (15K persons at sf0.1) pay only the one cheap
+# count() job on the cached frame.
+_SMALL_PERSONS_ROWS = 30_000
 
 
 def _edge_file_count(spark: SparkSession, persons) -> int:
@@ -72,16 +76,18 @@ def _edge_file_count(spark: SparkSession, persons) -> int:
     three rule families are ≤ ~2·|persons| combined) and floors the file
     count so files stay near _EDGE_FILE_TARGET_BYTES.
 
-    The estimate costs one tiny aggregate over the (already cached)
-    persons frame, so it is gated on the persons plan-size estimate —
-    metadata only, no job — and bench-scale builds skip it: local
-    behavior (n_files = 32) is byte-identical to r08.
+    Gated on the EXACT persons count (r10; VERDICT r09 item 7): the r09
+    gate used the optimizer plan-size estimate via private ``_jdf``
+    internals, the same estimator class er.py measured 3.2×
+    compression-skewed-LOW the same round — an underestimate here
+    silently skips the floor at scale, the unsafe direction. persons is
+    cached by build_store, so count() is one cheap job; the per-house
+    aggregate then covers ALL persons (null-house rows count toward the
+    linear rule families — ADVICE r09).
     """
     width = shuffle_partitions(spark)
-    est_bytes = int(
-        persons._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if est_bytes < _SMALL_PERSONS_BYTES:
+    n = persons.count()
+    if n < _SMALL_PERSONS_ROWS:
         return width
     sizes = (
         persons.filter(persons.house.isNotNull())
@@ -89,7 +95,6 @@ def _edge_file_count(spark: SparkSession, persons) -> int:
         .count()
         .collect()
     )
-    n = sum(r["count"] for r in sizes)
     friend_rows = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
     est_rows = friend_rows + 2 * n  # family/enemy/romance upper bound
     by_size = (est_rows * _EDGE_ROW_BYTES + _EDGE_FILE_TARGET_BYTES - 1) // (

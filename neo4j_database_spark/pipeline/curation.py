@@ -366,7 +366,14 @@ def value_quantiles_audit(
     est = quantile_estimates(quantile_summary(vals, "value", b=b), qs)
 
     # exact value distribution with cumulative counts: rank interval of
-    # any value v is (cum_below(v), cum(v)]
+    # any value v is (cum_below(v), cum(v)].
+    # dist and targets are each referenced THREE times below (exact_q /
+    # rank_hi / rank_lo); without the localCheckpoints the full
+    # scan+window (dist) and the whole sketch pipeline (inside targets)
+    # are duplicated subtrees executed 3x in one plan — ~40 static
+    # exchanges pre-r10. Checkpointing runs each once (r10, guide §1.2;
+    # NOTE: this makes query construction eager — the audit scans the
+    # data when the DataFrame is BUILT, like minhash_lsh_pairs).
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -374,14 +381,14 @@ def value_quantiles_audit(
         vals.groupBy("value")
         .agg(F.count(F.lit(1)).alias("c"))
         .select("value", F.sum("c").over(w).alias("cum"))
-    )
+    ).localCheckpoint()
     total = dist.agg(F.max("cum").alias("n"))
     targets = est.crossJoin(F.broadcast(total)).select(
         "q",
         "est_value",
         "n",
         F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
-    )
+    ).localCheckpoint()
     # exact_q: smallest value whose cumulative count reaches the target
     exact_q = (
         F.broadcast(targets.select("q", "target", "n"))
@@ -445,6 +452,9 @@ def doc_len_quantiles_audit(
         grouped_quantile_summary(docs, ["lang"], "len", b=b), ["lang"], qs
     )
 
+    # dist / targets are each referenced three times below — same
+    # duplicated-subtree fix as value_quantiles_audit (r10, guide §1.2;
+    # construction is eager from here on).
     w = (
         Window.partitionBy("lang")
         .orderBy("value")
@@ -454,14 +464,14 @@ def doc_len_quantiles_audit(
         docs.groupBy("lang", F.col("len").alias("value"))
         .agg(F.count(F.lit(1)).alias("c"))
         .select("lang", "value", F.sum("c").over(w).alias("cum"))
-    )
+    ).localCheckpoint()
     targets = est.select(
         "lang",
         "q",
         "n",
         "est_value",
         F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
-    )
+    ).localCheckpoint()
     exact_q = (
         targets.join(dist, "lang")
         .filter(F.col("cum") >= F.col("target"))

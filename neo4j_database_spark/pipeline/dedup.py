@@ -303,6 +303,12 @@ def minhash_lsh_pairs(
     only shuffle and its key space is wide (hash concat), so bucket skew
     only appears for true near-dup clusters — which is the output, not a
     pathology.
+
+    NOTE (eager construction): the band index is localCheckpoint'ed
+    below, so BUILDING this DataFrame runs the full corpus
+    scan+fingerprint job — plan-capture/explain tooling should expect a
+    Spark job at construction time, and the returned plan's leaves are
+    Scan ExistingRDD, not parquet (ADVICE r09).
     """
     docs = load_table(spark, "documents", sf_dir)
     # Materialize the band index ONCE before the self-join (r09
