@@ -178,10 +178,12 @@ def main() -> None:
 
     variants = {
         "pr_r08": lambda: pagerank_r08(g),
-        "pr_r09": lambda: galg.pagerank(g),
+        # NOTE (r10): galg.pagerank is now the r10 narrow formulation;
+        # the store-backed r10 A/B lives in pagerank_variants_r10.py.
+        "pr_engine": lambda: galg.pagerank(g),
         "pr_nockpt": lambda: pagerank_nockpt(g),
         "cc_r08": lambda: cc_r08(g),
-        "cc_r09": lambda: galg.connected_components(g),
+        "cc_engine": lambda: galg.connected_components(g),
     }
     # warm-up each once
     for fn in variants.values():
