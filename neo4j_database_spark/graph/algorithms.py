@@ -1349,7 +1349,7 @@ def hits(
         # item 5 closed): a naive checkpoint inherits the SCAN
         # partitioning and all 2·max_iter half-steps run at file-split
         # width — the same defect class pagerank's pin fixed. A/B
-        # (/tmp probe, store-backed sf0.1, identical output hashes):
+        # (scripts/hits_pin_r10.py, store-backed sf0.1, identical output hashes):
         # pinned 6.22 vs unpinned 6.86 s min, pinned faster in all
         # three interleaved rounds.
         e_src = e_dst = edges.repartition(
